@@ -1,0 +1,11 @@
+"""Algorithm library — each module is a driver-side BSP loop of Spark SQL
+joins/aggregations implementing one GAE built-in app's exact semantics
+(SURVEY.md §2.3). All return per-vertex result DataFrames (the reference's
+"vertex_data context" shape, `core/context/vertex_data_context.h`)."""
+
+from graphscope_spark.algorithms.pagerank import pagerank
+from graphscope_spark.algorithms.wcc import wcc
+from graphscope_spark.algorithms.cdlp import cdlp
+from graphscope_spark.algorithms.triangles import triangles, lcc, total_triangles
+
+__all__ = ["pagerank", "wcc", "cdlp", "triangles", "lcc", "total_triangles"]

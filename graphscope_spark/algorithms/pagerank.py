@@ -1,0 +1,127 @@
+"""PageRank — power iteration with dangling-mass redistribution.
+
+Semantics transliterated from the reference's NetworkX-compatible app
+`/root/reference/analytical_engine/apps/pagerank/pagerank_networkx.h:54-163`:
+
+* init ``r = 1/N``                                     (:62-67)
+* per round ``r'(v) = (1-α)/N + α·Σ_{u→v} r(u)/outdeg(u) + α·dangling/N``
+  where ``dangling = Σ_{outdeg(u)=0} r(u)``            (:76-85, :117-133)
+* converge when ``Σ_v |r'(v) - r(v)| < N·tol`` or round > max_rounds
+  (:135-148)
+
+Spark shape (one shuffle-agg + one join per superstep):
+
+* static prepared table ``ew(src, dst, w=1/outdeg(src))`` — built once,
+  persisted, hash-partitioned by src (the fragment analog);
+* per round: ``contrib = ranks ⋈ ew on vid=src → groupBy(dst).sum(rank·w)``
+  (Catalyst plans a partial/map-side aggregate before the shuffle — the
+  message-combine GRAPE does in its message manager);
+* dangling mass is a scalar: folded into the *previous* round's convergence
+  aggregate so each superstep costs exactly one extra one-row collect;
+* per-round lineage truncation + durable checkpoint/resume via bsp.run_bsp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.bsp import BSPResult, load_checkpoint, run_bsp
+from graphscope_spark.graph import LinkGraph
+
+
+def pagerank(
+    graph: LinkGraph,
+    alpha: float = 0.85,
+    max_rounds: int = 100,
+    tol: float = 1e-6,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> BSPResult:
+    """Returns BSPResult whose state is (vid, rank)."""
+    spark = graph.vertices.sparkSession
+    P = graph.num_partitions
+    verts = graph.vertices.select("vid")
+    n = verts.count()
+    out_deg = graph.out_degrees()
+
+    # Static message-weight table: one join at build time instead of two per
+    # round. Persisted hash-partitioned by src so every round's ranks⋈ew join
+    # reuses the same placement.
+    ew = (
+        graph.edges.join(out_deg.withColumnRenamed("vid", "src"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .repartition(P, F.pmod(F.col("src"), F.lit(P)))
+        .persist()
+    )
+    ew.count()
+
+    state0 = (
+        verts.join(out_deg, "vid", "left")
+        .select(
+            "vid",
+            F.lit(1.0 / n).alias("rank"),
+            F.lit(0.0).alias("prev"),
+            F.col("out_deg").isNull().alias("dangling"),
+        )
+        .repartition(P, F.pmod(F.col("vid"), F.lit(P)))
+    )
+
+    # dangling mass for the upcoming round; updated by scalar_fn each round
+    # (one collect returns both Σ|Δ| and Σ_dangling r — the Spark analog of
+    # the reference's two Sum() allreduces at pagerank_networkx.h:85,146,159).
+    holder = {"dmass": None}
+    if resume and checkpoint_dir:
+        loaded = load_checkpoint(spark, checkpoint_dir)
+        if loaded is not None:
+            st, _, _ = loaded
+            holder["dmass"] = (
+                st.agg(F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0))).collect()[0][0]
+            ) or 0.0
+    if holder["dmass"] is None:
+        n_dangling = state0.where("dangling").count()
+        holder["dmass"] = n_dangling / n
+
+    base = (1.0 - alpha) / n
+
+    def superstep(state: DataFrame, rnd: int) -> DataFrame:
+        dmass_term = alpha * holder["dmass"] / n
+        contrib = (
+            state.join(ew, state["vid"] == ew["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        return (
+            state.join(contrib, state["vid"] == contrib["dst"], "left")
+            .select(
+                state["vid"],
+                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("c"), F.lit(0.0))
+                 + F.lit(dmass_term)).alias("rank"),
+                state["rank"].alias("prev"),
+                "dangling",
+            )
+        )
+
+    def scalar_fn(state: DataFrame) -> float:
+        row = state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dmass"),
+        ).collect()[0]
+        holder["dmass"] = row["dmass"] or 0.0
+        return row["delta"]
+
+    res = run_bsp(
+        state0,
+        superstep,
+        max_rounds=max_rounds,
+        scalar_fn=scalar_fn,
+        converged_fn=lambda delta, rnd: delta < n * tol,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        meta={"algorithm": "pagerank", "alpha": alpha, "tol": tol, "n": n},
+    )
+    ew.unpersist()
+    res.state = res.state.select("vid", "rank")
+    return res

@@ -1,0 +1,202 @@
+"""Shared BSP superstep driver — the Spark stand-in for GRAPE's PIE loop.
+
+The reference runs ``PEval`` then rounds of ``IncEval`` until no messages
+(`/root/reference/docs/analytical_engine/programming_model_pie.md:25-30`);
+message shuffles between rounds are MPI all-to-alls. Here a superstep is a
+lazy DataFrame transformation and the "message shuffle" is whatever exchange
+Catalyst plans for the round's joins/aggregations; the driver loop only
+evaluates one scalar action per round (the convergence aggregate) so it
+never serializes the cluster.
+
+Scale concerns handled centrally (north rule):
+
+* **Lineage truncation** — iterative plans grow unboundedly; every round the
+  new state is either ``localCheckpoint``-ed (fast, in-memory) or, every
+  ``checkpoint_every`` rounds, written to parquet with a JSON manifest
+  (superstep, partition count, input fingerprint) so a killed job resumes
+  mid-iteration (reference analog: SERIALIZE_GRAPH snapshots,
+  `framework/dag_utils.py:1115`).
+* **Per-superstep metrics** — wall time, rows changed, and (best-effort via
+  the Spark UI REST API) shuffle read/write bytes and task-time skew
+  (max/median task duration), the observability the north rule names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import urllib.request
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+# --- metrics ------------------------------------------------------------------
+
+
+class SparkStageMetrics:
+    """Best-effort shuffle/skew metrics from the local Spark UI REST API.
+
+    Uses only the public monitoring REST surface (/api/v1); degrades to
+    zeros when the UI is disabled (e.g. spark.ui.enabled=false in tests).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        try:
+            self.base = spark.sparkContext.uiWebUrl
+            self.app_id = spark.sparkContext.applicationId
+        except Exception:
+            self.base = None
+        self._seen: set[int] = set()
+
+    def snapshot(self) -> dict:
+        out = {"shuffle_read_bytes": 0, "shuffle_write_bytes": 0,
+               "task_time_max_ms": 0, "task_time_median_ms": 0}
+        if not self.base:
+            return out
+        try:
+            url = f"{self.base}/api/v1/applications/{self.app_id}/stages?status=complete"
+            with urllib.request.urlopen(url, timeout=2) as r:
+                stages = json.loads(r.read())
+        except Exception:
+            return out
+        durations = []
+        for st in stages:
+            key = (st["stageId"], st["attemptId"])
+            if key in self._seen:
+                continue
+            self._seen.add(key)
+            out["shuffle_read_bytes"] += st.get("shuffleReadBytes", 0)
+            out["shuffle_write_bytes"] += st.get("shuffleWriteBytes", 0)
+            if st.get("numCompleteTasks"):
+                avg = st.get("executorRunTime", 0) / max(1, st["numCompleteTasks"])
+                durations.append(avg)
+        if durations:
+            durations.sort()
+            out["task_time_max_ms"] = round(durations[-1], 1)
+            out["task_time_median_ms"] = round(durations[len(durations) // 2], 1)
+        return out
+
+
+# --- checkpoint manifest --------------------------------------------------------
+
+
+def _manifest_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "MANIFEST.json")
+
+
+def save_checkpoint(
+    state: DataFrame, ckpt_dir: str, superstep: int, meta: dict | None = None
+) -> DataFrame:
+    """Write state to parquet + manifest; return the re-read (lineage-free)
+    DataFrame. Writes to a temp dir then promotes, so a crash mid-write never
+    corrupts the last good checkpoint."""
+    spark = state.sparkSession
+    step_dir = os.path.join(ckpt_dir, f"step={superstep}")
+    tmp_dir = step_dir + ".tmp"
+    state.write.mode("overwrite").parquet(tmp_dir)
+    if os.path.exists(step_dir):
+        shutil.rmtree(step_dir)
+    os.replace(tmp_dir, step_dir)
+    manifest = {
+        "superstep": superstep,
+        "path": step_dir,
+        "num_partitions": state.rdd.getNumPartitions(),
+        "schema": state.schema.json(),
+        "ts": time.time(),
+        **(meta or {}),
+    }
+    tmp_manifest = _manifest_path(ckpt_dir) + ".tmp"
+    with open(tmp_manifest, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp_manifest, _manifest_path(ckpt_dir))
+    return spark.read.parquet(step_dir)
+
+
+def load_checkpoint(spark: SparkSession, ckpt_dir: str) -> tuple[DataFrame, int, dict] | None:
+    """Resume point, or None if no checkpoint exists."""
+    mp = _manifest_path(ckpt_dir)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(manifest["path"]), manifest["superstep"], manifest
+
+
+# --- the loop -------------------------------------------------------------------
+
+
+@dataclass
+class BSPResult:
+    state: DataFrame
+    supersteps: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def run_bsp(
+    state: DataFrame,
+    superstep_fn: Callable[[DataFrame, int], DataFrame],
+    max_rounds: int,
+    scalar_fn: Callable[[DataFrame], float],
+    converged_fn: Callable[[float, int], bool],
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    meta: dict | None = None,
+) -> BSPResult:
+    """Run supersteps until convergence.
+
+    ``superstep_fn(state, round)`` returns the *lazy* next state, which may
+    carry helper columns (e.g. the previous value). Each round the loop
+    materializes it once (localCheckpoint, or durable parquet every
+    ``checkpoint_every`` rounds), then ``scalar_fn(materialized)`` computes
+    the convergence measure — a cheap aggregate over truncated lineage, the
+    Spark analog of GRAPE's ``Sum()`` allreduce
+    (`pagerank_networkx.h:85,146`). ``converged_fn(scalar, round)`` decides
+    termination — reference analogs: PageRank's ``Σ|Δ| < tol·N``
+    (`pagerank_networkx.h:135-148`), WCC's "no vertex changed"
+    (`wcc_projected.h:175-180`).
+    """
+    spark = state.sparkSession
+    start_round = 0
+    if resume and checkpoint_dir:
+        loaded = load_checkpoint(spark, checkpoint_dir)
+        if loaded is not None:
+            state, start_round, man = loaded
+            if man.get("final"):  # already converged — nothing to redo
+                return BSPResult(state=state, supersteps=start_round, converged=True)
+    mon = SparkStageMetrics(spark)
+    mon.snapshot()  # drain stages from setup
+    metrics: list[dict] = []
+    converged = False
+    rnd = start_round
+    for rnd in range(start_round + 1, max_rounds + 1):
+        t0 = time.time()
+        new_state = superstep_fn(state, rnd)
+        # Truncate lineage every round: localCheckpoint is eager + in-memory;
+        # durable parquet checkpoint every `checkpoint_every` rounds.
+        if checkpoint_dir and rnd % checkpoint_every == 0:
+            new_state = save_checkpoint(new_state, checkpoint_dir, rnd, meta)
+        else:
+            new_state = new_state.localCheckpoint(eager=True)
+        state.unpersist()
+        state = new_state
+        scalar = scalar_fn(state)
+        m = {"superstep": rnd, "wall_s": round(time.time() - t0, 4),
+             "convergence": scalar, **mon.snapshot()}
+        metrics.append(m)
+        if converged_fn(scalar, rnd):
+            converged = True
+            break
+    # Mark final only on true convergence: a max_rounds-bounded run must stay
+    # resumable with a larger budget (e.g. PageRank stopped early by budget).
+    if checkpoint_dir and converged:
+        state = save_checkpoint(state, checkpoint_dir, rnd, {**(meta or {}), "final": True})
+    elif checkpoint_dir and rnd % checkpoint_every != 0:
+        state = save_checkpoint(state, checkpoint_dir, rnd, meta)
+    return BSPResult(state=state, supersteps=rnd, converged=converged, metrics=metrics)

@@ -1,0 +1,109 @@
+"""North-star algorithm correctness vs single-process oracles (FIXTURES.md F3).
+
+Float comparisons use allclose(1e-6) like the reference's
+`tests/unittest/test_app.py:215`; component/label/triangle results exact like
+`test_app.py:156,197,234`."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from graphscope_spark.algorithms import cdlp, lcc, pagerank, total_triangles, triangles, wcc
+from graphscope_spark import corpus
+from graphscope_spark.graph import vid_expr
+
+from tests.conftest import TINY_EDGES, TINY_VERTICES
+from tests.oracles import cdlp_oracle, pagerank_oracle, triangles_oracle, wcc_oracle
+
+
+def _collect_map(df, key, val):
+    return {r[key]: r[val] for r in df.collect()}
+
+
+# ---- tiny hand graph -----------------------------------------------------------
+
+
+def test_pagerank_tiny(tiny_graph):
+    res = pagerank(tiny_graph, alpha=0.85, tol=1e-10, max_rounds=100)
+    got = _collect_map(res.state, "vid", "rank")
+    want = pagerank_oracle(TINY_EDGES, TINY_VERTICES, alpha=0.85, tol=1e-10)
+    assert res.converged
+    assert set(got) == set(want)
+    for v in want:
+        assert np.isclose(got[v], want[v], atol=1e-6), (v, got[v], want[v])
+    assert np.isclose(sum(got.values()), 1.0, atol=1e-9)
+
+
+def test_wcc_tiny(tiny_graph):
+    res = wcc(tiny_graph)
+    got = _collect_map(res.state, "vid", "comp")
+    assert res.converged
+    assert got == wcc_oracle(TINY_EDGES, TINY_VERTICES)
+    assert len(set(got.values())) == 2  # two components by construction
+
+
+def test_cdlp_tiny(tiny_graph):
+    res = cdlp(tiny_graph, max_rounds=10)
+    got = _collect_map(res.state, "vid", "label")
+    assert got == cdlp_oracle(TINY_EDGES, TINY_VERTICES, max_rounds=10)
+
+
+def test_triangles_tiny(tiny_graph):
+    got = _collect_map(triangles(tiny_graph), "vid", "tri")
+    want = triangles_oracle(TINY_EDGES, TINY_VERTICES)
+    assert got == want
+    assert total_triangles(tiny_graph) == sum(want.values()) // 3
+    assert total_triangles(tiny_graph) >= 3  # 1-2-3, 3-4-5, 10-11-12
+
+
+def test_lcc_tiny(tiny_graph):
+    got = _collect_map(lcc(tiny_graph), "vid", "lcc")
+    # vertex 11: neighbors {10, 12}, edge 10-12 exists → lcc = 1.0
+    assert np.isclose(got[11], 1.0)
+    # vertex 8: degree 1 → 0
+    assert got[8] == 0.0
+
+
+# ---- corpus-derived graph (end-to-end: html → links → vids → algorithms) -------
+
+
+def _corpus_oracle_graph(n=200, h=8):
+    """The true corpus link graph in *vid space* (xxhash64 of urls is
+    reproduced on the Spark side; here we work in url space then map)."""
+    edges_url = []
+    for i in range(n):
+        src = corpus.url_of(i, n, h)
+        for dst in corpus.expected_links(i, n, h):
+            edges_url.append((src, dst))
+    urls = {u for e in edges_url for u in e} | {corpus.url_of(i, n, h) for i in range(n)}
+    return edges_url, urls
+
+
+def _vid_map(spark, urls):
+    df = spark.createDataFrame([(u,) for u in sorted(urls)], "url string")
+    return {r["url"]: r["vid"] for r in df.select("url", vid_expr(F.col("url")).alias("vid")).collect()}
+
+
+def test_corpus_pagerank_end_to_end(spark, corpus_graph):
+    edges_url, urls = _corpus_oracle_graph()
+    vm = _vid_map(spark, urls)
+    edges = [(vm[s], vm[d]) for s, d in edges_url]
+    verts = {vm[u] for u in urls}
+    want = pagerank_oracle(edges, verts, alpha=0.85, tol=1e-8)
+    res = pagerank(corpus_graph, alpha=0.85, tol=1e-8, max_rounds=100)
+    got = _collect_map(res.state, "vid", "rank")
+    assert set(got) == set(want)
+    diffs = [abs(got[v] - want[v]) for v in want]
+    assert max(diffs) < 1e-6
+
+
+def test_corpus_wcc_and_triangles(spark, corpus_graph):
+    edges_url, urls = _corpus_oracle_graph()
+    vm = _vid_map(spark, urls)
+    edges = [(vm[s], vm[d]) for s, d in edges_url]
+    verts = {vm[u] for u in urls}
+    got_wcc = _collect_map(wcc(corpus_graph).state, "vid", "comp")
+    assert got_wcc == wcc_oracle(edges, verts)
+    got_tri = _collect_map(triangles(corpus_graph), "vid", "tri")
+    assert got_tri == triangles_oracle(edges, verts)

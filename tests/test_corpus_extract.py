@@ -1,0 +1,70 @@
+"""Corpus generation + extraction tests (FIXTURES.md F1, F4).
+
+The extraction byte-identity test mirrors the reference's golden-output
+byte-compare (`analytical_engine/test/app_tests.sh:115-126`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphscope_spark import corpus
+from graphscope_spark.extract import edges_from_pages, extract_pages
+
+N, H = 200, 8
+
+
+def test_pages_schema_and_shape(pages_small):
+    assert [f.name for f in pages_small.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"
+    ]
+    assert dict(pages_small.dtypes)["html"] == "binary"
+    assert pages_small.count() == N
+    assert pages_small.select("url").distinct().count() == N
+
+
+def test_extracted_links_match_oracle(spark, pages_small):
+    got = {
+        (r["src_url"], r["dst_url"])
+        for r in edges_from_pages(pages_small).collect()
+    }
+    want = set()
+    for i in range(N):
+        src = corpus.url_of(i, N, H)
+        for dst in corpus.expected_links(i, N, H):
+            want.add((src, dst))
+    assert got == want
+
+
+def test_extracted_text_contains_body_words(pages_small):
+    row = extract_pages(pages_small).where(F.col("url").endswith("/p0")).collect()[0]
+    assert "Page 0" in row["text"]
+    assert "Doc 0" in row["text"]
+    assert "<" not in row["text"]  # no tags survive
+
+
+def test_extraction_byte_identity_across_partitionings(spark, pages_small):
+    """Extracted text must be byte-identical per url across partition counts
+    and row orders (north-rule per-row invariant)."""
+    a = extract_pages(pages_small.repartition(1)).select("url", "text")
+    b = extract_pages(pages_small.repartition(7).sortWithinPartitions("warc_ts")).select("url", "text")
+    ta = {r["url"]: r["text"].encode() for r in a.collect()}
+    tb = {r["url"]: r["text"].encode() for r in b.collect()}
+    assert ta == tb
+
+
+def test_corpus_graph_has_required_structure(corpus_graph):
+    # ≥2 weakly connected components by construction (4 isolated groups);
+    # dangling targets (external urls with no out-edges); a hot vertex.
+    edges = corpus_graph.edges
+    verts = corpus_graph.vertices
+    n_v = verts.count()
+    assert n_v > N  # external dangling targets add vertices
+    out_deg = edges.groupBy("src").count()
+    hot = out_deg.agg(F.max("count")).collect()[0][0]
+    # group heads receive ~N/4 in-links; check in-degree skew instead
+    in_deg = edges.groupBy("dst").count()
+    hot_in = in_deg.agg(F.max("count")).collect()[0][0]
+    assert hot_in > 10 * (edges.count() / n_v)  # ≫ mean degree
+    assert hot >= 1
+    # self-loops exist
+    assert edges.where("src = dst").count() > 0
