@@ -1,0 +1,132 @@
+"""Headline benchmark — the driver runs this per-round and records the JSON.
+
+Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a larger synthetic
+link-graph PageRank that measures the north-rule metric (edges/sec per
+superstep). Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "edges_per_sec_per_superstep": N, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphscope_spark.session import get_spark  # noqa: E402
+from graphscope_spark.graph import LinkGraph  # noqa: E402
+
+
+def synthetic_edges(spark, n_vertices: int, n_edges: int, num_partitions: int):
+    """Deterministic power-law-ish edge table, generated JVM-side. ~1% of
+    edges hit one of 16 hub vertices (the skew path)."""
+    i = F.col("id")
+    src = F.pmod(i * 2654435761, F.lit(n_vertices))
+    dst = F.when(
+        F.pmod(i, F.lit(100)) < 1, F.pmod(i, F.lit(16))  # hub skew
+    ).otherwise(F.pmod(i * i + 7 * i + 13, F.lit(n_vertices)))
+    return (
+        spark.range(0, n_edges, 1, num_partitions)
+        .select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def synthetic_graph(spark, n_vertices: int, n_edges: int, P: int) -> LinkGraph:
+    edges = synthetic_edges(spark, n_vertices, n_edges, P).repartition(
+        P, F.pmod(F.col("src"), F.lit(P))
+    )
+    vertices = spark.range(0, n_vertices, 1, P).select(F.col("id").alias("vid"))
+    return LinkGraph(vertices=vertices, edges=edges, num_partitions=P)
+
+
+def pagerank_throughput(spark, n_vertices: int, n_edges: int, P: int, rounds: int = 5):
+    """North-rule metric: edges/sec per PageRank superstep on a pre-built,
+    persisted graph (build cost excluded — it is a one-time cost amortized
+    over the iteration loop)."""
+    from graphscope_spark.algorithms import pagerank
+
+    g = synthetic_graph(spark, n_vertices, n_edges, P)
+    g.edges = g.edges.persist()
+    e_count = g.edges.count()
+    g.vertices = g.vertices.persist()
+    g.vertices.count()
+    t0 = time.time()
+    res = pagerank(g, alpha=0.85, max_rounds=rounds, tol=0.0)
+    res.state.count()
+    wall = time.time() - t0
+    g.edges.unpersist()
+    g.vertices.unpersist()
+    return {
+        "edges": e_count,
+        "supersteps": res.supersteps,
+        "wall_s": round(wall, 3),
+        "sec_per_superstep": round(wall / res.supersteps, 3),
+        "edges_per_sec_per_superstep": int(e_count * res.supersteps / wall),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale_edges = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "5000000"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    headline = [
+        "pagerank",
+        "wcc",
+        "cdlp",
+        "triangles",
+        "lcc",
+        "hits",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "token_counts",
+        "quality_scores",
+        "events_hourly",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # north-rule throughput on a graph big enough to exercise the shuffle
+    thr = pagerank_throughput(
+        spark, n_vertices=scale_edges // 5, n_edges=scale_edges, P=2 * cpus
+    )
+    print(f"# pagerank_throughput: {thr}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pagerank_scale": thr,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

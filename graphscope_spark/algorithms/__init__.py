@@ -7,5 +7,28 @@ from graphscope_spark.algorithms.pagerank import pagerank
 from graphscope_spark.algorithms.wcc import wcc
 from graphscope_spark.algorithms.cdlp import cdlp
 from graphscope_spark.algorithms.triangles import triangles, lcc, total_triangles
+from graphscope_spark.algorithms.traversal import bfs, sssp
+from graphscope_spark.algorithms.centrality import (
+    degree_centrality,
+    hits,
+    katz,
+    eigenvector_centrality,
+)
+from graphscope_spark.algorithms.kcore import kcore, coreness
 
-__all__ = ["pagerank", "wcc", "cdlp", "triangles", "lcc", "total_triangles"]
+__all__ = [
+    "pagerank",
+    "wcc",
+    "cdlp",
+    "triangles",
+    "lcc",
+    "total_triangles",
+    "bfs",
+    "sssp",
+    "degree_centrality",
+    "hits",
+    "katz",
+    "eigenvector_centrality",
+    "kcore",
+    "coreness",
+]

@@ -1,0 +1,154 @@
+"""Degree / HITS / Katz / eigenvector centrality — aggregation + power-iteration
+kernels.
+
+Reference semantics:
+
+* degree centrality: `gs::DegreeCentrality`
+  (`/root/reference/analytical_engine/apps/centrality/degree/
+  degree_centrality.h`, registered `.gs_conf.yaml:131-137`) —
+  ``deg(v) / (N-1)``; in/out/both variants.
+* HITS: `gs::HITS` (`apps/hits/hits.h:30+`, `.gs_conf.yaml:123-130`) —
+  alternating hub/authority updates with per-round normalization
+  (NetworkX-compatible semantics).
+* Katz: `gs::KatzCentrality` (`apps/centrality/katz/`, `.gs_conf.yaml:144-149`)
+  — ``x' = α·Aᵀx + β`` iterated, L2-normalized at the end.
+* eigenvector: `gs::EigenvectorCentrality` (`.gs_conf.yaml:138-143`) — power
+  iteration with L2 normalization per round.
+
+All are one-join-one-agg supersteps; fixed round counts keep them
+deterministic and DuckDB-oracle-checkable (the gate unrolls the same rounds
+in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+
+
+def degree_centrality(graph: LinkGraph, mode: str = "both") -> DataFrame:
+    """(vid, dc) — degree / (N-1). ``mode``: 'in' | 'out' | 'both'; 'both'
+    uses the undirected simple-graph degree (self-loops dropped), matching
+    the reference's default on undirected views."""
+    n = graph.vertices.count()
+    denom = float(max(n - 1, 1))
+    if mode == "out":
+        deg = graph.out_degrees().withColumnRenamed("out_deg", "deg")
+    elif mode == "in":
+        deg = graph.in_degrees().withColumnRenamed("in_deg", "deg")
+    else:
+        deg = graph.degrees()
+    return (
+        graph.vertices.select("vid")
+        .join(deg, "vid", "left")
+        .select(
+            "vid",
+            (F.coalesce(F.col("deg"), F.lit(0)) / F.lit(denom)).alias("dc"),
+        )
+    )
+
+
+def hits(graph: LinkGraph, rounds: int = 10) -> DataFrame:
+    """(vid, hub, auth) after ``rounds`` alternating updates; each half-step
+    L1-normalized (scores sum to 1), fully deterministic. Each round
+    materializes once per half-step (the normalization Sum() is GRAPE's
+    allreduce analog, `pagerank_networkx.h:85,146`) — the sum collect doubles
+    as the cache-materializing action."""
+    P = graph.num_partitions
+    edges = (
+        graph.edges.repartition(P, F.pmod(F.col("src"), F.lit(P))).persist()
+    )
+    edges.count()
+    verts = graph.vertices.select("vid")
+
+    state = verts.select(
+        "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+    for _ in range(rounds):
+        # auth(v) = Σ_{u→v} hub(u), then L1 normalize
+        a = (
+            state.select(F.col("vid").alias("src"), "hub")
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a"))
+        )
+        state = state.join(a, state["vid"] == a["dst"], "left").select(
+            state["vid"], "hub", F.coalesce(F.col("a"), F.lit(0.0)).alias("auth")
+        )
+        s = state.agg(F.sum("auth")).collect()[0][0] or 1.0
+        state = state.withColumn("auth", F.col("auth") / F.lit(s))
+        # hub(u) = Σ_{u→v} auth(v), then L1 normalize
+        h = (
+            state.select(F.col("vid").alias("dst"), "auth")
+            .join(edges, "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h"))
+        )
+        state = state.join(h, state["vid"] == h["src"], "left").select(
+            state["vid"], F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"), "auth"
+        )
+        s = state.agg(F.sum("hub")).collect()[0][0] or 1.0
+        state = state.withColumn("hub", F.col("hub") / F.lit(s))
+        # per-round plan truncation: each half-step references `state` twice
+        # (rows + the Sum aggregate), so without this the logical plan grows
+        # exponentially across rounds
+        state = state.localCheckpoint(eager=True)
+    edges.unpersist()
+    return state.select("vid", "hub", "auth")
+
+
+def katz(
+    graph: LinkGraph, alpha: float = 0.1, beta: float = 1.0, rounds: int = 10
+) -> DataFrame:
+    """(vid, katz) — ``x' = α·Σ_{u→v} x(u) + β`` iterated ``rounds`` times
+    (message flows along edge direction), then L2-normalized."""
+    P = graph.num_partitions
+    edges = graph.edges.repartition(P, F.pmod(F.col("src"), F.lit(P))).persist()
+    edges.count()
+    verts = graph.vertices.select("vid")
+    state = verts.select("vid", F.lit(1.0).alias("x"))
+    for r in range(rounds):
+        m = (
+            state.select(F.col("vid").alias("src"), "x")
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("x").alias("s"))
+        )
+        state = state.join(m, state["vid"] == m["dst"], "left").select(
+            state["vid"],
+            (F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(beta)).alias("x"),
+        )
+        if (r + 1) % 3 == 0:
+            state = state.localCheckpoint(eager=True)
+    edges.unpersist()
+    norm = state.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
+    return state.select("vid", (F.col("x") / F.lit(norm)).alias("katz"))
+
+
+def eigenvector_centrality(graph: LinkGraph, rounds: int = 20) -> DataFrame:
+    """(vid, ec) — power iteration on Aᵀ (in-edge sum) with per-round L2
+    normalization, fixed ``rounds``. One action per round: the norm collect
+    doubles as the cache-materializing step (GRAPE Sum() allreduce analog)."""
+    P = graph.num_partitions
+    edges = graph.edges.repartition(P, F.pmod(F.col("src"), F.lit(P))).persist()
+    edges.count()
+    verts = graph.vertices.select("vid")
+    state = verts.select("vid", F.lit(1.0).alias("x"))
+    for _ in range(rounds):
+        m = (
+            state.select(F.col("vid").alias("src"), "x")
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("x").alias("s"))
+        )
+        state = state.join(m, state["vid"] == m["dst"], "left").select(
+            state["vid"], F.coalesce(F.col("s"), F.lit(0.0)).alias("x")
+        )
+        norm = state.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
+        state = state.withColumn("x", F.col("x") / F.lit(norm)).localCheckpoint(
+            eager=True
+        )
+    edges.unpersist()
+    return state.select("vid", F.col("x").alias("ec"))

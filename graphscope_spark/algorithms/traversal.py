@@ -1,0 +1,147 @@
+"""BFS and SSSP — frontier-based traversal as BSP join/agg supersteps.
+
+Reference semantics:
+
+* BFS: `grape::BFSOpt` (registered `/root/reference/coordinator/gscoordinator/
+  builtin/app/.gs_conf.yaml:42-49`) — level-synchronous directed BFS from a
+  source vertex; per-vertex depth.
+* SSSP: `grape::SSSPOpt` (`.gs_conf.yaml:34-41`) and the in-repo
+  `gs::SSSPProjected` (`analytical_engine/apps/projected/sssp_projected.h`) —
+  iterative distance relaxation (Bellman-Ford flavor) until fixpoint.
+
+Spark shape (both): state ``(vid, dist)`` where unreached = NULL; each
+superstep joins **only the frontier** (vertices whose distance changed last
+round) against the out-edge table, takes the min candidate per destination,
+and keeps improvements. Late rounds cost tiny shuffles — GRAPE's sparse
+frontier (`wcc_projected.h:140-143` analog). Convergence = empty frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.bsp import BSPResult, run_bsp
+from graphscope_spark.graph import LinkGraph
+
+
+def bfs(
+    graph: LinkGraph,
+    source: int,
+    max_rounds: int = 500,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+) -> BSPResult:
+    """Directed BFS depth from ``source``. Result state: (vid, dist) for
+    REACHED vertices only (unreached carry no row)."""
+    P = graph.num_partitions
+    edges = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .repartition(P, F.pmod(F.col("src"), F.lit(P)))
+        .persist()
+    )
+    edges.count()
+
+    state0 = graph.vertices.select(
+        "vid",
+        F.when(F.col("vid") == source, F.lit(0)).cast("long").alias("dist"),
+        (F.col("vid") == source).alias("changed"),
+    ).repartition(P, F.pmod(F.col("vid"), F.lit(P)))
+
+    def superstep(state: DataFrame, rnd: int) -> DataFrame:
+        frontier = state.where("changed").select(F.col("vid").alias("src"), "dist")
+        msgs = (
+            frontier.join(edges, "src")
+            .groupBy("dst")
+            .agg((F.min("dist") + 1).alias("cand"))
+        )
+        return state.join(msgs, state["vid"] == msgs["dst"], "left").select(
+            state["vid"],
+            F.when(
+                state["dist"].isNull() & F.col("cand").isNotNull(), F.col("cand")
+            )
+            .otherwise(state["dist"])
+            .alias("dist"),
+            (state["dist"].isNull() & F.col("cand").isNotNull()).alias("changed"),
+        )
+
+    res = run_bsp(
+        state0,
+        superstep,
+        max_rounds=max_rounds,
+        scalar_fn=lambda st: float(st.where("changed").count()),
+        converged_fn=lambda newly, rnd: newly == 0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        meta={"algorithm": "bfs", "source": source},
+    )
+    edges.unpersist()
+    res.state = res.state.where(F.col("dist").isNotNull()).select("vid", "dist")
+    return res
+
+
+def sssp(
+    graph: LinkGraph,
+    source: int,
+    weight: Column | None = None,
+    max_rounds: int = 1000,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+) -> BSPResult:
+    """Single-source shortest path (directed, non-negative weights).
+
+    ``weight`` is a Column over (src, dst); default deterministic
+    ``pmod(src+dst, 10) + 1`` so a weight exists even on an unweighted link
+    graph (mirrored in the DuckDB oracle). Result state: (vid, dist) for
+    reached vertices.
+    """
+    P = graph.num_partitions
+    if weight is None:
+        weight = (F.pmod(F.col("src") + F.col("dst"), F.lit(10)) + 1).cast("double")
+    edges = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst", weight.alias("w"))
+        .repartition(P, F.pmod(F.col("src"), F.lit(P)))
+        .persist()
+    )
+    edges.count()
+
+    state0 = graph.vertices.select(
+        "vid",
+        F.when(F.col("vid") == source, F.lit(0.0)).alias("dist"),
+        (F.col("vid") == source).alias("changed"),
+    ).repartition(P, F.pmod(F.col("vid"), F.lit(P)))
+
+    def superstep(state: DataFrame, rnd: int) -> DataFrame:
+        frontier = state.where("changed").select(F.col("vid").alias("src"), "dist")
+        msgs = (
+            frontier.join(edges, "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        improved = F.col("cand").isNotNull() & (
+            state["dist"].isNull() | (F.col("cand") < state["dist"])
+        )
+        return state.join(msgs, state["vid"] == msgs["dst"], "left").select(
+            state["vid"],
+            F.when(improved, F.col("cand")).otherwise(state["dist"]).alias("dist"),
+            improved.alias("changed"),
+        )
+
+    res = run_bsp(
+        state0,
+        superstep,
+        max_rounds=max_rounds,
+        scalar_fn=lambda st: float(st.where("changed").count()),
+        converged_fn=lambda improved, rnd: improved == 0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        meta={"algorithm": "sssp", "source": source},
+    )
+    edges.unpersist()
+    res.state = res.state.where(F.col("dist").isNotNull()).select("vid", "dist")
+    return res

@@ -148,6 +148,7 @@ def run_bsp(
     checkpoint_every: int = 5,
     resume: bool = False,
     meta: dict | None = None,
+    truncate_every: int = 1,
 ) -> BSPResult:
     """Run supersteps until convergence.
 
@@ -178,15 +179,23 @@ def run_bsp(
     for rnd in range(start_round + 1, max_rounds + 1):
         t0 = time.time()
         new_state = superstep_fn(state, rnd)
-        # Truncate lineage every round: localCheckpoint is eager + in-memory;
-        # durable parquet checkpoint every `checkpoint_every` rounds.
+        # One Spark action per round: the convergence aggregate below both
+        # materializes the persisted state and returns the scalar. Lineage
+        # is truncated every `truncate_every` rounds (localCheckpoint) and
+        # durably every `checkpoint_every` rounds (parquet + manifest) —
+        # iterative plans otherwise grow without bound.
         if checkpoint_dir and rnd % checkpoint_every == 0:
             new_state = save_checkpoint(new_state, checkpoint_dir, rnd, meta)
-        else:
+        elif rnd % truncate_every == 0:
             new_state = new_state.localCheckpoint(eager=True)
+        else:
+            new_state = new_state.persist()
+        # Materialize the new state (the convergence aggregate is the one
+        # action) BEFORE unpersisting the old — evicting first would force
+        # recomputation of the whole since-last-truncation lineage.
+        scalar = scalar_fn(new_state)
         state.unpersist()
         state = new_state
-        scalar = scalar_fn(state)
         m = {"superstep": rnd, "wall_s": round(time.time() - t0, 4),
              "convergence": scalar, **mon.snapshot()}
         metrics.append(m)

@@ -1,0 +1,53 @@
+"""Training-data pipeline operators over document / embedding tables.
+
+Beyond the reference's graph algorithms, a web-scale engine needs the
+data-curation operators a 100 TB training pipeline runs: deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+approximate similarity search, text analysis (language ID, quality scoring,
+token counting, fingerprinting), and multimodal binary-column plumbing.
+
+Everything is built from JVM-side `pyspark.sql.functions` expressions where
+possible (shingling, hashing, banding, jaccard are all joins/aggs inside
+whole-stage codegen); pandas UDFs appear only where vectorized NumPy
+genuinely wins (multimodal byte decode). The shared hash primitive is a
+portable md5-derived 60-bit integer (`portable_hash60`) that DuckDB can
+reproduce exactly — every operator here is oracle-checkable.
+"""
+
+from graphscope_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_dedup_pairs,
+    ngram_jaccard_pairs,
+)
+from graphscope_spark.datapipe.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+from graphscope_spark.datapipe.textstats import (
+    token_counts,
+    quality_scores,
+    lang_id,
+    fingerprints,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "embedding_neardup_pairs",
+    "lsh_ann_topk",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "fingerprints",
+]

@@ -1,0 +1,248 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All stages are JVM-side Spark SQL expressions (shingling via
+``sequence``+``substring`` inside whole-stage codegen, signatures via one
+groupBy with P min-aggregates, banding via explode + hash-partitioned
+self-join) — no Python rows. The 100 TB shape:
+
+* shingling explodes ~n_chars rows/doc but never materializes: it flows
+  straight into a partial (map-side) min-aggregate, so shuffle volume is
+  ``docs × P`` longs, not the shingle stream;
+* LSH buckets are the classic band trick — only documents sharing a band key
+  are ever paired, so the candidate join is band-key-partitioned and skew
+  is bounded by bucket size (a pathological bucket means near-identical
+  docs, which is exactly the output);
+* the exact-Jaccard verify joins candidate pairs back to distinct shingle
+  sets — proportional to candidates, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.datapipe.hashing import permuted_hash, portable_hash60
+
+# -- exact ----------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, group_size): canonical = min id per identical
+    md5(text). Rows with canonical_id == doc_id are the keepers."""
+    keyed = docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"))
+    groups = keyed.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return keyed.join(groups, "h").select("doc_id", "canonical_id", "group_size")
+
+
+# -- shingling ------------------------------------------------------------------
+
+
+def char_shingles(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct lowercase character k-grams per doc: (doc_id, shingle).
+    Pure codegen: explode(sequence(1, len-k+1)) → substring."""
+    t = F.lower(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            t.alias("t"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(0)))
+            ).alias("pos"),
+        )
+        .select("doc_id", F.substring(F.col("t"), F.col("pos"), k).alias("shingle"))
+        .where(F.length("shingle") == k)
+        .distinct()
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
+    """(doc_id, sig_0..sig_{P-1}): per-permutation min of the permuted
+    shingle hash. One groupBy, P partial-aggregated mins — shuffle is
+    docs × P longs regardless of shingle volume."""
+    aggs = [
+        F.min(permuted_hash(F.col("shingle"), p)).alias(f"sig_{p}")
+        for p in range(num_perm)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """Distinct (a, b) a<b sharing at least one LSH band. Band key =
+    md5 of the band's signature slice."""
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        slice_cols = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *slice_cols)).alias("key"),
+            )
+        )
+    keyed = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = keyed.select(F.col("band"), F.col("key"), F.col("doc_id").alias("a"))
+    right = keyed.select(F.col("band"), F.col("key"), F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_of_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs: (a, b, jac). |∩| via shingle
+    equi-join restricted to candidates; |∪| = |A|+|B|-|∩|."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ninter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.coalesce(F.col("ninter"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ninter"), F.lit(0)))
+            ).alias("jac"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jac) with exact Jaccard ≥ threshold among
+    MinHash-LSH candidates. The full pipeline: shingle → signature → band →
+    bucket join → exact verify."""
+    sh = char_shingles(docs, k, id_col, text_col).persist()
+    sh.count()
+    sig = minhash_signatures(sh, num_perm)
+    cand = lsh_candidate_pairs(sig, num_perm, bands)
+    out = jaccard_of_pairs(cand, sh).where(F.col("jac") >= threshold)
+    # leave `sh` persisted until the caller materializes; Spark GC unpins it
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold, candidates = docs sharing at
+    least one rare shingle (inverted-index join with a frequency cap to
+    bound bucket skew: shingles appearing in > 1000 docs generate no
+    candidates directly — near-dup pairs always share rare shingles too)."""
+    sh = char_shingles(docs, k, id_col, text_col).persist()
+    sh.count()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(freq.where(F.col("df") <= 1000), "shingle")
+    a = rare.select(F.col("doc_id").alias("a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("b"), "shingle")
+    cand = a.join(b, "shingle").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    return jaccard_of_pairs(cand, sh).where(F.col("jac") >= threshold)
+
+
+# -- SimHash ----------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # fits the 60-bit portable hash and a signed BIGINT
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp): 60-bit SimHash over whitespace tokens (frequency
+    weighted). Bit votes are 60 conditional-sum aggregates in a single
+    groupBy — no per-bit explosion, fully codegen'd."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = portable_hash60(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        fp = term if fp is None else (fp + term)
+    return agg.select("doc_id", fp.alias("fp"))
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, hamming) pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: split the 60 bits into ``max_hamming+1`` bands — by
+    pigeonhole any pair within distance d shares at least one intact band,
+    so the band-bucket join finds EVERY qualifying pair (exact, not
+    approximate), while never comparing docs that differ everywhere."""
+    fps = simhash(docs, id_col, text_col).persist()
+    fps.count()
+    nbands = max_hamming + 1
+    # Bands must cover ALL 60 bits or the pigeonhole guarantee breaks: use
+    # near-even widths (e.g. d=7 → 8 bands of 8,8,8,8,7,7,7,7 bits).
+    base, extra = divmod(SIMHASH_BITS, nbands)
+    widths = [base + 1] * extra + [base] * (nbands - extra)
+    offsets = [sum(widths[:b]) for b in range(nbands)]
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("fp"), offsets[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .alias("key"),
+        )
+        for b in range(nbands)
+    ]
+    keyed = fps.select(
+        "doc_id", "fp", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = keyed.select("band", "key", F.col("doc_id").alias("a"), F.col("fp").alias("fa"))
+    right = keyed.select("band", "key", F.col("doc_id").alias("b"), F.col("fp").alias("fb"))
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("fa ^ fb"))
+    return cand.select("a", "b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+* ``cosine_topk``    — exact brute-force top-k (the baseline / verifier):
+  block-nested-loop as a Spark cross-join with the dot product computed by
+  ``F.zip_with`` + ``F.aggregate`` entirely JVM-side.
+* ``lsh_ann_topk``   — the scale path: random-hyperplane LSH. Hyperplane
+  components are deterministic pseudo-randoms derived from the portable
+  hash (no RNG state, reproducible across cluster sizes); candidates are
+  bucket-joined on the sign-bit signature, then exactly re-scored.
+* ``embedding_neardup_pairs`` — near-duplicate pairs by cosine ≥ threshold.
+
+At 100 TB brute force is O(n²) and only serves as the small-block verifier;
+the LSH variant's cost is Σ bucket², bounded by the signature length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphscope_spark.datapipe.hashing import portable_hash60
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_unit_vectors(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, vec double[], norm) — cast to double once, norms precomputed so
+    pair scoring is a single dot product."""
+    v = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        F.col(id_col).alias("id"), v.alias("vec"), _norm(v).alias("norm")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbors per vector: (id, nbr, sim), ties broken by
+    smaller nbr id; self excluded. Brute force O(n²) — the correctness
+    baseline the approximate path is measured against."""
+    u = with_unit_vectors(emb, id_col, vec_col).persist()
+    u.count()
+    a = u.select(F.col("id"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = u.select(F.col("id").alias("nbr"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.crossJoin(b).where(F.col("id") != F.col("nbr"))
+    sim = (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim")
+    scored = pairs.select("id", "nbr", sim)
+    w = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.round(F.col("sim"), 9).desc(), F.col("nbr").asc())
+    )
+    return scored.withColumn("rk", w).where(F.col("rk") <= k).select("id", "nbr", "sim")
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs (a, b, sim) with cosine ≥ threshold, a<b."""
+    u = with_unit_vectors(emb, id_col, vec_col)
+    a = u.select(F.col("id").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = u.select(F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select("a", "b", sim.alias("sim")).where(F.col("sim") >= threshold)
+
+
+def _hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of <vec, r_plane> where r_plane[d] = 2·u − 1 with u a
+    deterministic hash-derived uniform in [0,1)."""
+    comps = [
+        (
+            F.element_at(vec, d + 1)
+            * (
+                (portable_hash60(F.lit(f"plane:{plane}:{d}")) / F.lit(float(1 << 60)))
+                * 2.0
+                - 1.0
+            )
+        )
+        for d in range(dim)
+    ]
+    s = comps[0]
+    for c in comps[1:]:
+        s = s + c
+    return (s > 0).cast("int")
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, vec, norm, sig string) — random-hyperplane sign signature.
+    Hyperplanes are pure functions of (plane, dim) hashes: reproducible on
+    any cluster size with no broadcast of RNG state."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    u = with_unit_vectors(emb, id_col, vec_col)
+    bits = [_hyperplane_bit(F.col("vec"), p, dim).cast("string") for p in range(num_planes)]
+    return u.select("id", "vec", "norm", F.concat(*bits).alias("sig"))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    num_planes: int = 12,
+    bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 LSH band; exact cosine rescoring
+    inside buckets. Returns (id, nbr, sim). Recall measured in tests against
+    ``cosine_topk``."""
+    sigs = lsh_signatures(emb, num_planes, id_col, vec_col).persist()
+    sigs.count()
+    width = num_planes // bands
+    banded = sigs.select(
+        "id",
+        "vec",
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("sig"), b * width + 1, width).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "vec", "norm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l = banded.select("band", "key", F.col("id"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    r = banded.select(
+        "band", "key", F.col("id").alias("nbr"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    cand = (
+        l.join(r, ["band", "key"])
+        .where(F.col("id") != F.col("nbr"))
+        .select("id", "nbr", "va", "vb", "na", "nb")
+        .distinct()
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    scored = cand.select("id", "nbr", sim.alias("sim"))
+    w = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.round(F.col("sim"), 9).desc(), F.col("nbr").asc())
+    )
+    return scored.withColumn("rk", w).where(F.col("rk") <= k).select("id", "nbr", "sim")

@@ -1,0 +1,152 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure Spark SQL expressions (split/filter/aggregate inside whole-stage
+codegen) — at 100 TB these run at parquet-scan speed with zero Python. Every
+formula is deliberately simple arithmetic so the DuckDB oracle mirrors it
+exactly (floats rounded at the gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.datapipe.hashing import portable_hash60
+
+# whitespace tokens, empty strings dropped
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, n_chars_seen). Whitespace
+    tokenization — the BPE-ish regex variant is ``quality_scores``'s
+    word-char runs."""
+    toks = _tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_seen"),
+    )
+
+
+# Tiny multilingual stopword markers: per-language cue words that appear as
+# standalone tokens. Deterministic and SQL-mirrorable (token equi-match, no
+# regex dialect concerns).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "les", "des", "est", "et"],
+}
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, lang_pred, lang_score): argmax of marker-token hit counts,
+    ties → lexicographically smallest language code, zero hits → 'und'.
+    A real deployment swaps the marker lists for n-gram models; the Spark
+    shape (per-language conditional aggregates over one token explode) is
+    the production shape."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    aggs = [
+        F.sum(F.when(F.col("tok").isin(markers), 1).otherwise(0)).alias(f"c_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    counts = toks.groupBy("doc_id").agg(*aggs)
+    # argmax with lexicographic tie-break, via greatest + case chain
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"c_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when((best > 0) & (F.col(f"c_{l}") == best), F.lit(l)).otherwise(pred)
+    out = counts.select("doc_id", pred.alias("lang_pred"), best.alias("lang_score"))
+    # docs with zero tokens never reach the groupBy — restore with 'und'
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred"),
+            F.coalesce(F.col("lang_score"), F.lit(0)).alias("lang_score"),
+        )
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_token_len, alpha_ratio, space_ratio, score).
+
+    score ∈ [0,1]: penalizes degenerate docs (too short, low alphabetic
+    density, run-on tokens) — the C4/Gopher-style length+composition rules
+    expressed as pure column arithmetic.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    spaces = n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    mean_len = F.when(n_tok > 0, (n_chars - spaces) / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    space_ratio = F.when(n_chars > 0, spaces / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.2
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        mean_len.cast("double").alias("mean_token_len"),
+        alpha_ratio.cast("double").alias("alpha_ratio"),
+        space_ratio.cast("double").alias("space_ratio"),
+        score.cast("double").alias("score"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp_min, fp_max, n_grams): rolling character-k-gram hash
+    summary (min/max of the 60-bit gram hashes + gram count). ``fp_min`` is
+    a 1-permutation MinHash — equal fp_min is a strong near-dup signal;
+    the pair (min,max) is the winnowing-style fingerprint."""
+    t = F.lower(F.col(text_col))
+    # NB: Spark sequence(1, 0) is DESCENDING [1, 0] — the length filter below
+    # drops the bogus positions emitted for texts shorter than k.
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            t.alias("t"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(0)))
+            ).alias("pos"),
+        )
+        .select("doc_id", F.substring(F.col("t"), F.col("pos"), k).alias("gram"))
+        .where(F.length("gram") == k)
+        .select("doc_id", portable_hash60(F.col("gram")).alias("g"))
+    )
+    agg = grams.groupBy("doc_id").agg(
+        F.min("g").alias("fp_min"),
+        F.max("g").alias("fp_max"),
+        F.count("*").alias("n_grams"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("fp_min"), F.lit(0)).alias("fp_min"),
+            F.coalesce(F.col("fp_max"), F.lit(0)).alias("fp_max"),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        )
+    )

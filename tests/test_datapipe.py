@@ -1,0 +1,224 @@
+"""Training-data pipeline operators: dedup / similarity / textstats /
+multimodal — correctness against constructed fixtures and numpy oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.datapipe import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    exact_dedup,
+    fingerprints,
+    lang_id,
+    lsh_ann_topk,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    simhash_dedup_pairs,
+    token_counts,
+)
+from graphscope_spark.datapipe.multimodal import extract_features, frame_sample_plan
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (3, "der schnelle braune fuchs und die faule katze ist das"),
+        (4, "el perro y el gato que los dos"),
+        (5, "completely different text about spark shuffles and joins"),
+        (6, ""),  # empty doc
+        (7, "aaaaa aaaaa aaaaa aaaaa"),  # degenerate
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"]) for r in exact_dedup(docs).collect()}
+    assert got[0] == (0, 2) and got[1] == (0, 2)
+    assert got[2] == (2, 1)
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r["a"], r["b"]): r["jac"] for r in
+             minhash_dedup_pairs(docs, k=5, num_perm=16, bands=8, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 5) not in pairs
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {(r["a"], r["b"]): r["jac"] for r in
+             ngram_jaccard_pairs(docs, k=5, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    # python oracle for (0,2)
+    t0 = "the quick brown fox jumps over the lazy dog"
+    t2 = "the quick brown fox jumps over the lazy cat"
+    s0 = {t0[i:i + 5] for i in range(len(t0) - 4)}
+    s2 = {t2[i:i + 5] for i in range(len(t2) - 4)}
+    assert np.isclose(pairs[(0, 2)], len(s0 & s2) / len(s0 | s2))
+
+
+def test_simhash_matches_python_oracle(docs):
+    got = {r["doc_id"]: r["fp"] for r in simhash(docs).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def oracle(text):
+        votes = [0] * 60
+        for tok in text.lower().split():
+            if not tok:
+                continue
+            hv = h60(tok)
+            for j in range(60):
+                votes[j] += 1 if (hv >> j) & 1 else -1
+        return sum(1 << j for j in range(60) if votes[j] > 0)
+
+    for r in [(0, "the quick brown fox jumps over the lazy dog"),
+              (5, "completely different text about spark shuffles and joins")]:
+        assert got[r[0]] == oracle(r[1]), r[0]
+    assert got[0] == got[1]
+
+
+def test_simhash_pairs(docs):
+    # true hamming(0,2) from the python oracle drives the threshold, so the
+    # test checks the banded join's pigeonhole EXACTNESS, not a guess
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def fp_oracle(text):
+        votes = [0] * 60
+        for tok in text.lower().split():
+            hv = h60(tok)
+            for j in range(60):
+                votes[j] += 1 if (hv >> j) & 1 else -1
+        return sum(1 << j for j in range(60) if votes[j] > 0)
+
+    t0 = "the quick brown fox jumps over the lazy dog"
+    t2 = "the quick brown fox jumps over the lazy cat"
+    d02 = bin(fp_oracle(t0) ^ fp_oracle(t2)).count("1")
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             simhash_dedup_pairs(docs, max_hamming=d02).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] == d02  # banded join must find the boundary pair
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")  # near-dup of 0
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def _numpy_topk(vecs, k):
+    v = vecs.astype("float64")
+    norms = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    out = {}
+    for i in range(len(v)):
+        order = sorted(range(len(v)), key=lambda j: (-round(sims[i, j], 9), j))
+        out[i] = order[:k]
+    return out, sims
+
+
+def test_cosine_topk_vs_numpy(emb):
+    df, vecs = emb
+    got = {}
+    for r in cosine_topk(df, k=3).collect():
+        got.setdefault(r["id"], []).append((r["nbr"], r["sim"]))
+    want, sims = _numpy_topk(vecs, 3)
+    for i, nbrs in want.items():
+        got_nbrs = [n for n, _ in sorted(got[i], key=lambda x: (-round(x[1], 9), x[0]))]
+        assert got_nbrs == nbrs, i
+        for n, s in got[i]:
+            assert np.isclose(s, sims[i, n], atol=1e-9)
+
+
+def test_embedding_neardup(emb):
+    df, _ = emb
+    pairs = {(r["a"], r["b"]) for r in embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert (0, 1) in pairs
+
+
+def test_lsh_ann_recall(emb):
+    df, vecs = emb
+    got = {}
+    for r in lsh_ann_topk(df, k=3, num_planes=9, bands=3).collect():
+        got.setdefault(r["id"], set()).add(r["nbr"])
+    want, _ = _numpy_topk(vecs, 3)
+    hits = sum(len(got.get(i, set()) & set(want[i])) for i in want)
+    recall = hits / (3 * len(want))
+    assert recall > 0.5, recall  # approximate, but must beat random by far
+
+
+def test_token_counts(docs):
+    got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert got[0]["n_tokens"] == 9
+    assert got[0]["n_distinct_tokens"] == 8  # 'the' twice
+    assert got[6]["n_tokens"] == 0
+    assert got[7]["n_distinct_tokens"] == 1
+
+
+def test_quality_scores(docs):
+    got = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert got[6]["score"] == 0.0
+    assert got[0]["score"] > got[7]["score"] * 0  # defined for all
+    assert 0 <= got[0]["alpha_ratio"] <= 1
+    assert got[0]["n_tokens"] == 9
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+    assert got[4] == "es"
+    assert got[6] == "und"
+    assert got[7] == "und"
+
+
+def test_fingerprints(docs):
+    got = {r["doc_id"]: r for r in fingerprints(docs, k=8).collect()}
+    assert got[0]["fp_min"] == got[1]["fp_min"] and got[0]["fp_max"] == got[1]["fp_max"]
+    assert got[6]["n_grams"] == 0 and got[6]["fp_min"] == 0
+    assert got[0]["n_grams"] == len("the quick brown fox jumps over the lazy dog") - 7
+
+
+def test_multimodal_features(spark, docs):
+    payloads = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    got = {r["doc_id"]: r for r in extract_features(payloads).collect()}
+    t0 = "the quick brown fox jumps over the lazy dog"
+    assert got[0]["n_bytes"] == len(t0)
+    assert got[0]["digest"] == hashlib.md5(t0.encode()).hexdigest()
+    assert got[0]["kind"] == "unknown"
+    jpeg = spark.createDataFrame(
+        [(99, bytearray(b"\xff\xd8\xffrest"))], "doc_id long, payload binary"
+    )
+    assert extract_features(jpeg).collect()[0]["kind"] == "jpeg"
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 5000)), (2, bytearray(b"y" * 100))],
+        "doc_id long, payload binary",
+    )
+    got = {}
+    for r in frame_sample_plan(df, every_n=2).collect():
+        got.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # doc 1: 5000//1024 + 1 = 5 frames → sampled 0,2,4
+    assert sorted(got[1]) == [0, 2, 4]
+    assert sorted(got[2]) == [0]
