@@ -526,6 +526,47 @@ SELECT v.vid,
 FROM verts v LEFT JOIN udeg d ON d.vid = v.vid
 """
 
+_AVG_CLUSTERING_SQL = f"""
+WITH {_SQL_BASE},
+{_TRI_ORIENT}
+SELECT ROUND(AVG(CASE WHEN COALESCE(d.deg, 0) >= 2
+                      THEN COALESCE(t.tri, 0) * 2.0 / (d.deg * (d.deg - 1))
+                      ELSE 0.0 END), 6) AS avg_cc
+FROM verts v LEFT JOIN tcnt t ON t.vid = v.vid LEFT JOIN udeg d ON d.vid = v.vid
+"""
+
+_TRANSITIVITY_SQL = f"""
+WITH {_SQL_BASE},
+{_TRI_ORIENT}
+SELECT ROUND(
+  CAST((SELECT COALESCE(SUM(tri), 0) FROM tcnt) AS DOUBLE)
+  / (SELECT SUM(deg * (deg - 1) / 2.0) FROM udeg), 6) AS transitivity
+"""
+
+_ASSORTATIVITY_SQL = f"""
+WITH {_SQL_BASE},
+odeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+ideg AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS id FROM edges GROUP BY dst)
+SELECT ROUND(corr(o.od, i.id), 6) AS assortativity
+FROM edges e JOIN odeg o ON o.src = e.src JOIN ideg i ON i.dst = e.dst
+"""
+
+_NODE_BOUNDARY_SQL = f"""
+WITH {_SQL_BASE},
+s AS (SELECT vid FROM verts WHERE vid % 7 = 0)
+SELECT DISTINCT e.dst AS vid
+FROM edges e JOIN s ON s.vid = e.src
+WHERE e.dst NOT IN (SELECT vid FROM s)
+"""
+
+_EDGE_BOUNDARY_SQL = f"""
+WITH {_SQL_BASE},
+s AS (SELECT vid FROM verts WHERE vid % 7 = 0)
+SELECT e.src, e.dst
+FROM edges e JOIN s ON s.vid = e.src
+WHERE e.dst NOT IN (SELECT vid FROM s)
+"""
+
 _DEDUP_EXACT_SQL = """
 WITH keyed AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS h FROM documents),
 grp AS (SELECT h, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
@@ -670,6 +711,53 @@ def _q_kcore(spark, sf_dir):
     from graphscope_spark.algorithms import kcore
 
     return kcore(_graph(spark, sf_dir), k=4, max_rounds=30)
+
+
+def _q_avg_clustering(spark, sf_dir):
+    from graphscope_spark.algorithms import avg_clustering
+
+    v = avg_clustering(_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], "avg_cc double")
+
+
+def _q_transitivity(spark, sf_dir):
+    from graphscope_spark.algorithms import transitivity
+
+    v = transitivity(_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], "transitivity double")
+
+
+def _q_assortativity(spark, sf_dir):
+    from graphscope_spark.algorithms import degree_assortativity
+
+    v = degree_assortativity(_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], "assortativity double")
+
+
+def _boundary_set(graph):
+    return graph.vertices.where(F.pmod(F.col("vid"), F.lit(7)) == 0).select("vid")
+
+
+def _q_node_boundary(spark, sf_dir):
+    from graphscope_spark.algorithms import node_boundary
+
+    g = _graph(spark, sf_dir)
+    return node_boundary(g, _boundary_set(g))
+
+
+def _q_edge_boundary(spark, sf_dir):
+    from graphscope_spark.algorithms import edge_boundary
+
+    g = _graph(spark, sf_dir)
+    return edge_boundary(g, _boundary_set(g))
+
+
+def _q_coreness(spark, sf_dir):
+    from graphscope_spark.algorithms import coreness
+
+    return coreness(_graph(spark, sf_dir)).select(
+        "vid", F.col("core").cast("long").alias("core")
+    )
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -840,6 +928,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": _q_katz,
         "eigenvector": _q_eigenvector,
         "kcore": _q_kcore,
+        "coreness": _q_coreness,
+        "avg_clustering": _q_avg_clustering,
+        "transitivity": _q_transitivity,
+        "degree_assortativity": _q_assortativity,
+        "node_boundary": _q_node_boundary,
+        "edge_boundary": _q_edge_boundary,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
@@ -896,6 +990,13 @@ def _raw_oracle_sql() -> dict[str, str]:
         "katz": _katz_sql(10, 0.1, 1.0),
         "eigenvector": _eigen_sql(20),
         "kcore": _kcore_sql(4, 30),
+        # "coreness" intentionally has no SQL oracle (per-k peel fixpoints
+        # would need data-dependent unroll depths); covered by pytest.
+        "avg_clustering": _AVG_CLUSTERING_SQL,
+        "transitivity": _TRANSITIVITY_SQL,
+        "degree_assortativity": _ASSORTATIVITY_SQL,
+        "node_boundary": _NODE_BOUNDARY_SQL,
+        "edge_boundary": _EDGE_BOUNDARY_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(16, 8, 0.24),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.26),

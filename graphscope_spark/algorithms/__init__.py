@@ -15,8 +15,20 @@ from graphscope_spark.algorithms.centrality import (
     eigenvector_centrality,
 )
 from graphscope_spark.algorithms.kcore import kcore, coreness
+from graphscope_spark.algorithms.clustering import (
+    avg_clustering,
+    transitivity,
+    node_boundary,
+    edge_boundary,
+    degree_assortativity,
+)
 
 __all__ = [
+    "avg_clustering",
+    "transitivity",
+    "node_boundary",
+    "edge_boundary",
+    "degree_assortativity",
     "pagerank",
     "wcc",
     "cdlp",

@@ -41,9 +41,11 @@ def cdlp(
     # Directed graph, LDBC CDLP: each edge contributes its src's label to dst
     # AND its dst's label to src (both directions, counted per edge).
     e = graph.edges.where(F.col("src") != F.col("dst"))
+    # partitioned by the join column — cached distribution feeds every
+    # round's labels⋈sym join shuffle-free (see pagerank.py rationale)
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(P, F.pmod(F.col("src"), F.lit(P)))
+        .repartition(F.col("src"))
         .persist()
     )
     sym.count()

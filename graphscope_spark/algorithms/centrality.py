@@ -58,7 +58,7 @@ def hits(graph: LinkGraph, rounds: int = 10) -> DataFrame:
     as the cache-materializing action."""
     P = graph.num_partitions
     edges = (
-        graph.edges.repartition(P, F.pmod(F.col("src"), F.lit(P))).persist()
+        graph.edges.repartition(F.col("src")).persist()
     )
     edges.count()
     verts = graph.vertices.select("vid")
@@ -105,7 +105,7 @@ def katz(
     """(vid, katz) — ``x' = α·Σ_{u→v} x(u) + β`` iterated ``rounds`` times
     (message flows along edge direction), then L2-normalized."""
     P = graph.num_partitions
-    edges = graph.edges.repartition(P, F.pmod(F.col("src"), F.lit(P))).persist()
+    edges = graph.edges.repartition(F.col("src")).persist()
     edges.count()
     verts = graph.vertices.select("vid")
     state = verts.select("vid", F.lit(1.0).alias("x"))
@@ -132,7 +132,7 @@ def eigenvector_centrality(graph: LinkGraph, rounds: int = 20) -> DataFrame:
     normalization, fixed ``rounds``. One action per round: the norm collect
     doubles as the cache-materializing step (GRAPE Sum() allreduce analog)."""
     P = graph.num_partitions
-    edges = graph.edges.repartition(P, F.pmod(F.col("src"), F.lit(P))).persist()
+    edges = graph.edges.repartition(F.col("src")).persist()
     edges.count()
     verts = graph.vertices.select("vid")
     state = verts.select("vid", F.lit(1.0).alias("x"))

@@ -1,0 +1,79 @@
+"""Clustering statistics and boundary / assortativity operators.
+
+Reference semantics:
+
+* avg_clustering: `gs::AvgClustering` (`apps/clustering/avg_clustering.h`,
+  `.gs_conf.yaml:180-185`) — mean of per-vertex local clustering
+  coefficients over all vertices.
+* transitivity: `gs::Transitivity` (`apps/clustering/transitivity.h`,
+  `.gs_conf.yaml:186-191`) — 3·triangles / wedges (global ratio).
+* node_boundary / edge_boundary: `apps/boundary/node_boundary.h` /
+  `edge_boundary.h` (`.gs_conf.yaml:242-253`) — NetworkX semantics:
+  node_boundary(S) = vertices outside S with an in-edge from S;
+  edge_boundary(S, T=V∖S) = edges from S to outside S.
+* degree_assortativity: `apps/assortativity/degree_assortativity_coefficient.h`
+  (`.gs_conf.yaml:234-241`) — Pearson correlation of (out-deg(src),
+  in-deg(dst)) over directed edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.algorithms.triangles import lcc, total_triangles
+from graphscope_spark.graph import LinkGraph
+
+
+def avg_clustering(graph: LinkGraph) -> float:
+    """Mean local clustering coefficient (vertices with deg<2 count as 0)."""
+    row = lcc(graph).agg(F.avg("lcc").alias("c")).collect()[0]
+    return float(row["c"] or 0.0)
+
+
+def transitivity(graph: LinkGraph) -> float:
+    """3 × triangles / wedges on the undirected simple graph."""
+    tri3 = total_triangles(graph) * 3
+    wedges = (
+        graph.degrees()
+        .agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w"))
+        .collect()[0]["w"]
+        or 0.0
+    )
+    return float(tri3 / wedges) if wedges else 0.0
+
+
+def node_boundary(graph: LinkGraph, s: DataFrame) -> DataFrame:
+    """Vertices NOT in S that receive an edge from S: (vid)."""
+    sv = s.select("vid").distinct()
+    out = (
+        graph.edges.join(sv.withColumnRenamed("vid", "src"), "src", "semi")
+        .select(F.col("dst").alias("vid"))
+        .distinct()
+        .join(sv, "vid", "anti")
+    )
+    return out
+
+
+def edge_boundary(graph: LinkGraph, s: DataFrame) -> DataFrame:
+    """Edges (src, dst) with src ∈ S and dst ∉ S."""
+    sv = s.select("vid").distinct()
+    return (
+        graph.edges.join(sv.withColumnRenamed("vid", "src"), "src", "semi")
+        .join(sv.withColumnRenamed("vid", "dst"), "dst", "anti")
+        .select("src", "dst")
+    )
+
+
+def degree_assortativity(graph: LinkGraph) -> float:
+    """Pearson correlation of (out-degree(src), in-degree(dst)) across
+    directed edges — one join + `corr` aggregate."""
+    out_deg = graph.out_degrees().withColumnRenamed("vid", "src")
+    in_deg = graph.in_degrees().withColumnRenamed("vid", "dst")
+    row = (
+        graph.edges.join(out_deg, "src")
+        .join(in_deg, "dst")
+        .agg(F.corr(F.col("out_deg").cast("double"), F.col("in_deg").cast("double")).alias("r"))
+        .collect()[0]
+    )
+    return float(row["r"]) if row["r"] is not None else 0.0

@@ -47,43 +47,58 @@ def kcore(graph: LinkGraph, k: int, max_rounds: int = 500) -> DataFrame:
     return alive
 
 
-def coreness(graph: LinkGraph, k_max: int = 64) -> DataFrame:
-    """(vid, core) — largest k such that vid is in the k-core (k-shell index).
-    Peels shells k=1,2,... until the core empties; each shell reuses the
-    previous core as its starting vertex set so total work is the classic
-    O(Σ|core_k|) peel."""
+def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
+    """(vid, core) — largest k such that vid is in the k-core (k-shell
+    index), via the distributed **h-index iteration** (Lü et al.): start
+    ``core(v) = deg(v)``; each round set ``core(v)`` to the H-index of its
+    neighbors' current core values; the fixpoint is exactly the coreness.
+
+    Scale shape: the per-vertex H-index is computed WITHOUT gathering
+    neighbor arrays — a (vid, core-value) histogram, a cumulative count
+    window ordered by value descending, then ``max(min(value, cum))`` per
+    vertex. Two shuffles per round, both partial-aggregated; a mega-degree
+    hub costs a histogram of distinct values, not a 10^8-element array."""
+    from pyspark.sql.window import Window
+
     und = graph.undirected_edges(drop_self_loops=True).persist()
     und.count()
-    spark = graph.vertices.sparkSession
-    result = graph.vertices.select("vid", F.lit(0).alias("core"))
-    alive = graph.vertices.select("vid")
-    for k in range(1, k_max + 1):
-        # peel to the k-core starting from the (k-1)-core
-        while True:
-            sub = und.join(alive.withColumnRenamed("vid", "src"), "src").join(
-                alive.withColumnRenamed("vid", "dst"), "dst"
-            )
-            deg = sub.groupBy(F.col("src").alias("vid")).agg(
-                F.count("*").alias("deg")
-            )
-            nxt = (
-                alive.join(deg, "vid", "left")
-                .where(F.coalesce(F.col("deg"), F.lit(0)) >= k)
-                .select("vid")
-                .localCheckpoint(eager=True)
-            )
-            n_before, n_after = alive.count(), nxt.count()
-            alive = nxt
-            if n_after == n_before or n_after == 0:
-                break
-        if alive.count() == 0:
-            break
-        result = (
-            result.join(alive.withColumn("ink", F.lit(k)), "vid", "left")
+    cores = und.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("core"))
+    cores = (
+        graph.vertices.select("vid")
+        .join(cores, "vid", "left")
+        .select("vid", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = und.join(
+            cores.select(F.col("vid").alias("src"), "core"), "src"
+        ).select(F.col("dst").alias("vid"), "core")
+        hist = nbr.groupBy("vid", "core").agg(F.count("*").alias("c"))
+        w = (
+            Window.partitionBy("vid")
+            .orderBy(F.col("core").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        h = (
+            hist.withColumn("cum", F.sum("c").over(w))
+            .select("vid", F.least(F.col("core"), F.col("cum")).alias("m"))
+            .groupBy("vid")
+            .agg(F.max("m").alias("h"))
+        )
+        nxt = (
+            cores.join(h, "vid", "left")
             .select(
-                "vid", F.coalesce(F.col("ink"), F.col("core")).alias("core")
+                "vid",
+                F.least(F.col("core"), F.coalesce(F.col("h"), F.lit(0))).alias("core"),
+                (F.least(F.col("core"), F.coalesce(F.col("h"), F.lit(0))) < F.col("core")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
+        changed = nxt.where("chg").count()
+        cores = nxt.select("vid", "core")
+        if changed == 0:
+            break
     und.unpersist()
-    return result
+    return cores

@@ -47,12 +47,16 @@ def pagerank(
     out_deg = graph.out_degrees()
 
     # Static message-weight table: one join at build time instead of two per
-    # round. Persisted hash-partitioned by src so every round's ranks⋈ew join
-    # reuses the same placement.
+    # round. Persisted hash-partitioned BY THE JOIN COLUMN (not pmod): the
+    # cached HashPartitioning(src, N) satisfies the per-round join's
+    # ClusteredDistribution(src), so when the rank side is too big to
+    # broadcast, Catalyst shuffles only the small state — never the edges.
+    # (When the state fits the broadcast threshold, AQE picks a broadcast
+    # join and the edges are streamed from cache with no exchange at all.)
     ew = (
         graph.edges.join(out_deg.withColumnRenamed("vid", "src"), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .repartition(P, F.pmod(F.col("src"), F.lit(P)))
+        .repartition(F.col("src"))
         .persist()
     )
     ew.count()

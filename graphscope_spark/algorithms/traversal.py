@@ -36,9 +36,10 @@ def bfs(
     """Directed BFS depth from ``source``. Result state: (vid, dist) for
     REACHED vertices only (unreached carry no row)."""
     P = graph.num_partitions
+    # partitioned by the join column for shuffle-free frontier joins
     edges = (
         graph.edges.where(F.col("src") != F.col("dst"))
-        .repartition(P, F.pmod(F.col("src"), F.lit(P)))
+        .repartition(F.col("src"))
         .persist()
     )
     edges.count()
@@ -104,7 +105,7 @@ def sssp(
     edges = (
         graph.edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst", weight.alias("w"))
-        .repartition(P, F.pmod(F.col("src"), F.lit(P)))
+        .repartition(F.col("src"))
         .persist()
     )
     edges.count()

@@ -36,10 +36,13 @@ def wcc(
 ) -> BSPResult:
     """Returns BSPResult whose state is (vid, comp)."""
     P = graph.num_partitions
-    # Symmetric edge view (self-loops are no-ops for connectivity).
+    # Symmetric edge view (self-loops are no-ops for connectivity),
+    # persisted hash-partitioned by the per-round join column so the cached
+    # distribution satisfies ClusteredDistribution(src) — only the frontier
+    # ever shuffles (see pagerank.py for the full rationale).
     sym = (
         graph.undirected_edges(drop_self_loops=True)
-        .repartition(P, F.pmod(F.col("src"), F.lit(P)))
+        .repartition(F.col("src"))
         .persist()
     )
     sym.count()

@@ -89,7 +89,12 @@ def main():
     if not args.oracle_only:
         from graphscope_spark.session import get_spark
 
-        spark = get_spark("gate-check", master="local[8]", shuffle_partitions=16)
+        spark = get_spark(
+            "gate-check",
+            master="local[8]",
+            shuffle_partitions=16,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
 
     n_ok = n_fail = 0
     for name, fn in qs.items():
@@ -103,7 +108,8 @@ def main():
             n_fail += 1
             continue
         if args.oracle_only:
-            print(f"ok-oracle {name}: {len(duck_df)} rows {time.time()-t0:.1f}s")
+            n = len(duck_df) if duck_df is not None else "(no oracle)"
+            print(f"ok-oracle {name}: {n} rows {time.time()-t0:.1f}s")
             continue
         try:
             spark_df = fn(spark, args.sf_dir).toPandas()
