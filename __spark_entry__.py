@@ -526,6 +526,69 @@ SELECT v.vid,
 FROM verts v LEFT JOIN udeg d ON d.vid = v.vid
 """
 
+_AVG_DEG_CONN_SQL = f"""
+WITH {_SQL_BASE},
+nbrdeg AS (
+  SELECT s.s AS vid, AVG(d2.deg) AS mean_nbr_deg
+  FROM sym s JOIN udeg d2 ON d2.vid = s.t GROUP BY s.s)
+SELECT d.deg, ROUND(AVG(n.mean_nbr_deg), 6) AS avg_nbr_deg
+FROM udeg d JOIN nbrdeg n ON n.vid = d.vid GROUP BY d.deg
+"""
+
+
+def _voterank_sql(num: int) -> str:
+    """Unrolled VoteRank mirroring algorithms/voterank.py: per round a
+    score aggregation, an argmax (rounded, vid tie-break), and an ability
+    update penalizing the winner's neighbors by 1/avg_degree."""
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "pen AS (SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM verts) AS avg_k FROM sym),",
+        "a0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS ab FROM verts),",
+        "ex0 AS (SELECT CAST(NULL AS BIGINT) AS vid WHERE 1 = 0),",
+    ]
+    for k in range(num):
+        parts.append(
+            f"""sc{k} AS (
+  SELECT y.t AS vid, SUM(a.ab) AS s
+  FROM a{k} a JOIN sym y ON y.s = a.vid GROUP BY y.t),
+e{k} AS (
+  SELECT vid FROM sc{k} WHERE vid NOT IN (SELECT vid FROM ex{k} WHERE vid IS NOT NULL)
+  ORDER BY ROUND(s, 9) DESC, vid ASC LIMIT 1),
+ex{k + 1} AS (SELECT vid FROM ex{k} UNION ALL SELECT vid FROM e{k}),
+a{k + 1} AS (
+  SELECT a.vid,
+         CASE WHEN a.vid = (SELECT vid FROM e{k}) THEN 0.0
+              WHEN EXISTS (SELECT 1 FROM sym y
+                           WHERE y.s = (SELECT vid FROM e{k}) AND y.t = a.vid)
+              THEN GREATEST(a.ab - (SELECT 1.0 / avg_k FROM pen), 0.0)
+              ELSE a.ab END AS ab
+  FROM a{k} a),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS rank, vid FROM e{k}" for k in range(num)
+    )
+    return sql + "\n" + finals
+
+
+def _is_simple_path_sql(paths: list[list[int]]) -> str:
+    selects = []
+    for i, p in enumerate(paths):
+        conds = [
+            f"EXISTS (SELECT 1 FROM edges WHERE src = {a} AND dst = {b})"
+            for a, b in zip(p[:-1], p[1:])
+        ]
+        conds += [f"EXISTS (SELECT 1 FROM verts WHERE vid = {v})" for v in p]
+        if len(set(p)) != len(p):
+            conds = ["1 = 0"]
+        cond = " AND ".join(conds)
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS path_id, "
+            f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS BIGINT) AS is_path"
+        )
+    return f"WITH {_SQL_BASE}\n" + " UNION ALL ".join(selects)
+
+
 _AVG_CLUSTERING_SQL = f"""
 WITH {_SQL_BASE},
 {_TRI_ORIENT}
@@ -760,6 +823,51 @@ def _q_coreness(spark, sf_dir):
     )
 
 
+def _q_avg_degree_connectivity(spark, sf_dir):
+    from graphscope_spark.algorithms.clustering import average_degree_connectivity
+
+    return average_degree_connectivity(_graph(spark, sf_dir)).select(
+        F.col("deg").cast("long").alias("deg"),
+        F.round("avg_nbr_deg", 6).alias("avg_nbr_deg"),
+    )
+
+
+def _q_sssp_avg_length(spark, sf_dir):
+    from graphscope_spark.algorithms import sssp
+
+    res = sssp(_graph(spark, sf_dir), source=0, max_rounds=300)
+    return res.state.agg(F.round(F.avg("dist"), 6).alias("avg_dist"))
+
+
+def _q_bfs_has_path(spark, sf_dir):
+    from graphscope_spark.algorithms import bfs
+
+    res = bfs(_graph(spark, sf_dir), source=0)
+    targets = [4, 1, 496]  # reachable, other component, chain end
+    reach = {r["vid"] for r in res.state.select("vid").collect()}
+    rows = [(t, 1 if t in reach else 0) for t in targets]
+    return spark.createDataFrame(rows, "target long, has_path long")
+
+
+def _q_voterank(spark, sf_dir):
+    from graphscope_spark.algorithms.voterank import voterank
+
+    return voterank(_graph(spark, sf_dir), num_vertices=10)
+
+
+_SIMPLE_PATHS = [[0, 4, 8, 12], [0, 4, 5], [3, 7, 11, 15, 19]]
+
+
+def _q_is_simple_path(spark, sf_dir):
+    from graphscope_spark.algorithms.paths import is_simple_path
+
+    g = _graph(spark, sf_dir)
+    rows = [
+        (i, 1 if is_simple_path(g, p) else 0) for i, p in enumerate(_SIMPLE_PATHS)
+    ]
+    return spark.createDataFrame(rows, "path_id long, is_path long")
+
+
 def _q_dedup_exact(spark, sf_dir):
     from graphscope_spark.datapipe import exact_dedup
 
@@ -934,6 +1042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_assortativity,
         "node_boundary": _q_node_boundary,
         "edge_boundary": _q_edge_boundary,
+        "voterank": _q_voterank,
+        "is_simple_path": _q_is_simple_path,
+        "average_degree_connectivity": _q_avg_degree_connectivity,
+        "sssp_average_length": _q_sssp_avg_length,
+        "bfs_has_path": _q_bfs_has_path,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
@@ -997,6 +1110,22 @@ def _raw_oracle_sql() -> dict[str, str]:
         "degree_assortativity": _ASSORTATIVITY_SQL,
         "node_boundary": _NODE_BOUNDARY_SQL,
         "edge_boundary": _EDGE_BOUNDARY_SQL,
+        "voterank": _voterank_sql(10),
+        "is_simple_path": _is_simple_path_sql(_SIMPLE_PATHS),
+        "average_degree_connectivity": _AVG_DEG_CONN_SQL,
+        "sssp_average_length": _bellman_sql(
+            200, "(src + dst) % 10 + 1", 0, "dist"
+        ).replace(
+            "SELECT vid, dist FROM d200 WHERE dist IS NOT NULL",
+            "SELECT ROUND(AVG(dist), 6) AS avg_dist FROM d200 WHERE dist IS NOT NULL",
+        ),
+        "bfs_has_path": _bellman_sql(80, "1", 0, "dist").replace(
+            "SELECT vid, dist FROM d80 WHERE dist IS NOT NULL",
+            """SELECT t.target, CAST(CASE WHEN EXISTS
+                 (SELECT 1 FROM d80 r WHERE r.vid = t.target AND r.dist IS NOT NULL)
+               THEN 1 ELSE 0 END AS BIGINT) AS has_path
+               FROM (VALUES (CAST(4 AS BIGINT)), (1), (496)) AS t(target)""",
+        ),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(16, 8, 0.24),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.26),

@@ -65,6 +65,25 @@ def edge_boundary(graph: LinkGraph, s: DataFrame) -> DataFrame:
     )
 
 
+def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
+    """(deg, avg_nbr_deg): for each undirected degree k, the mean over all
+    degree-k vertices of the average degree of their neighbors — reference
+    `apps/assortativity/average_degree_connectivity.h`
+    (`.gs_conf.yaml:254-261`), NetworkX semantics on the simple graph."""
+    deg = graph.degrees()
+    sym = graph.undirected_edges(drop_self_loops=True)
+    nbr_deg = (
+        sym.join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "nbr_deg"), "dst")
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.avg("nbr_deg").alias("mean_nbr_deg"))
+    )
+    return (
+        deg.join(nbr_deg, "vid")
+        .groupBy("deg")
+        .agg(F.avg("mean_nbr_deg").alias("avg_nbr_deg"))
+    )
+
+
 def degree_assortativity(graph: LinkGraph) -> float:
     """Pearson correlation of (out-degree(src), in-degree(dst)) across
     directed edges — one join + `corr` aggregate."""

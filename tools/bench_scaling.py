@@ -65,11 +65,28 @@ def main():
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--edges", type=int, default=5_000_000)
     ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument(
+        "--alternate",
+        type=int,
+        default=1,
+        help="repeat low/high alternately N times, keep each level's best "
+        "median round — averages out sandbox CPU-allocation drift",
+    )
     args = ap.parse_args()
 
     parts = 2 * args.high
-    lo = run_level(args.low, args.edges, args.rounds, parts)
-    hi = run_level(args.high, args.edges, args.rounds, parts)
+    lo = hi = None
+    for i in range(args.alternate):
+        l = run_level(args.low, args.edges, args.rounds, parts)
+        h = run_level(args.high, args.edges, args.rounds, parts)
+        print(
+            f"# pass {i}: low={l['median_round_s']}s high={h['median_round_s']}s",
+            file=sys.stderr,
+        )
+        if lo is None or l["median_round_s"] < lo["median_round_s"]:
+            lo = l
+        if hi is None or h["median_round_s"] < hi["median_round_s"]:
+            hi = h
     speedup = lo["median_round_s"] / hi["median_round_s"]
     ratio = args.high / args.low
     eff = speedup / ratio
