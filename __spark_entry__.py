@@ -281,12 +281,12 @@ toks AS (
 
 
 def _minhash_sql(num_perm: int, bands: int, threshold: float) -> str:
+    from graphscope_spark.datapipe.hashing import base_hash32_sql, universal_hash_sql
+
     rows = num_perm // bands
+    h0 = base_hash32_sql("shingle")
     sig_cols = ",\n    ".join(
-        "MIN({h}) AS sig_{p}".format(
-            h=_H60.format(x="CONCAT('{}:', shingle)".format(p)), p=p
-        )
-        for p in range(num_perm)
+        f"MIN({universal_hash_sql(h0, p)}) AS sig_{p}" for p in range(num_perm)
     )
     band_rows = []
     for b in range(bands):
@@ -880,7 +880,7 @@ def _q_minhash(spark, sf_dir):
     from graphscope_spark.datapipe import minhash_dedup_pairs
 
     return minhash_dedup_pairs(
-        _docs(spark, sf_dir), k=5, num_perm=16, bands=8, threshold=0.24
+        _docs(spark, sf_dir), k=5, num_perm=16, bands=4, threshold=0.25
     ).select("a", "b", F.round("jac", 6).alias("jac"))
 
 
@@ -1127,7 +1127,7 @@ def _raw_oracle_sql() -> dict[str, str]:
                FROM (VALUES (CAST(4 AS BIGINT)), (1), (496)) AS t(target)""",
         ),
         "dedup_exact": _DEDUP_EXACT_SQL,
-        "dedup_minhash_lsh": _minhash_sql(16, 8, 0.24),
+        "dedup_minhash_lsh": _minhash_sql(16, 4, 0.25),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.26),
         "simhash": _simhash_sql(),
         "dedup_simhash": _simhash_pairs_sql(7),

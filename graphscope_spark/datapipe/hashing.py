@@ -36,3 +36,45 @@ def permuted_hash(col: Column, perm: int) -> Column:
 
 def permuted_hash_sql(expr: str, perm: int) -> str:
     return portable_hash60_sql(f"CONCAT('{perm}:', {expr})")
+
+
+# -- universal-hash family over one md5 base hash ------------------------------
+#
+# MinHash needs P independent hash functions per shingle; P md5 calls per
+# shingle dominates signature cost (measured 16× md5 ≈ 40s at sf0.1). The
+# standard fix: ONE 32-bit md5-derived base hash h0, then
+# ``h_p = (a_p·h0 + b_p) mod M31`` (Carter-Wegman universal hashing) — pure
+# integer arithmetic that Spark and DuckDB evaluate bit-identically, with
+# products bounded < 2^63 so BIGINT math never overflows.
+
+M31 = 2_147_483_647  # 2^31 − 1 (prime)
+
+
+def _perm_coeffs(perm: int) -> tuple[int, int]:
+    """Deterministic (a, b), a odd and nonzero, derived from the perm index
+    via Python's own md5 — fixed constants, identical in the SQL mirror."""
+    import hashlib
+
+    d = hashlib.md5(f"perm:{perm}".encode()).hexdigest()
+    a = (int(d[:8], 16) % (M31 - 1)) + 1
+    b = int(d[8:16], 16) % M31
+    return a, b
+
+
+def base_hash32(col: Column) -> Column:
+    """32-bit base hash: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def base_hash32_sql(expr: str) -> str:
+    return f"CAST(CONCAT('0x', SUBSTR(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def universal_hash(h0: Column, perm: int) -> Column:
+    a, b = _perm_coeffs(perm)
+    return (h0 * F.lit(a) + F.lit(b)) % F.lit(M31)
+
+
+def universal_hash_sql(h0_expr: str, perm: int) -> str:
+    a, b = _perm_coeffs(perm)
+    return f"(({h0_expr}) * {a} + {b}) % {M31}"

@@ -1,0 +1,53 @@
+"""Worker-count / partitioning invariance — the reference requires identical
+results at any worker count (`/root/reference/python/graphscope/tests/
+unittest/test_scalability.py:40-57`). Here: the same corpus graph computed
+at 2 and 8 partitions must give byte-identical integer results and
+allclose(1e-9) float results; extraction must be byte-identical per url
+across partitionings."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from graphscope_spark import corpus
+from graphscope_spark.extract import extract_pages
+from graphscope_spark.graph import build_graph
+from graphscope_spark.algorithms import cdlp, pagerank, wcc
+from graphscope_spark.sources import read_pages, write_pages
+
+
+def test_algorithms_partition_invariance(spark, pages_small):
+    g2 = build_graph(pages_small, num_partitions=2)
+    g8 = build_graph(pages_small.repartition(16), num_partitions=8)
+
+    w2 = {r["vid"]: r["comp"] for r in wcc(g2).state.collect()}
+    w8 = {r["vid"]: r["comp"] for r in wcc(g8).state.collect()}
+    assert w2 == w8
+
+    l2 = {r["vid"]: r["label"] for r in cdlp(g2, max_rounds=5).state.collect()}
+    l8 = {r["vid"]: r["label"] for r in cdlp(g8, max_rounds=5).state.collect()}
+    assert l2 == l8
+
+    p2 = {r["vid"]: r["rank"] for r in pagerank(g2, tol=1e-10, max_rounds=30).state.collect()}
+    p8 = {r["vid"]: r["rank"] for r in pagerank(g8, tol=1e-10, max_rounds=30).state.collect()}
+    assert set(p2) == set(p8)
+    assert max(abs(p2[v] - p8[v]) for v in p2) < 1e-9
+
+
+def test_extraction_byte_identity_across_partitionings(spark, pages_small):
+    a = {r["url"]: r["text"] for r in extract_pages(pages_small.coalesce(1)).collect()}
+    b = {r["url"]: r["text"] for r in extract_pages(pages_small.repartition(16)).collect()}
+    assert a == b  # byte-identical extracted text per url
+
+
+def test_sources_roundtrip(spark, tmp_path, pages_small):
+    path = str(tmp_path / "pages")
+    write_pages(pages_small, path)
+    back = read_pages(spark, path)
+    assert back.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert back.count() == pages_small.count()
+    # html payload survives byte-exact
+    orig = {r["url"]: bytes(r["html"]) for r in pages_small.collect()}
+    got = {r["url"]: bytes(r["html"]) for r in back.collect()}
+    assert orig == got
