@@ -526,6 +526,54 @@ SELECT v.vid,
 FROM verts v LEFT JOIN udeg d ON d.vid = v.vid
 """
 
+def _multi_bfs_sql(rounds: int, roots_pred: str, final: str) -> str:
+    """Unrolled multi-root BFS over (root, vid) pair state."""
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "ew AS (SELECT src, dst FROM edges WHERE src <> dst),",
+        f"rts AS (SELECT vid FROM verts WHERE {roots_pred}),",
+        """st0 AS (
+  SELECT r.vid AS root, v.vid,
+         CASE WHEN v.vid = r.vid THEN CAST(0 AS DOUBLE) END AS dist
+  FROM rts r, verts v),""",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""st{k + 1} AS (
+  SELECT p.root, p.vid,
+         CASE WHEN m.c IS NULL THEN p.dist
+              WHEN p.dist IS NULL OR m.c < p.dist THEN m.c
+              ELSE p.dist END AS dist
+  FROM st{k} p LEFT JOIN (
+    SELECT q.root AS root, e.dst AS dst, MIN(q.dist + 1) AS c
+    FROM st{k} q JOIN ew e ON e.src = q.vid
+    WHERE q.dist IS NOT NULL GROUP BY q.root, e.dst
+  ) m ON m.root = p.root AND m.dst = p.vid),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + "\n" + final.format(last=f"st{rounds}")
+
+
+_CLOSENESS_FINAL = """
+, agg AS (
+  SELECT root, CAST(COUNT(*) AS DOUBLE) AS r1, SUM(dist) AS sum_d
+  FROM {last} WHERE dist IS NOT NULL AND dist > 0 GROUP BY root)
+SELECT r.vid,
+       ROUND(COALESCE((a.r1 / a.sum_d)
+             * (a.r1 / (SELECT CAST(COUNT(*) - 1 AS DOUBLE) FROM verts)), 0.0), 6)
+       AS closeness
+FROM rts r LEFT JOIN agg a ON a.root = r.vid
+"""
+
+_HARMONIC_FINAL = """
+, agg AS (
+  SELECT root, SUM(1.0 / dist) AS h
+  FROM {last} WHERE dist IS NOT NULL AND dist > 0 GROUP BY root)
+SELECT r.vid, ROUND(COALESCE(a.h, 0.0), 6) AS harmonic
+FROM rts r LEFT JOIN agg a ON a.root = r.vid
+"""
+
+
 _AVG_DEG_CONN_SQL = f"""
 WITH {_SQL_BASE},
 nbrdeg AS (
@@ -849,10 +897,41 @@ def _q_bfs_has_path(spark, sf_dir):
     return spark.createDataFrame(rows, "target long, has_path long")
 
 
+def _roots(graph):
+    """Landmark roots for sampled closeness/harmonic: vid % 97 == 0."""
+    return graph.vertices.where(F.pmod(F.col("vid"), F.lit(97)) == 0).select("vid")
+
+
+def _q_closeness(spark, sf_dir):
+    from graphscope_spark.algorithms.closeness import closeness_centrality
+
+    g = _graph(spark, sf_dir)
+    return closeness_centrality(g, _roots(g)).select(
+        "vid", F.round("closeness", 6).alias("closeness")
+    )
+
+
+def _q_harmonic(spark, sf_dir):
+    from graphscope_spark.algorithms.closeness import harmonic_centrality
+
+    g = _graph(spark, sf_dir)
+    return harmonic_centrality(g, _roots(g)).select(
+        "vid", F.round("harmonic", 6).alias("harmonic")
+    )
+
+
 def _q_voterank(spark, sf_dir):
     from graphscope_spark.algorithms.voterank import voterank
 
     return voterank(_graph(spark, sf_dir), num_vertices=10)
+
+
+def _q_louvain(spark, sf_dir):
+    # no SQL oracle: parallel Louvain is deterministic but not
+    # SQL-expressible in bounded unrolls; pytest pins structure+modularity
+    from graphscope_spark.algorithms.louvain import louvain
+
+    return louvain(_graph(spark, sf_dir), max_rounds=10)
 
 
 _SIMPLE_PATHS = [[0, 4, 8, 12], [0, 4, 5], [3, 7, 11, 15, 19]]
@@ -1047,6 +1126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_degree_connectivity": _q_avg_degree_connectivity,
         "sssp_average_length": _q_sssp_avg_length,
         "bfs_has_path": _q_bfs_has_path,
+        "closeness_sampled": _q_closeness,
+        "harmonic_sampled": _q_harmonic,
+        "louvain": _q_louvain,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
@@ -1113,6 +1195,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "voterank": _voterank_sql(10),
         "is_simple_path": _is_simple_path_sql(_SIMPLE_PATHS),
         "average_degree_connectivity": _AVG_DEG_CONN_SQL,
+        "closeness_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _CLOSENESS_FINAL),
+        "harmonic_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _HARMONIC_FINAL),
         "sssp_average_length": _bellman_sql(
             200, "(src + dst) % 10 + 1", 0, "dist"
         ).replace(

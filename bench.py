@@ -89,6 +89,32 @@ def pagerank_throughput(
     }
 
 
+def wcc_convergence(spark, n_vertices: int, n_edges: int, P: int):
+    """Time-to-convergence for WCC (min-label propagation with frontier) on
+    the synthetic graph — the north rule's second headline metric."""
+    from graphscope_spark.algorithms import wcc
+
+    g = synthetic_graph(spark, n_vertices, n_edges, P)
+    g.edges = g.edges.persist()
+    e_count = g.edges.count()
+    g.vertices = g.vertices.persist()
+    g.vertices.count()
+    t0 = time.time()
+    res = wcc(g)
+    n_comp = res.state.select("comp").distinct().count()
+    wall = time.time() - t0
+    g.edges.unpersist()
+    g.vertices.unpersist()
+    return {
+        "edges": e_count,
+        "supersteps": res.supersteps,
+        "converged": res.converged,
+        "components": n_comp,
+        "wall_to_convergence_s": round(wall, 3),
+        "edges_per_sec_per_superstep": int(e_count * res.supersteps / wall),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -127,6 +153,10 @@ def main():
         spark, n_vertices=scale_edges // 5, n_edges=scale_edges, P=2 * cpus
     )
     print(f"# pagerank_throughput: {thr}", file=sys.stderr)
+    wcc_thr = wcc_convergence(
+        spark, n_vertices=scale_edges // 5, n_edges=scale_edges, P=2 * cpus
+    )
+    print(f"# wcc_convergence: {wcc_thr}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -137,6 +167,7 @@ def main():
         "sf": sf,
         "cpus": cpus,
         "pagerank_scale": thr,
+        "wcc_scale": wcc_thr,
     }
     print(json.dumps(out))
     spark.stop()

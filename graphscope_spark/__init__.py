@@ -30,6 +30,8 @@ Layout
 
 from graphscope_spark.session import get_spark
 from graphscope_spark.graph import LinkGraph, build_graph, edges_from_documents
+from graphscope_spark.sources import read_pages, write_pages
+from graphscope_spark import ops
 
 __version__ = "0.1.0"
 
@@ -38,5 +40,8 @@ __all__ = [
     "LinkGraph",
     "build_graph",
     "edges_from_documents",
+    "read_pages",
+    "write_pages",
+    "ops",
     "__version__",
 ]

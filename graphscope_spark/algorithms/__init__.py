@@ -15,6 +15,14 @@ from graphscope_spark.algorithms.centrality import (
     eigenvector_centrality,
 )
 from graphscope_spark.algorithms.kcore import kcore, coreness
+from graphscope_spark.algorithms.closeness import (
+    closeness_centrality,
+    harmonic_centrality,
+    multi_source_bfs,
+)
+from graphscope_spark.algorithms.louvain import louvain, modularity
+from graphscope_spark.algorithms.voterank import voterank
+from graphscope_spark.algorithms.paths import is_simple_path
 from graphscope_spark.algorithms.clustering import (
     avg_clustering,
     transitivity,
@@ -24,6 +32,13 @@ from graphscope_spark.algorithms.clustering import (
 )
 
 __all__ = [
+    "closeness_centrality",
+    "harmonic_centrality",
+    "multi_source_bfs",
+    "louvain",
+    "modularity",
+    "voterank",
+    "is_simple_path",
     "avg_clustering",
     "transitivity",
     "node_boundary",

@@ -1,0 +1,97 @@
+"""Closeness / harmonic centrality via multi-source BFS.
+
+Reference semantics: `gs::ClosenessCentrality`
+(`/root/reference/analytical_engine/apps/centrality/closeness/`,
+`.gs_conf.yaml:214-219`) — NetworkX wf_improved closeness:
+``C(u) = ((r-1)/Σd) · ((r-1)/(n-1))`` where r = #vertices reachable FROM u
+and Σd their distance sum; harmonic = Σ 1/d.
+
+Exact all-sources closeness is O(V·E) — the reference runs it as per-source
+BFS fan-out. The Spark shape keeps the fan-out INSIDE the data plane: BSP
+state is a (root, vid, dist) pair-frontier, so one superstep advances every
+root's BFS at once and the shuffle carries all roots' frontiers together
+(far fewer rounds-with-barriers than looping roots in the driver). For
+massive graphs pass a sampled/pinned ``roots`` DataFrame — the
+landmark-closeness estimate — which is the 100 TB posture; exact mode is
+roots = all vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+
+
+def multi_source_bfs(
+    graph: LinkGraph, roots: DataFrame, max_rounds: int = 500
+) -> DataFrame:
+    """(root, vid, dist) for every vertex reachable from each root (directed).
+    ``roots`` is a (vid) DataFrame."""
+    edges = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .repartition(F.col("src"))
+        .persist()
+    )
+    edges.count()
+    settled = roots.select(
+        F.col("vid").alias("root"), F.col("vid"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    rnd = 0
+    while rnd < max_rounds:
+        rnd += 1
+        cand = (
+            frontier.join(edges, frontier["vid"] == edges["src"])
+            .select("root", F.col("dst").alias("vid"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("root", "vid")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new = cand.join(settled.select("root", "vid"), ["root", "vid"], "anti")
+        new = new.localCheckpoint(eager=True)
+        n_new = new.count()
+        if n_new == 0:
+            break
+        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    edges.unpersist()
+    return settled
+
+
+def closeness_centrality(
+    graph: LinkGraph, roots: DataFrame | None = None, wf_improved: bool = True
+) -> DataFrame:
+    """(vid, closeness) for each root (sampled roots → landmark estimate)."""
+    n = graph.vertices.count()
+    if roots is None:
+        roots = graph.vertices.select("vid")
+    dists = multi_source_bfs(graph, roots)
+    agg = dists.where(F.col("dist") > 0).groupBy("root").agg(
+        F.count("*").alias("r1"),  # reachable excluding self
+        F.sum("dist").alias("sum_d"),
+    )
+    c = F.col("r1") / F.col("sum_d")
+    if wf_improved:
+        c = c * (F.col("r1") / F.lit(float(max(n - 1, 1))))
+    out = agg.select(F.col("root").alias("vid"), c.alias("closeness"))
+    return (
+        roots.select("vid")
+        .join(out, "vid", "left")
+        .select("vid", F.coalesce("closeness", F.lit(0.0)).alias("closeness"))
+    )
+
+
+def harmonic_centrality(graph: LinkGraph, roots: DataFrame | None = None) -> DataFrame:
+    """(vid, harmonic) = Σ_{v reachable} 1/d(u, v)."""
+    if roots is None:
+        roots = graph.vertices.select("vid")
+    dists = multi_source_bfs(graph, roots)
+    agg = dists.where(F.col("dist") > 0).groupBy("root").agg(
+        F.sum(1.0 / F.col("dist")).alias("harmonic")
+    )
+    return (
+        roots.select("vid")
+        .join(agg.withColumnRenamed("root", "vid"), "vid", "left")
+        .select("vid", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
+    )
