@@ -574,6 +574,65 @@ FROM rts r LEFT JOIN agg a ON a.root = r.vid
 """
 
 
+_ATTR_ASSORT_SQL = f"""
+WITH {_SQL_BASE},
+cells AS (
+  SELECT da.lang AS ax, db.lang AS ay, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM edges e
+  JOIN documents da ON CAST(da.doc_id AS BIGINT) = e.src
+  JOIN documents db ON CAST(db.doc_id AS BIGINT) = e.dst
+  GROUP BY da.lang, db.lang),
+em AS (SELECT ax, ay, c / (SELECT SUM(c) FROM cells) AS p FROM cells),
+arow AS (SELECT ax, SUM(p) AS pa FROM em GROUP BY ax),
+bcol AS (SELECT ay, SUM(p) AS pb FROM em GROUP BY ay),
+trq AS (SELECT COALESCE(SUM(p), 0.0) AS v FROM em WHERE ax = ay),
+abq AS (SELECT COALESCE(SUM(arow.pa * bcol.pb), 0.0) AS v
+        FROM arow JOIN bcol ON bcol.ay = arow.ax)
+SELECT ROUND(((SELECT v FROM trq) - (SELECT v FROM abq))
+             / (1.0 - (SELECT v FROM abq)), 6) AS assortativity
+"""
+
+
+def _diameter_sql(rounds: int) -> str:
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "uew AS (SELECT s AS src, t AS dst FROM sym),",
+        "a0 AS (SELECT vid, CASE WHEN vid = (SELECT MIN(vid) FROM verts)"
+        " THEN CAST(0 AS DOUBLE) END AS dist FROM verts),",
+    ]
+
+    def sweep(prefix):
+        for k in range(rounds):
+            parts.append(
+                f"""{prefix}{k + 1} AS (
+  SELECT p.vid,
+         CASE WHEN m.c IS NULL THEN p.dist
+              WHEN p.dist IS NULL OR m.c < p.dist THEN m.c
+              ELSE p.dist END AS dist
+  FROM {prefix}{k} p LEFT JOIN (
+    SELECT e.dst AS dst, MIN(q.dist + 1) AS c
+    FROM {prefix}{k} q JOIN uew e ON e.src = q.vid
+    WHERE q.dist IS NOT NULL GROUP BY e.dst
+  ) m ON m.dst = p.vid),"""
+            )
+
+    sweep("a")
+    parts.append(
+        f"far AS (SELECT vid, dist FROM a{rounds} WHERE dist IS NOT NULL"
+        " ORDER BY dist DESC, vid ASC LIMIT 1),"
+    )
+    parts.append(
+        "b0 AS (SELECT vid, CASE WHEN vid = (SELECT vid FROM far)"
+        " THEN CAST(0 AS DOUBLE) END AS dist FROM verts),"
+    )
+    sweep("b")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + (
+        f"\nSELECT CAST(GREATEST((SELECT MAX(dist) FROM b{rounds} WHERE dist IS NOT NULL),"
+        f" (SELECT dist FROM far)) AS BIGINT) AS diameter"
+    )
+
+
 _AVG_DEG_CONN_SQL = f"""
 WITH {_SQL_BASE},
 nbrdeg AS (
@@ -926,6 +985,24 @@ def _q_voterank(spark, sf_dir):
     return voterank(_graph(spark, sf_dir), num_vertices=10)
 
 
+def _q_attr_assortativity(spark, sf_dir):
+    from graphscope_spark.algorithms.clustering import attribute_assortativity
+
+    g = _graph(spark, sf_dir)
+    attrs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("vid"), F.col("lang").alias("attr")
+    )
+    v = attribute_assortativity(g, attrs)
+    return spark.createDataFrame([(round(v, 6),)], "assortativity double")
+
+
+def _q_diameter(spark, sf_dir):
+    from graphscope_spark.algorithms.closeness import diameter_approx
+
+    d = diameter_approx(_graph(spark, sf_dir))
+    return spark.createDataFrame([(int(d),)], "diameter long")
+
+
 def _q_louvain(spark, sf_dir):
     # no SQL oracle: parallel Louvain is deterministic but not
     # SQL-expressible in bounded unrolls; pytest pins structure+modularity
@@ -1129,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_sampled": _q_closeness,
         "harmonic_sampled": _q_harmonic,
         "louvain": _q_louvain,
+        "attribute_assortativity": _q_attr_assortativity,
+        "diameter_approx": _q_diameter,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
@@ -1197,6 +1276,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "average_degree_connectivity": _AVG_DEG_CONN_SQL,
         "closeness_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _CLOSENESS_FINAL),
         "harmonic_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _HARMONIC_FINAL),
+        "attribute_assortativity": _ATTR_ASSORT_SQL,
+        "diameter_approx": _diameter_sql(12),
         "sssp_average_length": _bellman_sql(
             200, "(src + dst) % 10 + 1", 0, "dist"
         ).replace(

@@ -82,6 +82,32 @@ def closeness_centrality(
     )
 
 
+def diameter_approx(graph: LinkGraph, start: int | None = None) -> int:
+    """Double-sweep BFS lower bound on the undirected diameter — the flash
+    `diameter-approx` analog (`apps/flash/measurement/diameter_approx.h`).
+    BFS from a start vertex, then BFS from the farthest vertex found; the
+    second eccentricity is the classic tight lower bound."""
+    from graphscope_spark.graph import LinkGraph as _LG
+
+    und = _LG(
+        graph.vertices,
+        graph.undirected_edges(drop_self_loops=True),
+        graph.num_partitions,
+    )
+    spark = graph.vertices.sparkSession
+    if start is None:
+        start = graph.vertices.agg(F.min("vid")).collect()[0][0]
+    r1 = spark.createDataFrame([(int(start),)], "vid long")
+    d1 = multi_source_bfs(und, r1)
+    far = d1.orderBy(F.col("dist").desc(), F.col("vid").asc()).limit(1).collect()
+    if not far:
+        return 0
+    r2 = spark.createDataFrame([(int(far[0]["vid"]),)], "vid long")
+    d2 = multi_source_bfs(und, r2)
+    ecc2 = d2.agg(F.max("dist")).collect()[0][0] or 0
+    return int(max(ecc2, far[0]["dist"]))
+
+
 def harmonic_centrality(graph: LinkGraph, roots: DataFrame | None = None) -> DataFrame:
     """(vid, harmonic) = Σ_{v reachable} 1/d(u, v)."""
     if roots is None:

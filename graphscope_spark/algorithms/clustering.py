@@ -84,6 +84,34 @@ def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
     )
 
 
+def attribute_assortativity(graph: LinkGraph, attrs: DataFrame) -> float:
+    """Categorical attribute assortativity coefficient — reference
+    `apps/assortativity/attribute_assortativity.h` (`.gs_conf.yaml:262-269`),
+    NetworkX semantics: ``r = (tr(e) − Σ a·b) / (1 − Σ a·b)`` over the
+    directed-edge mixing matrix. ``attrs`` is (vid, attr).
+
+    The mixing matrix is a tiny |categories|² aggregate — the heavy work is
+    one distributed double join; the matrix math is driver-side."""
+    sa = attrs.select(F.col("vid").alias("src"), F.col("attr").alias("ax"))
+    sb = attrs.select(F.col("vid").alias("dst"), F.col("attr").alias("ay"))
+    cells = (
+        graph.edges.join(sa, "src").join(sb, "dst")
+        .groupBy("ax", "ay")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    total = sum(r["c"] for r in cells)
+    if total == 0:
+        return 0.0
+    cats = sorted({r["ax"] for r in cells} | {r["ay"] for r in cells})
+    e = {(r["ax"], r["ay"]): r["c"] / total for r in cells}
+    a = {x: sum(e.get((x, y), 0.0) for y in cats) for x in cats}
+    b = {y: sum(e.get((x, y), 0.0) for x in cats) for y in cats}
+    tr = sum(e.get((x, x), 0.0) for x in cats)
+    ab = sum(a[x] * b[x] for x in cats)
+    return (tr - ab) / (1.0 - ab) if ab != 1.0 else 1.0
+
+
 def degree_assortativity(graph: LinkGraph) -> float:
     """Pearson correlation of (out-degree(src), in-degree(dst)) across
     directed edges — one join + `corr` aggregate."""
