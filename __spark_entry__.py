@@ -1139,6 +1139,79 @@ def _q_frame_sample(spark, sf_dir):
     return frame_sample_plan(docs, every_n=10)
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """Composite training-data curation: quality-filter → exact-dedup
+    (keep canonical) → language-ID — the operators composing as one lazy
+    plan (Catalyst fuses the scans; one pass over documents)."""
+    from graphscope_spark.datapipe import exact_dedup, lang_id, quality_scores
+
+    docs = _docs(spark, sf_dir)
+    q = quality_scores(docs).where(F.col("score") >= 0.8)
+    d = exact_dedup(docs).where(F.col("canonical_id") == F.col("doc_id"))
+    l = lang_id(docs)
+    return (
+        q.join(d.select("doc_id"), "doc_id")
+        .join(l, "doc_id")
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+_CURATION_SQL = """
+WITH q AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces
+  FROM documents),
+scored AS (
+  SELECT doc_id, n_tok,
+         LEAST(n_tok / 50.0, 1.0) * 0.4
+         + (CASE WHEN n_chars > 0 THEN alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END) * 0.4
+         + (CASE WHEN n_tok > 0
+                  AND (n_chars - spaces) / CAST(n_tok AS DOUBLE) >= 3
+                  AND (n_chars - spaces) / CAST(n_tok AS DOUBLE) <= 10
+             THEN 1.0 ELSE 0.0 END) * 0.2 AS score
+  FROM q),
+keepers AS (
+  SELECT doc_id FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY md5(text)) AS canon
+    FROM documents)
+  WHERE doc_id = canon),
+toks AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, u.tok
+  FROM documents d, unnest(regexp_split_to_array(lower(d.text), '\\s+')) AS u(tok)
+  WHERE u.tok <> ''),
+counts AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tok IN ('the','and','of','to','a') THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+         CAST(SUM(CASE WHEN tok IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+         CAST(SUM(CASE WHEN tok IN ('el','la','los','que','y') THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+         CAST(SUM(CASE WHEN tok IN ('le','les','des','est','et') THEN 1 ELSE 0 END) AS BIGINT) AS c_fr
+  FROM toks GROUP BY doc_id),
+langp AS (
+  SELECT d.doc_id,
+         COALESCE(CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) > 0 AND c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
+                       WHEN GREATEST(c_de, c_en, c_es, c_fr) > 0 AND c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
+                       WHEN GREATEST(c_de, c_en, c_es, c_fr) > 0 AND c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
+                       WHEN GREATEST(c_de, c_en, c_es, c_fr) > 0 AND c_fr = GREATEST(c_de, c_en, c_es, c_fr) THEN 'fr'
+                       ELSE 'und' END, 'und') AS lang_pred
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+  LEFT JOIN counts USING (doc_id))
+SELECT s.doc_id, l.lang_pred, s.n_tok AS n_tokens, ROUND(s.score, 6) AS score
+FROM scored s
+JOIN keepers k ON k.doc_id = s.doc_id
+JOIN langp l ON l.doc_id = s.doc_id
+WHERE s.score >= 0.8
+"""
+
+
 def _q_events_hourly(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.groupBy(
@@ -1222,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "multimodal_features": _q_mm_features,
         "frame_sample": _q_frame_sample,
+        "curation_pipeline": _q_curation_pipeline,
         # relational/windowed ops on the events table
         "events_hourly": _q_events_hourly,
         "docs_by_lang": _q_docs_by_lang,
@@ -1304,6 +1378,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "fingerprints": _FINGERPRINT_SQL,
         "multimodal_features": _MM_FEATURES_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
+        "curation_pipeline": _CURATION_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "docs_by_lang": _DOCS_BY_LANG_SQL,
     }
