@@ -474,7 +474,12 @@ _MM_FEATURES_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        md5(text) AS digest,
-       'unknown' AS kind
+       -- mirror of multimodal._sniff: jpeg/png magics are invalid UTF-8 and
+       -- can never prefix a text-derived payload, so only the ASCII magics
+       -- are reachable here
+       CASE WHEN text LIKE 'RIFF%' THEN 'riff'
+            WHEN text LIKE 'OggS%' THEN 'ogg'
+            ELSE 'unknown' END AS kind
 FROM documents
 """
 
@@ -490,7 +495,7 @@ SELECT doc_id, CAST(f AS BIGINT) AS frame_idx FROM (
 """
 
 _EVENTS_HOURLY_SQL = """
-SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
@@ -1213,9 +1218,14 @@ WHERE s.score >= 0.8
 
 
 def _q_events_hourly(spark, sf_dir):
+    # hour bucket = floor(epoch/3600): session-timezone-independent on both
+    # the Spark and DuckDB sides (date_trunc('hour') is not, for non-whole-
+    # hour zone offsets like +05:30)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.groupBy(
-        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600)
+        .cast("long")
+        .alias("hour_epoch"),
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),

@@ -31,6 +31,7 @@ def voterank(graph: LinkGraph, num_vertices: int = 10) -> DataFrame:
     avg_k = n_edges_sym / n if n else 1.0  # sym table counts each edge twice → avg degree
     penalty = 1.0 / avg_k if avg_k else 1.0
 
+    spark = graph.vertices.sparkSession
     ability = graph.vertices.select("vid", F.lit(1.0).alias("ab"))
     elected: list[tuple[int, int]] = []
     excluded: set[int] = set()
@@ -43,7 +44,12 @@ def voterank(graph: LinkGraph, num_vertices: int = 10) -> DataFrame:
         )
         cand = scores
         if excluded:
-            cand = scores.where(~F.col("vid").isin(list(excluded)))
+            # anti-join against a small DataFrame, not a growing `isin`
+            # literal list — at 10^4 elections the literal plan is O(k²)
+            ex_df = spark.createDataFrame(
+                [(int(v),) for v in excluded], "vid long"
+            )
+            cand = scores.join(F.broadcast(ex_df), "vid", "anti")
         # round before argmax: scores are float sums whose last bits depend
         # on reduction order; ties must resolve by vid identically on any
         # partitioning (and in the DuckDB oracle)
@@ -70,5 +76,4 @@ def voterank(graph: LinkGraph, num_vertices: int = 10) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     und.unpersist()
-    spark = graph.vertices.sparkSession
     return spark.createDataFrame(elected, "rank long, vid long")

@@ -176,6 +176,10 @@ def run_bsp(
     metrics: list[dict] = []
     converged = False
     rnd = start_round
+    # States persisted (not truncated) whose lineage is still referenced by
+    # the current state; they may only be unpersisted once a truncation
+    # point (localCheckpoint / durable checkpoint) severs that lineage.
+    pending_unpersist: list[DataFrame] = []
     for rnd in range(start_round + 1, max_rounds + 1):
         t0 = time.time()
         new_state = superstep_fn(state, rnd)
@@ -184,17 +188,30 @@ def run_bsp(
         # is truncated every `truncate_every` rounds (localCheckpoint) and
         # durably every `checkpoint_every` rounds (parquet + manifest) —
         # iterative plans otherwise grow without bound.
+        truncated = True
         if checkpoint_dir and rnd % checkpoint_every == 0:
             new_state = save_checkpoint(new_state, checkpoint_dir, rnd, meta)
         elif rnd % truncate_every == 0:
             new_state = new_state.localCheckpoint(eager=True)
         else:
             new_state = new_state.persist()
+            truncated = False
         # Materialize the new state (the convergence aggregate is the one
         # action) BEFORE unpersisting the old — evicting first would force
         # recomputation of the whole since-last-truncation lineage.
         scalar = scalar_fn(new_state)
-        state.unpersist()
+        if truncated:
+            # new_state's lineage is severed: everything older is releasable.
+            for st in pending_unpersist:
+                st.unpersist()
+            pending_unpersist.clear()
+            state.unpersist()
+        else:
+            # new_state (merely persisted) still references `state`'s
+            # lineage — deferring the unpersist keeps a cache eviction of
+            # new_state recomputable (the previous state is typically a
+            # localCheckpoint whose blocks are freed on unpersist).
+            pending_unpersist.append(state)
         state = new_state
         m = {"superstep": rnd, "wall_s": round(time.time() - t0, 4),
              "convergence": scalar, **mon.snapshot()}

@@ -154,7 +154,11 @@ def minhash_dedup_pairs(
     sig = minhash_signatures(sh, num_perm)
     cand = lsh_candidate_pairs(sig, num_perm, bands)
     out = jaccard_of_pairs(cand, sh).where(F.col("jac") >= threshold)
-    # leave `sh` persisted until the caller materializes; Spark GC unpins it
+    # Materialize the (small) pair output, then release the shingle cache —
+    # persisted entries otherwise live in the CacheManager for the whole
+    # session and repeated calls accumulate storage pressure.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 
@@ -164,19 +168,31 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ threshold, candidates = docs sharing at
-    least one rare shingle (inverted-index join with a frequency cap to
-    bound bucket skew: shingles appearing in > 1000 docs generate no
-    candidates directly — near-dup pairs always share rare shingles too)."""
+    """Exact n-gram Jaccard pairs ≥ threshold via an inverted-index
+    candidate join (docs sharing at least one shingle).
+
+    ``max_df`` (default None = exact) optionally caps the inverted index:
+    shingles appearing in more than ``max_df`` docs generate no candidates.
+    This bounds bucket skew at corpus scale but is an APPROXIMATION — a pair
+    whose shared shingles are ALL high-frequency would be missed. Callers at
+    100 TB pass e.g. ``max_df=1000`` knowingly; the default matches the
+    exact-Jaccard contract (and the DuckDB gate oracle, which has no cap).
+    """
     sh = char_shingles(docs, k, id_col, text_col).persist()
     sh.count()
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = sh.join(freq.where(F.col("df") <= 1000), "shingle")
-    a = rare.select(F.col("doc_id").alias("a"), "shingle")
-    b = rare.select(F.col("doc_id").alias("b"), "shingle")
+    idx = sh
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        idx = sh.join(freq.where(F.col("df") <= max_df).select("shingle"), "shingle")
+    a = idx.select(F.col("doc_id").alias("a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("b"), "shingle")
     cand = a.join(b, "shingle").where(F.col("a") < F.col("b")).select("a", "b").distinct()
-    return jaccard_of_pairs(cand, sh).where(F.col("jac") >= threshold)
+    out = jaccard_of_pairs(cand, sh).where(F.col("jac") >= threshold)
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # -- SimHash ----------------------------------------------------------------------
@@ -250,6 +266,9 @@ def simhash_dedup_pairs(
         .distinct()
     )
     ham = F.bit_count(F.expr("fa ^ fb"))
-    return cand.select("a", "b", ham.alias("hamming")).where(
+    out = cand.select("a", "b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+    out = out.localCheckpoint(eager=True)
+    fps.unpersist()
+    return out

@@ -67,6 +67,24 @@ def test_ngram_jaccard_exact(docs):
     assert np.isclose(pairs[(0, 2)], len(s0 & s2) / len(s0 | s2))
 
 
+def test_ngram_jaccard_max_df_cap_drops_common_shingle_pairs(spark):
+    # docs 0 and 1 share ONLY ubiquitous shingles (every doc contains them):
+    # with max_df below the corpus size they generate no candidates — the
+    # documented approximation — while the default (None) stays exact.
+    # docs 0,1,2 identical → every shingle they contain has df=3
+    rows = [(0, "commonpart shared"), (1, "commonpart shared"),
+            (2, "commonpart shared"), (3, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["a"], r["b"]) for r in
+             ngram_jaccard_pairs(df, k=5, threshold=0.9).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= exact
+    capped = {(r["a"], r["b"]) for r in
+              ngram_jaccard_pairs(df, k=5, threshold=0.9, max_df=2).collect()}
+    # with df=3 > max_df=2 ALL shared shingles are dropped from the inverted
+    # index → the identical pairs are missed: the documented approximation
+    assert capped == set()
+
+
 def test_simhash_matches_python_oracle(docs):
     got = {r["doc_id"]: r["fp"] for r in simhash(docs).collect()}
 
