@@ -579,6 +579,57 @@ FROM rts r LEFT JOIN agg a ON a.root = r.vid
 """
 
 
+def _betweenness_sql(maxd: int, roots_pred: str) -> str:
+    """Unrolled Brandes over the undirected view, mirroring
+    algorithms/betweenness.py: forward levels carry (root, vid, dist, sigma),
+    backward levels finalize delta per decreasing dist. ``maxd`` only needs
+    to be ≥ the true eccentricity bound — extra levels are no-ops
+    (fixpoint-tested)."""
+    parts = [
+        f"WITH {_SQL_BASE},",
+        f"bs0 AS (SELECT vid AS root, vid, CAST(0 AS BIGINT) AS dist,"
+        f" CAST(1 AS DOUBLE) AS sigma FROM verts WHERE {roots_pred}),",
+    ]
+    for k in range(maxd):
+        parts.append(
+            f"""bs{k + 1} AS (
+  SELECT * FROM bs{k}
+  UNION ALL
+  SELECT q.root, s.t AS vid, CAST({k + 1} AS BIGINT) AS dist, SUM(q.sigma) AS sigma
+  FROM bs{k} q JOIN sym s ON s.s = q.vid
+  WHERE q.dist = {k}
+    AND NOT EXISTS (SELECT 1 FROM bs{k} x WHERE x.root = q.root AND x.vid = s.t)
+  GROUP BY q.root, s.t),"""
+        )
+    st = f"bs{maxd}"
+    parts.append(
+        f"bd0 AS (SELECT root, vid, dist, sigma, CAST(0 AS DOUBLE) AS delta"
+        f" FROM {st} WHERE dist >= {maxd}),"
+    )
+    for k in range(1, maxd):
+        lvl = maxd - k
+        parts.append(
+            f"""bd{k} AS (
+  SELECT * FROM bd{k - 1}
+  UNION ALL
+  SELECT c.root, c.vid, c.dist, c.sigma, c.sigma * COALESCE(m.s, 0.0) AS delta
+  FROM (SELECT * FROM {st} WHERE dist = {lvl}) c
+  LEFT JOIN (
+    SELECT n.root, e.s AS vid, SUM((1.0 + n.delta) / n.sigma) AS s
+    FROM bd{k - 1} n JOIN sym e ON e.t = n.vid
+    WHERE n.dist = {lvl + 1}
+    GROUP BY n.root, e.s
+  ) m ON m.root = c.root AND m.vid = c.vid),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"""
+SELECT v.vid, ROUND(COALESCE(b.bc, 0.0), 6) AS bc
+FROM verts v LEFT JOIN (
+  SELECT vid, SUM(delta) AS bc FROM bd{maxd - 1} WHERE dist > 0 GROUP BY vid
+) b ON b.vid = v.vid
+"""
+
+
 _ATTR_ASSORT_SQL = f"""
 WITH {_SQL_BASE},
 cells AS (
@@ -984,6 +1035,15 @@ def _q_harmonic(spark, sf_dir):
     )
 
 
+def _q_betweenness(spark, sf_dir):
+    from graphscope_spark.algorithms.betweenness import betweenness_sampled
+
+    g = _graph(spark, sf_dir)
+    return betweenness_sampled(g, _roots(g)).select(
+        "vid", F.round("bc", 6).alias("bc")
+    )
+
+
 def _q_voterank(spark, sf_dir):
     from graphscope_spark.algorithms.voterank import voterank
 
@@ -1288,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_has_path": _q_bfs_has_path,
         "closeness_sampled": _q_closeness,
         "harmonic_sampled": _q_harmonic,
+        "betweenness_sampled": _q_betweenness,
         "louvain": _q_louvain,
         "attribute_assortativity": _q_attr_assortativity,
         "diameter_approx": _q_diameter,
@@ -1360,6 +1421,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "average_degree_connectivity": _AVG_DEG_CONN_SQL,
         "closeness_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _CLOSENESS_FINAL),
         "harmonic_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _HARMONIC_FINAL),
+        "betweenness_sampled": _betweenness_sql(30, "vid % 97 = 0"),
         "attribute_assortativity": _ATTR_ASSORT_SQL,
         "diameter_approx": _diameter_sql(12),
         "sssp_average_length": _bellman_sql(

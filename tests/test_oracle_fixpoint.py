@@ -70,6 +70,17 @@ def test_multi_bfs_unroll_is_fixpoint():
     assert _eq(at, plus), "multi-BFS oracle not converged at 80 rounds"
 
 
+def test_betweenness_unroll_is_fixpoint():
+    con = _conn()
+    at = con.execute(
+        entry._materialize(entry._betweenness_sql(30, "vid % 97 = 0"))
+    ).df()
+    plus = con.execute(
+        entry._materialize(entry._betweenness_sql(31, "vid % 97 = 0"))
+    ).df()
+    assert _eq(at, plus), "betweenness oracle not converged at 30 levels"
+
+
 def test_diameter_unroll_is_fixpoint():
     con = _conn()
     at = con.execute(entry._materialize(entry._diameter_sql(12))).df()
