@@ -259,6 +259,74 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return sql + f"\nSELECT vid FROM alive{rounds}"
 
 
+_SCC_SQL = f"""
+WITH RECURSIVE {_SQL_BASE},
+de AS (SELECT src, dst FROM edges WHERE src <> dst),
+reach(v, w) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN de e ON e.src = r.w
+)
+SELECT r1.v AS vid, MIN(r1.w) AS comp
+FROM reach r1 JOIN reach r2 ON r2.v = r1.w AND r2.w = r1.v
+GROUP BY r1.v
+"""
+
+
+def _sssp_path_sql(rounds: int, source: int, target: int) -> str:
+    """Distances via the unrolled Bellman chain, then the deterministic
+    predecessor table (min vid among optimal), then a recursive walk back
+    from ``target`` renumbered so step 0 = source."""
+    dist = _bellman_sql(rounds, "(src + dst) % 10 + 1", source, "dist")
+    body = dist.replace("WITH RECURSIVE", "WITH").split("\nSELECT vid,")[0]
+    return f"""WITH RECURSIVE {body.split("WITH ", 1)[1]},
+dfin AS (SELECT vid, dist FROM d{rounds} WHERE dist IS NOT NULL),
+preds AS (
+  SELECT e.dst, MIN(e.src) AS pred
+  FROM ew e
+  JOIN dfin u ON u.vid = e.src
+  JOIN dfin v ON v.vid = e.dst
+  WHERE u.dist + e.w = v.dist
+  GROUP BY e.dst),
+walk(step, vid) AS (
+  SELECT 0, CAST({target} AS BIGINT)
+  WHERE EXISTS (SELECT 1 FROM dfin WHERE vid = {target})
+  UNION ALL
+  SELECT p.step + 1, pr.pred FROM walk p JOIN preds pr ON pr.dst = p.vid
+  WHERE p.vid <> {source}
+)
+SELECT CAST((SELECT MAX(step) FROM walk) - step AS BIGINT) AS step, vid FROM walk
+"""
+
+
+def _coreness_sql(peels: list[tuple[int, int]]) -> str:
+    """coreness(v) = max k such that v survives the k-peel, via one unrolled
+    peel fixpoint per k (mirrors `_kcore_sql`). ``peels`` is [(k, rounds)];
+    rounds need only exceed the true peel-cascade depth (extra rounds are
+    no-ops, fixpoint-tested). The largest k's peel must empty out so the
+    oracle PROVES coreness ≤ max-1, not just ≥."""
+    parts = [f"WITH {_SQL_BASE},"]
+    finals = []
+    for k, rounds in peels:
+        parts.append(f"al_{k}_0 AS (SELECT vid FROM verts),")
+        for r in range(rounds):
+            parts.append(
+                f"""al_{k}_{r + 1} AS (
+  SELECT a.vid FROM al_{k}_{r} a JOIN (
+    SELECT s.s AS vid, COUNT(*) AS deg
+    FROM sym s JOIN al_{k}_{r} x ON x.vid = s.s JOIN al_{k}_{r} y ON y.vid = s.t
+    GROUP BY s.s
+  ) d ON d.vid = a.vid WHERE d.deg >= {k}),"""
+            )
+        finals.append(f"SELECT vid, {k} AS k FROM al_{k}_{rounds}")
+    parts.append("surv AS (" + " UNION ALL ".join(finals) + ")")
+    sql = "\n".join(parts)
+    return sql + """
+SELECT v.vid, CAST(COALESCE((SELECT MAX(k) FROM surv s WHERE s.vid = v.vid), 0) AS BIGINT) AS core
+FROM verts v
+"""
+
+
 # -- datapipe SQL mirrors -----------------------------------------------------
 
 _SQL_SHINGLES = """
@@ -1035,6 +1103,30 @@ def _q_harmonic(spark, sf_dir):
     )
 
 
+def _q_scc(spark, sf_dir):
+    from graphscope_spark.algorithms.scc import scc
+
+    return scc(_graph(spark, sf_dir))
+
+
+_SSSP_PATH_TARGET = 496
+
+
+def _q_sssp_path(spark, sf_dir):
+    from graphscope_spark.algorithms.traversal import shortest_path
+
+    return shortest_path(_graph(spark, sf_dir), source=0, target=_SSSP_PATH_TARGET)
+
+
+def _q_apsp(spark, sf_dir):
+    from graphscope_spark.algorithms.closeness import multi_source_bfs
+
+    g = _graph(spark, sf_dir)
+    return multi_source_bfs(g, _roots(g)).select(
+        "root", "vid", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _q_betweenness(spark, sf_dir):
     from graphscope_spark.algorithms.betweenness import betweenness_sampled
 
@@ -1349,6 +1441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_sampled": _q_closeness,
         "harmonic_sampled": _q_harmonic,
         "betweenness_sampled": _q_betweenness,
+        "scc": _q_scc,
+        "sssp_path": _q_sssp_path,
+        "apsp_sampled": _q_apsp,
         "louvain": _q_louvain,
         "attribute_assortativity": _q_attr_assortativity,
         "diameter_approx": _q_diameter,
@@ -1378,9 +1473,10 @@ def _materialize(sql: str) -> str:
     default; an unrolled 20-round chain whose rounds each reference the
     multi-union ``edges`` CTE would otherwise expand exponentially (and
     re-open the parquet file thousands of times). Recursive CTEs cannot be
-    materialized — ``reach`` is reverted."""
+    materialized — every arg-listed CTE ``name(cols) AS (`` (the recursive
+    ones in this file: reach, walk) is reverted."""
     out = re.sub(r"\bAS\s+\(", "AS MATERIALIZED (", sql)
-    return out.replace("reach(v, w) AS MATERIALIZED (", "reach(v, w) AS (")
+    return re.sub(r"(\w+\([^()]*\))\s+AS MATERIALIZED \(", r"\1 AS (", out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1409,8 +1505,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         "katz": _katz_sql(10, 0.1, 1.0),
         "eigenvector": _eigen_sql(20),
         "kcore": _kcore_sql(4, 30),
-        # "coreness" intentionally has no SQL oracle (per-k peel fixpoints
-        # would need data-dependent unroll depths); covered by pytest.
+        # peel-cascade depths at sf0.01: k≤4 converge in 1 round, k=5 takes
+        # 113 rounds to empty (measured); unrolls are fixpoint-tested
+        "coreness": _coreness_sql([(1, 4), (2, 4), (3, 4), (4, 4), (5, 120)]),
         "avg_clustering": _AVG_CLUSTERING_SQL,
         "transitivity": _TRANSITIVITY_SQL,
         "degree_assortativity": _ASSORTATIVITY_SQL,
@@ -1422,6 +1519,13 @@ def _raw_oracle_sql() -> dict[str, str]:
         "closeness_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _CLOSENESS_FINAL),
         "harmonic_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _HARMONIC_FINAL),
         "betweenness_sampled": _betweenness_sql(30, "vid % 97 = 0"),
+        "scc": _SCC_SQL,
+        "sssp_path": _sssp_path_sql(200, 0, _SSSP_PATH_TARGET),
+        "apsp_sampled": _multi_bfs_sql(
+            80,
+            "vid % 97 = 0",
+            "SELECT root, vid, CAST(dist AS BIGINT) AS dist FROM {last} WHERE dist IS NOT NULL",
+        ),
         "attribute_assortativity": _ATTR_ASSORT_SQL,
         "diameter_approx": _diameter_sql(12),
         "sssp_average_length": _bellman_sql(

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.bsp import truncate_plan
 from graphscope_spark.graph import LinkGraph
 
 
@@ -56,7 +57,7 @@ def betweenness_sampled(
         F.col("vid"),
         F.lit(0).cast("long").alias("dist"),
         F.lit(1.0).alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     frontier = settled
     level = 0
     while level < max_rounds:
@@ -69,12 +70,12 @@ def betweenness_sampled(
         new = (
             cand.join(settled.select("root", "vid"), ["root", "vid"], "anti")
             .select("root", "vid", F.lit(level).cast("long").alias("dist"), "sigma")
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         if new.count() == 0:
             level -= 1
             break
-        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        settled = settled.unionByName(new).transform(truncate_plan)
         frontier = new
 
     # -- backward: dependency accumulation by decreasing level --------------
@@ -107,7 +108,7 @@ def betweenness_sampled(
             "vid",
             (F.coalesce("m", F.lit(0.0)) * F.col("sigma")).alias("delta"),
         )
-        deltas = deltas.unionByName(lvl).localCheckpoint(eager=True)
+        deltas = deltas.unionByName(lvl).transform(truncate_plan)
 
     bc = deltas.groupBy("vid").agg(F.sum("delta").alias("bc"))
     out = (

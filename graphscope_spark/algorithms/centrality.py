@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.bsp import truncate_plan
 from graphscope_spark.graph import LinkGraph
 
 
@@ -93,7 +94,7 @@ def hits(graph: LinkGraph, rounds: int = 10) -> DataFrame:
             state["vid"], F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"), "auth"
         )
         if r % 2 == 0 or r == rounds:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(truncate_plan)
             sums = state.agg(
                 F.sum("hub").alias("sh"), F.sum("auth").alias("sa")
             ).collect()[0]
@@ -129,7 +130,7 @@ def katz(
             (F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(beta)).alias("x"),
         )
         if (r + 1) % 3 == 0:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(truncate_plan)
     edges.unpersist()
     norm = state.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
     return state.select("vid", (F.col("x") / F.lit(norm)).alias("katz"))
@@ -155,8 +156,6 @@ def eigenvector_centrality(graph: LinkGraph, rounds: int = 20) -> DataFrame:
             state["vid"], F.coalesce(F.col("s"), F.lit(0.0)).alias("x")
         )
         norm = state.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
-        state = state.withColumn("x", F.col("x") / F.lit(norm)).localCheckpoint(
-            eager=True
-        )
+        state = state.withColumn("x", F.col("x") / F.lit(norm)).transform(truncate_plan)
     edges.unpersist()
     return state.select("vid", F.col("x").alias("ec"))

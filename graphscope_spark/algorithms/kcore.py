@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.bsp import truncate_plan
 from graphscope_spark.graph import LinkGraph
 
 
@@ -35,7 +36,7 @@ def kcore(graph: LinkGraph, k: int, max_rounds: int = 500) -> DataFrame:
             alive.join(deg, "vid", "left")
             .where(F.coalesce(F.col("deg"), F.lit(0)) >= k)
             .select("vid")
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         n_next = nxt.count()
         alive = nxt
@@ -67,7 +68,7 @@ def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
         graph.vertices.select("vid")
         .join(cores, "vid", "left")
         .select("vid", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     for _ in range(max_rounds):
         nbr = und.join(
@@ -94,7 +95,7 @@ def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
                     "chg"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         changed = nxt.where("chg").count()
         cores = nxt.select("vid", "core")

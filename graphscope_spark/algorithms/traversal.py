@@ -83,6 +83,64 @@ def bfs(
     return res
 
 
+def shortest_path(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    weight: Column | None = None,
+    max_rounds: int = 1000,
+) -> DataFrame:
+    """(step, vid) — the vertices of a shortest weighted path source→target
+    (step 0 = source). Empty result if unreachable.
+
+    Reference: `apps/sssp/sssp_path.h`
+    (`/root/reference/analytical_engine/apps/sssp/sssp_path.h`) keeps a
+    predecessor per vertex during relaxation. Here predecessors are derived
+    POST-HOC from the converged distances with one join —
+    ``pred(v) = min{ u : dist(u) + w(u,v) = dist(v) }`` — which avoids
+    carrying a pred column through every superstep (same result, one extra
+    join total, deterministic smallest-vid tie-break). The walk back from
+    ``target`` is O(path length) point lookups on the hash-partitioned pred
+    table; a pointer-jumping variant would make it O(log L) supersteps but
+    the lookup loop is the honest cost model for "give me one route".
+    """
+    if weight is None:
+        weight = (F.pmod(F.col("src") + F.col("dst"), F.lit(10)) + 1).cast("double")
+    res = sssp(graph, source, weight=weight, max_rounds=max_rounds)
+    dist = res.state.persist()
+    dist.count()
+    ew = graph.edges.where(F.col("src") != F.col("dst")).select(
+        "src", "dst", weight.alias("w")
+    )
+    preds = (
+        ew.join(
+            dist.select(F.col("vid").alias("src"), F.col("dist").alias("du")), "src"
+        )
+        .join(dist.select(F.col("vid").alias("dst"), F.col("dist").alias("dv")), "dst")
+        .where(F.col("du") + F.col("w") == F.col("dv"))
+        .groupBy("dst")
+        .agg(F.min("src").alias("pred"))
+        .localCheckpoint(eager=True)
+    )
+    spark = graph.vertices.sparkSession
+    reached = {r["vid"] for r in dist.where(F.col("vid") == target).collect()}
+    dist.unpersist()
+    if target not in reached and target != source:
+        return spark.createDataFrame([], "step long, vid long")
+    chain = [target]
+    cur = target
+    while cur != source:
+        row = preds.where(F.col("dst") == cur).collect()
+        if not row:  # no predecessor → target was unreachable
+            return spark.createDataFrame([], "step long, vid long")
+        cur = row[0]["pred"]
+        chain.append(cur)
+    chain.reverse()
+    return spark.createDataFrame(
+        list(enumerate(chain)), "step long, vid long"
+    )
+
+
 def sssp(
     graph: LinkGraph,
     source: int,

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.bsp import truncate_plan
 from graphscope_spark.graph import LinkGraph
 
 
@@ -73,7 +74,7 @@ def voterank(graph: LinkGraph, num_vertices: int = 10) -> DataFrame:
                 .otherwise(F.col("ab"))
                 .alias("ab"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
     und.unpersist()
     return spark.createDataFrame(elected, "rank long, vid long")

@@ -21,6 +21,21 @@ def test_louvain_two_cliques(spark):
     assert got[1] != got[8]
 
 
+def test_multilevel_at_least_as_good_as_one_level(spark):
+    # ring of 6 triangles, adjacent triangles bridged: one-level Louvain
+    # stalls at partial merges; coarsening must not LOWER modularity
+    tris = []
+    for t in range(6):
+        a, b, c = 3 * t, 3 * t + 1, 3 * t + 2
+        tris += [(a, b), (b, c), (a, c)]
+        tris.append((c, (3 * (t + 1)) % 18))  # bridge to next triangle
+    g = from_edge_df(spark.createDataFrame(tris, "src long, dst long"), 4)
+    q1 = modularity(g, louvain(g, max_levels=1))
+    qm = modularity(g, louvain(g, max_levels=5))
+    assert qm >= q1 - 1e-9
+    assert qm > 0.4  # triangles must at least clump
+
+
 def test_louvain_improves_modularity(tiny_graph):
     comm = louvain(tiny_graph)
     q_final = modularity(tiny_graph, comm)

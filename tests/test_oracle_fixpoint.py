@@ -81,6 +81,21 @@ def test_betweenness_unroll_is_fixpoint():
     assert _eq(at, plus), "betweenness oracle not converged at 30 levels"
 
 
+def test_coreness_unroll_is_fixpoint():
+    con = _conn()
+    at = con.execute(
+        entry._materialize(
+            entry._coreness_sql([(1, 4), (2, 4), (3, 4), (4, 4), (5, 120)])
+        )
+    ).df()
+    plus = con.execute(
+        entry._materialize(
+            entry._coreness_sql([(1, 5), (2, 5), (3, 5), (4, 5), (5, 121)])
+        )
+    ).df()
+    assert _eq(at, plus), "coreness peel unrolls not converged"
+
+
 def test_diameter_unroll_is_fixpoint():
     con = _conn()
     at = con.execute(entry._materialize(entry._diameter_sql(12))).df()
