@@ -861,6 +861,17 @@ FROM edges e JOIN s ON s.vid = e.src
 WHERE e.dst NOT IN (SELECT vid FROM s)
 """
 
+_LOUVAIN_GOLDEN_SQL = """
+-- Golden output: multi-level Louvain is deterministic (integer-valued
+-- double arithmetic, rounded tie-breaks, fixed schedules) -- verified
+-- identical across processes and partitionings. Pinning the full
+-- assignment mirrors the reference's LDBC golden-file validation
+-- (test/app_tests.sh:115-126). Regenerate with tools/gen_louvain_golden.py
+-- if the algorithm changes.
+SELECT CAST(c0 AS BIGINT) AS vid, CAST(c1 AS BIGINT) AS comm FROM (VALUES (0,52), (1,53), (2,54), (3,55), (4,52), (5,53), (6,54), (7,55), (8,52), (9,53), (10,54), (11,55), (12,52), (13,53), (14,54), (15,55), (16,52), (17,53), (18,54), (19,55), (20,52), (21,53), (22,54), (23,55), (24,52), (25,53), (26,54), (27,55), (28,52), (29,53), (30,54), (31,55), (32,52), (33,53), (34,54), (35,55), (36,52), (37,53), (38,54), (39,55), (40,52), (41,53), (42,54), (43,55), (44,52), (45,53), (46,54), (47,55), (48,52), (49,53), (50,54), (51,55), (52,52), (53,53), (54,54), (55,55), (56,52), (57,53), (58,54), (59,55), (60,52), (61,53), (62,54), (63,55), (64,52), (65,53), (66,54), (67,55), (68,52), (69,53), (70,54), (71,55), (72,52), (73,53), (74,54), (75,55), (76,52), (77,53), (78,54), (79,55), (80,52), (81,53), (82,54), (83,55), (84,52), (85,53), (86,54), (87,55), (88,52), (89,53), (90,54), (91,55), (92,52), (93,53), (94,54), (95,55), (96,52), (97,53), (98,54), (99,55), (100,52), (101,53), (102,54), (103,55), (104,52), (105,53), (106,54), (107,55), (108,52), (109,53), (110,54), (111,55), (112,52), (113,53), (114,54), (115,55), (116,52), (117,53), (118,54), (119,55), (120,52), (121,53), (122,54), (123,55), (124,52), (125,53), (126,54), (127,55), (128,52), (129,53), (130,54), (131,55), (132,52), (133,53), (134,54), (135,55), (136,52), (137,53), (138,54), (139,55), (140,52), (141,53), (142,54), (143,55), (144,52), (145,53), (146,54), (147,55), (148,52), (149,53), (150,54), (151,55), (152,52), (153,53), (154,54), (155,55), (156,52), (157,53), (158,54), (159,55), (160,52), (161,53), (162,54), (163,55), (164,52), (165,53), (166,54), (167,55), (168,52), (169,53), (170,54), (171,55), (172,52), (173,53), (174,54), (175,55), (176,52), (177,53), (178,54), (179,55), (180,52), (181,53), (182,54), (183,55), (184,52), (185,53), (186,54), (187,55), (188,52), (189,53), (190,54), (191,55), (192,52), (193,53), (194,54), (195,55), (196,52), (197,53), (198,54), (199,55), (200,52), (201,53), (202,54), (203,55), (204,52), (205,53), (206,54), (207,55), (208,52), (209,53), (210,54), (211,55), (212,52), (213,53), (214,54), (215,55), (216,52), (217,53), (218,54), (219,55), (220,52), (221,53), (222,54), (223,55), (224,52), (225,53), (226,54), (227,55), (228,52), (229,53), (230,54), (231,55), (232,52), (233,53), (234,54), (235,55), (236,52), (237,53), (238,54), (239,55), (240,52), (241,53), (242,54), (243,55), (244,52), (245,53), (246,54), (247,55), (248,52), (249,53), (250,54), (251,55), (252,52), (253,53), (254,54), (255,55), (256,52), (257,53), (258,54), (259,55), (260,52), (261,53), (262,54), (263,55), (264,52), (265,53), (266,54), (267,55), (268,52), (269,53), (270,54), (271,55), (272,52), (273,53), (274,54), (275,55), (276,52), (277,53), (278,54), (279,55), (280,52), (281,53), (282,54), (283,55), (284,52), (285,53), (286,54), (287,55), (288,52), (289,53), (290,54), (291,55), (292,52), (293,53), (294,54), (295,55), (296,52), (297,53), (298,54), (299,55), (300,52), (301,53), (302,54), (303,55), (304,52), (305,53), (306,54), (307,55), (308,52), (309,53), (310,54), (311,55), (312,52), (313,53), (314,54), (315,55), (316,52), (317,53), (318,54), (319,55), (320,52), (321,53), (322,54), (323,55), (324,52), (325,53), (326,54), (327,55), (328,52), (329,53), (330,54), (331,55), (332,52), (333,53), (334,54), (335,55), (336,52), (337,53), (338,54), (339,55), (340,52), (341,53), (342,54), (343,55), (344,52), (345,53), (346,54), (347,55), (348,52), (349,53), (350,54), (351,55), (352,52), (353,53), (354,54), (355,55), (356,52), (357,53), (358,54), (359,55), (360,52), (361,53), (362,54), (363,55), (364,52), (365,53), (366,54), (367,55), (368,52), (369,53), (370,54), (371,55), (372,52), (373,53), (374,54), (375,55), (376,52), (377,53), (378,54), (379,55), (380,52), (381,53), (382,54), (383,55), (384,52), (385,53), (386,54), (387,55), (388,52), (389,53), (390,54), (391,55), (392,52), (393,53), (394,54), (395,55), (396,52), (397,53), (398,54), (399,55), (400,52), (401,53), (402,54), (403,55), (404,52), (405,53), (406,54), (407,55), (408,52), (409,53), (410,54), (411,55), (412,52), (413,53), (414,54), (415,55), (416,52), (417,53), (418,54), (419,55), (420,52), (421,53), (422,54), (423,55), (424,52), (425,53), (426,54), (427,55), (428,52), (429,53), (430,54), (431,55), (432,52), (433,53), (434,54), (435,55), (436,52), (437,53), (438,54), (439,55), (440,52), (441,53), (442,54), (443,55), (444,52), (445,53), (446,54), (447,55), (448,52), (449,53), (450,54), (451,55), (452,52), (453,53), (454,54), (455,55), (456,52), (457,53), (458,54), (459,55), (460,52), (461,53), (462,54), (463,55), (464,496), (465,497), (466,498), (467,499), (468,496), (469,497), (470,498), (471,499), (472,496), (473,497), (474,498), (475,499), (476,496), (477,497), (478,498), (479,499), (480,496), (481,497), (482,498), (483,499), (484,496), (485,497), (486,498), (487,499), (488,496), (489,497), (490,498), (491,499), (492,52), (493,53), (494,54), (495,55), (496,496), (497,497), (498,498), (499,499)) t(c0, c1)
+"""
+
+
 _DEDUP_EXACT_SQL = """
 WITH keyed AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS h FROM documents),
 grp AS (SELECT h, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
@@ -1103,6 +1114,35 @@ def _q_harmonic(spark, sf_dir):
     )
 
 
+def _q_pagerank_csv(spark, sf_dir):
+    """End-to-end CSV ingestion: dump the doc-derived edges to a CSV file,
+    reload through the CSV source (header + delimiter options), rebuild the
+    graph from the edge list alone, and run the same 20-round PageRank —
+    oracle identical to `pagerank` because the graph is identical (every
+    vertex appears as a source, so the endpoint-derived vertex set is
+    complete)."""
+    import csv
+    import os
+    import tempfile
+
+    from graphscope_spark.algorithms import pagerank
+    from graphscope_spark.graph import from_edge_df
+    from graphscope_spark.sources import read_edge_csv
+
+    rows = sorted(
+        (r["src"], r["dst"]) for r in edges_from_documents(spark, sf_dir).collect()
+    )
+    path = os.path.join(tempfile.gettempdir(), "gs_spark_gate_edges.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f, delimiter="|")
+        w.writerow(["src", "dst"])
+        w.writerows(rows)
+    edges = read_edge_csv(spark, path, header=True, delimiter="|")
+    g = from_edge_df(edges, num_partitions=NUM_PARTITIONS)
+    res = pagerank(g, alpha=0.85, max_rounds=20, tol=0.0)
+    return res.state.select("vid", F.round("rank", 6).alias("rank"))
+
+
 def _q_scc(spark, sf_dir):
     from graphscope_spark.algorithms.scc import scc
 
@@ -1224,6 +1264,36 @@ def _q_ann_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_topk(emb, k=5).select("id", "nbr", F.round("sim", 6).alias("sim"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """Scale-path ANN gate: recall@5 of hyperplane-LSH candidates vs the
+    exact verifier, computed in-engine. Both sides are deterministic (PCG64
+    plane matrix seeded by shape), so the recall value itself is a golden
+    constant; the oracle pins it and the ≥0.8 pass bit."""
+    from graphscope_spark.datapipe import cosine_topk
+    from graphscope_spark.datapipe.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, k=5).persist()
+    total = exact.count()
+    approx = lsh_ann_topk(emb, k=5, num_planes=24, bands=8)
+    hit = exact.join(approx, ["id", "nbr"], "semi").count()
+    exact.unpersist()
+    recall = hit / total if total else 0.0
+    return spark.createDataFrame(
+        [(round(recall, 6), 1 if recall >= 0.8 else 0)],
+        "recall double, recall_ok long",
+    )
+
+
+_ANN_LSH_SQL = """
+-- Golden: recall@5 of the deterministic LSH path vs exact at this SF
+-- (PCG64 hyperplanes are a pure function of (num_planes, dim), so the
+-- value is reproducible on any cluster size). Regenerate if LSH params
+-- or the plane seed change.
+SELECT 0.872 AS recall, CAST(1 AS BIGINT) AS recall_ok
+"""
 
 
 def _q_emb_neardup(spark, sf_dir):
@@ -1442,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_sampled": _q_harmonic,
         "betweenness_sampled": _q_betweenness,
         "scc": _q_scc,
+        "pagerank_csv": _q_pagerank_csv,
         "sssp_path": _q_sssp_path,
         "apsp_sampled": _q_apsp,
         "louvain": _q_louvain,
@@ -1454,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "dedup_simhash": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
         "dedup_embedding_cosine": _q_emb_neardup,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1520,6 +1592,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "harmonic_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _HARMONIC_FINAL),
         "betweenness_sampled": _betweenness_sql(30, "vid % 97 = 0"),
         "scc": _SCC_SQL,
+        "pagerank_csv": _pagerank_sql(20, 0.85),
         "sssp_path": _sssp_path_sql(200, 0, _SSSP_PATH_TARGET),
         "apsp_sampled": _multi_bfs_sql(
             80,
@@ -1541,12 +1614,14 @@ def _raw_oracle_sql() -> dict[str, str]:
                THEN 1 ELSE 0 END AS BIGINT) AS has_path
                FROM (VALUES (CAST(4 AS BIGINT)), (1), (496)) AS t(target)""",
         ),
+        "louvain": _LOUVAIN_GOLDEN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(16, 4, 0.25),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.26),
         "simhash": _simhash_sql(),
         "dedup_simhash": _simhash_pairs_sql(7),
         "ann_cosine_topk": _ANN_TOPK_SQL,
+        "ann_lsh_topk": _ANN_LSH_SQL,
         "dedup_embedding_cosine": _emb_neardup_sql(0.4),
         "lang_id": _lang_id_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,

@@ -19,7 +19,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from graphscope_spark.datapipe.hashing import portable_hash60
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -51,6 +50,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_threshold: int = 100_000,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact top-k neighbors per vector: (id, nbr, sim), ties broken by
     smaller nbr id; self excluded.
@@ -58,13 +58,23 @@ def cosine_topk(
     When the corpus side fits in a broadcast (≤ ``block_threshold`` rows),
     uses a **block matmul**: the full (id, vec) matrix is broadcast once and
     each Arrow batch of queries does one NumPy GEMM + argpartition — ~20×
-    the Catalyst fold's throughput. Above the threshold falls back to the
-    pure-DataFrame cross join (and at real scale ``lsh_ann_topk`` is the
-    intended path; block-exact then verifies per LSH bucket)."""
+    the Catalyst fold's throughput. Above the threshold ``strategy='auto'``
+    REFUSES rather than silently degrading to the O(n²) cross join —
+    ``lsh_ann_topk`` is the scale path (with this operator as its
+    bucket-local verifier). Pass ``strategy='crossjoin'`` to force the
+    brute-force plan knowingly."""
+    if strategy == "crossjoin":
+        return _cosine_topk_crossjoin(emb, k, id_col, vec_col)
+    if strategy not in ("auto", "blocked"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     n = emb.count()
-    if n <= block_threshold:
+    if n <= block_threshold or strategy == "blocked":
         return _cosine_topk_blocked(emb, k, id_col, vec_col)
-    return _cosine_topk_crossjoin(emb, k, id_col, vec_col)
+    raise ValueError(
+        f"cosine_topk: corpus has {n} rows > block_threshold={block_threshold}; "
+        "exact brute force is O(n²) at this size. Use lsh_ann_topk for the "
+        "approximate scale path, or pass strategy='crossjoin' explicitly."
+    )
 
 
 def _cosine_topk_crossjoin(emb, k, id_col, vec_col) -> DataFrame:
@@ -149,24 +159,15 @@ def embedding_neardup_pairs(
     return pairs.select("a", "b", sim.alias("sim")).where(F.col("sim") >= threshold)
 
 
-def _hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
-    """Sign bit of <vec, r_plane> where r_plane[d] = 2·u − 1 with u a
-    deterministic hash-derived uniform in [0,1)."""
-    comps = [
-        (
-            F.element_at(vec, d + 1)
-            * (
-                (portable_hash60(F.lit(f"plane:{plane}:{d}")) / F.lit(float(1 << 60)))
-                * 2.0
-                - 1.0
-            )
-        )
-        for d in range(dim)
-    ]
-    s = comps[0]
-    for c in comps[1:]:
-        s = s + c
-    return (s > 0).cast("int")
+def _plane_matrix(num_planes: int, dim: int):
+    """Deterministic Gaussian hyperplanes (num_planes × dim). PCG64 seeded
+    by (num_planes, dim) — numpy's Generator streams are platform- and
+    run-stable, so signatures are reproducible on any cluster size."""
+    import numpy as np
+
+    seed = 0xC0FFEE ^ (num_planes * 1_000_003 + dim)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((num_planes, dim))
 
 
 def lsh_signatures(
@@ -177,13 +178,55 @@ def lsh_signatures(
     dim: int | None = None,
 ) -> DataFrame:
     """(id, vec, norm, sig string) — random-hyperplane sign signature.
-    Hyperplanes are pure functions of (plane, dim) hashes: reproducible on
-    any cluster size with no broadcast of RNG state."""
+
+    The sign bits come from ONE NumPy GEMM per Arrow batch against a
+    broadcast (num_planes × dim) plane matrix. The previous Catalyst
+    formulation built dim × num_planes expression nodes — at production
+    embedding dims (768–4096) that is a 10⁴–10⁵-node plan and minutes of
+    driver planning; the GEMM signature step is O(1) plan nodes and
+    vectorized on the executor."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    u = with_unit_vectors(emb, id_col, vec_col)
-    bits = [_hyperplane_bit(F.col("vec"), p, dim).cast("string") for p in range(num_planes)]
-    return u.select("id", "vec", "norm", F.concat(*bits).alias("sig"))
+    planes = _plane_matrix(num_planes, dim)
+    spark = emb.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+            T.StructField("norm", T.DoubleType()),
+            T.StructField("sig", T.StringType()),
+        ]
+    )
+
+    def batches(it):
+        P = b_planes.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf["vec"]), dtype=np.float64)
+            norms = np.linalg.norm(q, axis=1)
+            bits = (q @ P.T) > 0  # (n, num_planes)
+            chars = np.where(bits, b"1", b"0")  # S1 array
+            sigs = [row.tobytes().decode("ascii") for row in chars]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "vec": pdf["vec"],
+                    "norm": norms,
+                    "sig": sigs,
+                }
+            )
+
+    q = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return q.mapInPandas(batches, schema)
 
 
 def lsh_ann_topk(

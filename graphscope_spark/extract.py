@@ -67,22 +67,96 @@ def _normalize(base: str, href: str) -> str | None:
     return urlunsplit((parts.scheme.lower(), netloc, path, parts.query, ""))
 
 
+# Simple-absolute: http(s), no dot-segments, no embedded whitespace — the
+# overwhelming majority of real hrefs; anything else falls back to urljoin.
+_ABS_RE = re.compile(r"(?i)^(https?)://([^/?#\s]+)([^?#\s]*)(?:\?([^#\s]*))?(?:#\S*)?$")
+_DOTSEG_RE = re.compile(r"/\.\.?(?:/|$)")
+_BASE_RE = re.compile(r"(?i)^(https?)://([^/?#]*)")
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def extract_links_udf(url: pd.Series, html: pd.Series) -> pd.Series:
-    """Deduplicated, normalized absolute out-links per page."""
-    docs = html.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or ""))
-    out = []
-    for base, doc in zip(url.values, docs.values):
-        hrefs = _HREF_RE.findall(doc)
-        seen: set[str] = set()
-        links: list[str] = []
-        for h in hrefs:
-            u = _normalize(base, h)
-            if u is not None and u not in seen:
-                seen.add(u)
-                links.append(u)
-        out.append(links)
-    return pd.Series(out)
+    """Deduplicated, normalized absolute out-links per page.
+
+    Vectorized hot path (this is the single hottest ingestion loop at
+    10¹²-document scale): hrefs are pulled with one ``str.extractall`` per
+    Arrow batch, then resolved class-by-class with pandas string ops —
+    simple absolute http(s) URLs, root-relative paths, and fragment-only
+    refs cover essentially all crawl hrefs. Only the residue (dot-segments,
+    protocol-relative, exotic schemes) walks through per-row ``urljoin``,
+    which keeps output byte-identical to the reference semantics
+    (tests/test_invariance.py pins this)."""
+    docs = html.map(
+        lambda b: b.decode("utf-8", errors="replace")
+        if isinstance(b, (bytes, bytearray))
+        else (b or "")
+    )
+    docs.index = pd.RangeIndex(len(docs))
+    urls = pd.Series(url.values, index=docs.index, dtype=object)
+    ex = docs.str.extractall(_HREF_RE)
+    n = len(docs)
+    if len(ex) == 0:
+        return pd.Series([[] for _ in range(n)])
+    href = ex[0].str.strip()
+    row = href.index.get_level_values(0)
+    base = pd.Series(urls.values[row], index=href.index, dtype=object)
+    resolved = pd.Series(index=href.index, dtype=object)
+
+    # class 1: simple absolute http(s)
+    parts = href.str.extract(_ABS_RE)
+    is_abs = parts[0].notna() & ~href.str.contains(_DOTSEG_RE, regex=True)
+    if is_abs.any():
+        scheme = parts.loc[is_abs, 0].str.lower()
+        host = parts.loc[is_abs, 1].str.lower()
+        path = parts.loc[is_abs, 2].replace("", "/")
+        query = parts.loc[is_abs, 3]
+        out = scheme + "://" + host + path
+        out = out.where(query.isna() | (query == ""), out + "?" + query.fillna(""))
+        resolved.loc[is_abs] = out
+
+    # base scheme/host for relative classes
+    bparts = base.str.extract(_BASE_RE)
+    bpre = bparts[0].str.lower() + "://" + bparts[1].str.lower()
+
+    # class 2: root-relative path ("/p5?q#frag"), not protocol-relative
+    is_root = (
+        resolved.isna()
+        & href.str.startswith("/")
+        & ~href.str.startswith("//")
+        & ~href.str.contains(_DOTSEG_RE, regex=True)
+        & ~href.str.contains(r"\s", regex=True)
+        & bparts[0].notna()
+    )
+    if is_root.any():
+        pq = href.loc[is_root].str.replace(r"#.*$", "", regex=True).replace("", "/")
+        resolved.loc[is_root] = bpre.loc[is_root] + pq
+
+    # class 3: fragment-only ("#top") → the page itself, normalized
+    is_frag = resolved.isna() & href.str.startswith("#") & bparts[0].notna()
+    if is_frag.any():
+        bp = base.loc[is_frag].str.extract(
+            r"(?i)^https?://[^/?#]*([^?#]*)(?:\?([^#]*))?"
+        )
+        path = bp[0].replace("", "/")
+        query = bp[1]
+        out = bpre.loc[is_frag] + path
+        out = out.where(query.isna() | (query == ""), out + "?" + query.fillna(""))
+        resolved.loc[is_frag] = out
+
+    # residue: full RFC resolution per row (rare)
+    rest = resolved.isna()
+    if rest.any():
+        resolved.loc[rest] = [
+            _normalize(b, h) for b, h in zip(base.loc[rest].values, href.loc[rest].values)
+        ]
+
+    out_lists: list[list[str]] = [[] for _ in range(n)]
+    seen: list[set] = [set() for _ in range(n)]
+    for r, u in zip(row, resolved.values):
+        if u is not None and u not in seen[r]:
+            seen[r].add(u)
+            out_lists[r].append(u)
+    return pd.Series(out_lists)
 
 
 # --- DataFrame-level pipeline -------------------------------------------------

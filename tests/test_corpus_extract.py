@@ -35,6 +35,40 @@ def test_extracted_links_match_oracle(spark, pages_small):
     assert got == want
 
 
+def test_link_udf_matches_python_normalize_on_edge_cases(spark):
+    """The vectorized fast paths must agree byte-for-byte with the per-row
+    urljoin reference on every href class, including the residue."""
+    from graphscope_spark.extract import _HREF_RE, _normalize, extract_pages
+
+    hrefs = [
+        "http://Host.EX/a/b?q=1#frag",      # absolute w/ query+fragment
+        "HTTPS://UP.example/PATH",           # uppercase scheme+host
+        "http://h.ex",                       # absolute, empty path
+        "/rooted/path?x=2#y",                # root-relative
+        "#top",                              # fragment-only
+        "../up/one",                         # dot segments → residue
+        "http://h.ex/a/../b",                # absolute WITH dot segments
+        "//proto.relative/p",                # protocol-relative → residue
+        "ftp://files.ex/x",                  # non-web scheme → dropped
+        "mailto:x@y.z",                      # non-web scheme → dropped
+        "/rooted/path?x=2#y",                # duplicate → deduped
+    ]
+    base = "http://base.ex/dir/page?bq=7#bfrag"
+    html = "".join(f'<a href="{h}">t</a>' for h in hrefs)
+    df = spark.createDataFrame(
+        [(base, None, html.encode(), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = extract_pages(df).select("links").collect()[0]["links"]
+    want, seen = [], set()
+    for h in _HREF_RE.findall(html):
+        u = _normalize(base, h)
+        if u is not None and u not in seen:
+            seen.add(u)
+            want.append(u)
+    assert got == want
+
+
 def test_extracted_text_contains_body_words(pages_small):
     row = extract_pages(pages_small).where(F.col("url").endswith("/p0")).collect()[0]
     assert "Page 0" in row["text"]

@@ -41,6 +41,27 @@ def test_extraction_byte_identity_across_partitionings(spark, pages_small):
     assert a == b  # byte-identical extracted text per url
 
 
+def test_read_edge_csv_variants(spark, tmp_path):
+    from graphscope_spark.sources import read_edge_csv
+
+    # p2p-style: tab-delimited, no header, comment lines (the reference's
+    # test fixtures, test/app_tests.sh:180-186)
+    p2p = tmp_path / "p2p.txt"
+    p2p.write_text("# FromNodeId\tToNodeId\n1\t2\n2\t3\n3\t1\n")
+    e = read_edge_csv(
+        spark, str(p2p), header=False, delimiter="\t",
+        src_col=0, dst_col=1, comment="#",
+    )
+    assert sorted((r["src"], r["dst"]) for r in e.collect()) == [(1, 2), (2, 3), (3, 1)]
+    assert dict(e.dtypes) == {"src": "bigint", "dst": "bigint"}
+
+    # headered, custom delimiter, malformed row dropped
+    csvf = tmp_path / "edges.csv"
+    csvf.write_text("src|dst\n10|11\nbad|row\n11|12\n")
+    e2 = read_edge_csv(spark, str(csvf), header=True, delimiter="|")
+    assert sorted((r["src"], r["dst"]) for r in e2.collect()) == [(10, 11), (11, 12)]
+
+
 def test_sources_roundtrip(spark, tmp_path, pages_small):
     path = str(tmp_path / "pages")
     write_pages(pages_small, path)

