@@ -229,6 +229,97 @@ def _katz_sql(rounds: int, alpha: float, beta: float) -> str:
     )
 
 
+def _articlerank_sql(rounds: int, damping: float) -> str:
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "odeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),",
+        "avgd AS (SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM verts) AS a FROM edges),",
+        "ar0 AS (SELECT v.vid, COALESCE(o.deg, 0.0) AS deg, CAST(0 AS DOUBLE) AS val"
+        " FROM verts v LEFT JOIN odeg o ON o.src = v.vid),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""ar{k + 1} AS (
+  SELECT p.vid, p.deg,
+         {damping} * COALESCE(m.s, 0.0) + {1.0 - damping} AS val
+  FROM ar{k} p LEFT JOIN (
+    SELECT e.dst AS dst, SUM(q.val / (q.deg + (SELECT a FROM avgd))) AS s
+    FROM ar{k} q JOIN edges e ON e.src = q.vid GROUP BY e.dst
+  ) m ON m.dst = p.vid),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT vid, ROUND(val, 6) AS ar FROM ar{rounds}"
+
+
+def _ppr_sql(rounds: int, source: int, damping: float) -> str:
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "pd AS (SELECT s AS vid, CAST(COUNT(*) AS DOUBLE) AS deg FROM sym GROUP BY s),",
+        f"pp0 AS (SELECT v.vid, COALESCE(d.deg, 0.0) AS deg,"
+        f" CAST(CASE WHEN v.vid = {source} THEN 1 ELSE 0 END AS DOUBLE) AS val"
+        f" FROM verts v LEFT JOIN pd d ON d.vid = v.vid),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""pp{k + 1} AS (
+  SELECT p.vid, p.deg,
+         COALESCE(m.s, 0.0) + CASE WHEN p.vid = {source} THEN {damping} ELSE 0.0 END AS val
+  FROM pp{k} p LEFT JOIN (
+    SELECT e.t AS dst, SUM({damping} * q.val / q.deg) AS s
+    FROM pp{k} q JOIN sym e ON e.s = q.vid GROUP BY e.t
+  ) m ON m.dst = p.vid),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT vid, ROUND(val, 6) AS ppr FROM pp{rounds}"
+
+
+def _lpau2i_sql(rounds: int) -> str:
+    """Bipartite graph derived from documents: users = doc_id < n/2, items
+    = the rest; 3 deterministic edges per user with weight (u+i)%5+1; seed
+    labels 1.0 (u%10==0) / 0.0 (u%10==5) / 0.5 otherwise."""
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),",
+        """be AS (
+  SELECT u.vid AS uid,
+         (SELECT n FROM nn) / 2 + ((3 * u.vid + k.k) % ((SELECT n FROM nn) - (SELECT n FROM nn) / 2)) AS iid,
+         CAST((u.vid + (SELECT n FROM nn) / 2 + ((3 * u.vid + k.k) % ((SELECT n FROM nn) - (SELECT n FROM nn) / 2))) % 5 + 1 AS DOUBLE) AS w
+  FROM (SELECT vid FROM verts WHERE vid < (SELECT n FROM nn) / 2) u,
+       (SELECT unnest(generate_series(0, 2)) AS k) k),""",
+        "odeg AS (SELECT uid, CAST(COUNT(*) AS BIGINT) AS odeg FROM be GROUP BY uid),",
+        "ideg AS (SELECT iid, CAST(COUNT(*) AS BIGINT) AS ideg FROM be GROUP BY iid),",
+        "onids AS (SELECT b.uid, SUM(i.ideg) AS onids FROM be b JOIN ideg i ON i.iid = b.iid GROUP BY b.uid),",
+        """u0 AS (
+  SELECT vid AS uid,
+         CAST(CASE WHEN vid % 10 = 0 THEN 1.0 WHEN vid % 10 = 5 THEN 0.0 ELSE 0.5 END AS DOUBLE) AS val
+  FROM verts WHERE vid < (SELECT n FROM nn) / 2),""",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""iv{k} AS (
+  SELECT b.iid, SUM(b.w * q.val) AS ival
+  FROM u{k} q JOIN be b ON b.uid = q.uid GROUP BY b.iid),
+tm{k} AS (
+  SELECT b.uid, SUM(b.w * i.ival) AS tmp
+  FROM iv{k} i JOIN be b ON b.iid = i.iid GROUP BY b.uid),
+u{k + 1} AS (
+  SELECT p.uid,
+         CASE WHEN p.val = 0.0 OR p.val = 1.0 THEN p.val
+              WHEN COALESCE(o.onids, 0) <> COALESCE(d.odeg, 0)
+              THEN (COALESCE(t.tmp, 0.0) - COALESCE(d.odeg, 0) * p.val)
+                   / (o.onids - d.odeg)
+              ELSE p.val END AS val
+  FROM u{k} p
+  LEFT JOIN tm{k} t ON t.uid = p.uid
+  LEFT JOIN odeg d ON d.uid = p.uid
+  LEFT JOIN onids o ON o.uid = p.uid),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + (
+        f"\nSELECT uid, CAST(0 AS BIGINT) AS prop_id, ROUND(val, 6) AS val FROM u{rounds}"
+    )
+
+
 def _eigen_sql(rounds: int) -> str:
     parts = [f"WITH {_SQL_BASE},", "e0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM verts),"]
     for k in range(rounds):
@@ -257,6 +348,77 @@ def _kcore_sql(k: int, rounds: int) -> str:
         )
     sql = "\n".join(parts).rstrip(",")
     return sql + f"\nSELECT vid FROM alive{rounds}"
+
+
+def _mis_sql(rounds: int) -> str:
+    """Unrolled deterministic Luby rounds mirroring algorithms/mis.py:
+    priority = (h60(vid) mod 2^40)·2^20 + vid."""
+    pri = f"({_H60.format(x='CAST(vid AS VARCHAR)')} % {1 << 40}) * {1 << 20} + vid"
+    parts = [
+        f"WITH {_SQL_BASE},",
+        f"al0 AS (SELECT vid, {pri} AS pri FROM verts),",
+        "ms0 AS (SELECT CAST(NULL AS BIGINT) AS vid WHERE 1 = 0),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""nm{k} AS (
+  SELECT s.t AS vid, MIN(a.pri) AS nmin
+  FROM sym s JOIN al{k} a ON a.vid = s.s JOIN al{k} b ON b.vid = s.t
+  GROUP BY s.t),
+w{k} AS (
+  SELECT a.vid FROM al{k} a LEFT JOIN nm{k} m ON m.vid = a.vid
+  WHERE m.nmin IS NULL OR a.pri < m.nmin),
+ms{k + 1} AS (SELECT vid FROM ms{k} UNION ALL SELECT vid FROM w{k}),
+al{k + 1} AS (
+  SELECT a.vid, a.pri FROM al{k} a
+  WHERE a.vid NOT IN (SELECT vid FROM w{k})
+    AND a.vid NOT IN (SELECT s.t FROM sym s JOIN w{k} w ON w.vid = s.s)),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT vid FROM ms{rounds}"
+
+
+# bridges run on a deterministically thinned subgraph: the full doc-graph is
+# 2-edge-connected (0 bridges — a vacuous gate); dropping (src+dst)%3==0
+# edges leaves 1291 edges with a nontrivial bridge set. Oracle = per-edge
+# removal reachability (recursive CTE), an INDEPENDENT method from the
+# engine's XOR-covering test.
+_BRIDGES_PRED = "(src + dst) % 3 <> 0"
+_BRIDGES_BASE = _SQL_BASE.replace(
+    "FROM edges WHERE src <> dst", f"FROM edges WHERE src <> dst AND ({_BRIDGES_PRED})"
+)
+
+_BRIDGES_SQL = f"""
+WITH RECURSIVE {_BRIDGES_BASE},
+re(a, b, v) AS (
+  SELECT a, b, a FROM und
+  UNION
+  SELECT r.a, r.b, s.t FROM re r JOIN sym s ON s.s = r.v
+  WHERE NOT ((s.s = r.a AND s.t = r.b) OR (s.s = r.b AND s.t = r.a))
+)
+SELECT u.a, u.b FROM und u
+WHERE NOT EXISTS (SELECT 1 FROM re WHERE re.a = u.a AND re.b = u.b AND re.v = u.b)
+"""
+
+
+def _simple_paths_sql(source: int, target: int, cutoff: int) -> str:
+    parts = [
+        f"WITH {_SQL_BASE},",
+        f"sp0 AS (SELECT [CAST({source} AS BIGINT)] AS path),",
+    ]
+    for k in range(cutoff):
+        parts.append(
+            f"""sp{k + 1} AS (
+  SELECT list_append(p.path, e.dst) AS path
+  FROM sp{k} p JOIN edges e ON e.src = p.path[-1]
+  WHERE e.src <> e.dst AND NOT list_contains(p.path, e.dst)
+    AND p.path[-1] <> {target}),"""
+        )
+    done = " UNION ALL ".join(
+        f"SELECT path FROM sp{k + 1} WHERE path[-1] = {target}" for k in range(cutoff)
+    )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f",\ndone AS ({done})\nSELECT array_to_string(path, '->') AS path FROM done"
 
 
 _SCC_SQL = f"""
@@ -1004,6 +1166,49 @@ def _q_katz(spark, sf_dir):
     )
 
 
+def _q_lpa_u2i(spark, sf_dir):
+    from graphscope_spark.algorithms.lpa_u2i import lpa_u2i
+
+    n = _docs(spark, sf_dir).count()
+    half = n // 2
+    m = n - half
+    users = spark.range(0, half).select(F.col("id").alias("uid"))
+    edges = (
+        users.crossJoin(spark.range(0, 3).select(F.col("id").alias("k")))
+        .select(
+            "uid",
+            (F.lit(half) + (3 * F.col("uid") + F.col("k")) % F.lit(m)).alias("iid"),
+        )
+        .select("uid", "iid", ((F.col("uid") + F.col("iid")) % 5 + 1).cast("double").alias("w"))
+    )
+    labels = users.select(
+        "uid",
+        F.lit(0).cast("long").alias("prop_id"),
+        F.when(F.col("uid") % 10 == 0, 1.0)
+        .when(F.col("uid") % 10 == 5, 0.0)
+        .otherwise(0.5)
+        .alias("val"),
+    )
+    out = lpa_u2i(labels, edges, rounds=5)
+    return out.select("uid", "prop_id", F.round("val", 6).alias("val"))
+
+
+def _q_articlerank(spark, sf_dir):
+    from graphscope_spark.algorithms.centrality import articlerank
+
+    return articlerank(_graph(spark, sf_dir), damping=0.85, rounds=10).select(
+        "vid", F.round("ar", 6).alias("ar")
+    )
+
+
+def _q_ppr(spark, sf_dir):
+    from graphscope_spark.algorithms.centrality import personalized_pagerank
+
+    return personalized_pagerank(
+        _graph(spark, sf_dir), source=0, damping=0.5, rounds=10
+    ).select("vid", F.round("ppr", 6).alias("ppr"))
+
+
 def _q_eigenvector(spark, sf_dir):
     from graphscope_spark.algorithms import eigenvector_centrality
 
@@ -1112,6 +1317,30 @@ def _q_harmonic(spark, sf_dir):
     return harmonic_centrality(g, _roots(g)).select(
         "vid", F.round("harmonic", 6).alias("harmonic")
     )
+
+
+def _q_mis(spark, sf_dir):
+    from graphscope_spark.algorithms.mis import maximal_independent_set
+
+    return maximal_independent_set(_graph(spark, sf_dir))
+
+
+def _q_bridges(spark, sf_dir):
+    from graphscope_spark.algorithms.bridges import bridges
+
+    g = _graph(spark, sf_dir)
+    g = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.where(F.pmod(F.col("src") + F.col("dst"), F.lit(3)) != 0),
+        num_partitions=g.num_partitions,
+    )
+    return bridges(g)
+
+
+def _q_all_simple_paths(spark, sf_dir):
+    from graphscope_spark.algorithms.paths import all_simple_paths
+
+    return all_simple_paths(_graph(spark, sf_dir), source=0, target=20, cutoff=5)
 
 
 def _q_pagerank_csv(spark, sf_dir):
@@ -1496,6 +1725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "katz": _q_katz,
         "eigenvector": _q_eigenvector,
+        "articlerank": _q_articlerank,
+        "personalized_pagerank": _q_ppr,
+        "lpa_u2i": _q_lpa_u2i,
         "kcore": _q_kcore,
         "coreness": _q_coreness,
         "avg_clustering": _q_avg_clustering,
@@ -1512,6 +1744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_sampled": _q_harmonic,
         "betweenness_sampled": _q_betweenness,
         "scc": _q_scc,
+        "mis": _q_mis,
+        "bridges": _q_bridges,
+        "all_simple_paths": _q_all_simple_paths,
         "pagerank_csv": _q_pagerank_csv,
         "sssp_path": _q_sssp_path,
         "apsp_sampled": _q_apsp,
@@ -1576,6 +1811,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(10),
         "katz": _katz_sql(10, 0.1, 1.0),
         "eigenvector": _eigen_sql(20),
+        "articlerank": _articlerank_sql(10, 0.85),
+        "personalized_pagerank": _ppr_sql(10, 0, 0.5),
+        "lpa_u2i": _lpau2i_sql(5),
         "kcore": _kcore_sql(4, 30),
         # peel-cascade depths at sf0.01: k≤4 converge in 1 round, k=5 takes
         # 113 rounds to empty (measured); unrolls are fixpoint-tested
@@ -1592,6 +1830,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         "harmonic_sampled": _multi_bfs_sql(80, "vid % 97 = 0", _HARMONIC_FINAL),
         "betweenness_sampled": _betweenness_sql(30, "vid % 97 = 0"),
         "scc": _SCC_SQL,
+        "mis": _mis_sql(25),
+        "bridges": _BRIDGES_SQL,
+        "all_simple_paths": _simple_paths_sql(0, 20, 5),
         "pagerank_csv": _pagerank_sql(20, 0.85),
         "sssp_path": _sssp_path_sql(200, 0, _SSSP_PATH_TARGET),
         "apsp_sampled": _multi_bfs_sql(

@@ -108,6 +108,83 @@ def hits(graph: LinkGraph, rounds: int = 10) -> DataFrame:
     return state.select("vid", "hub", "auth")
 
 
+def articlerank(graph: LinkGraph, damping: float = 0.85, rounds: int = 10) -> DataFrame:
+    """(vid, ar) — ArticleRank, the PageRank variant that damps hub influence
+    by the mean out-degree.
+
+    Reference: `apps/flash/ranking/articlerank.h`
+    (`/root/reference/analytical_engine/apps/flash/ranking/articlerank.h:47-70`):
+    per round over directed edges ``next(v) += d·val(u)/(outdeg(u)+avg)``;
+    then ``val = next + (1−d)``; fixed rounds, init val = 0."""
+    edges = graph.edges.repartition(F.col("src")).persist()
+    edges.count()
+    verts = graph.vertices.select("vid")
+    n = verts.count()
+    odeg = edges.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    avg = (edges.count() / n) if n else 0.0
+    state = verts.join(odeg, "vid", "left").select(
+        "vid",
+        F.coalesce("deg", F.lit(0)).cast("double").alias("deg"),
+        F.lit(0.0).alias("val"),
+    )
+    for r in range(rounds):
+        m = (
+            state.select(F.col("vid").alias("src"), "deg", "val")
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("val") / (F.col("deg") + F.lit(avg))).alias("s"))
+        )
+        state = state.join(m, state["vid"] == m["dst"], "left").select(
+            state["vid"],
+            "deg",
+            (F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(1.0 - damping)).alias("val"),
+        )
+        if (r + 1) % 3 == 0:
+            state = state.transform(truncate_plan)
+    edges.unpersist()
+    return state.select("vid", F.col("val").alias("ar"))
+
+
+def personalized_pagerank(
+    graph: LinkGraph, source: int, damping: float = 0.5, rounds: int = 10
+) -> DataFrame:
+    """(vid, ppr) — personalized PageRank from a single source.
+
+    Reference: `apps/flash/ranking/ppr.h`
+    (`/root/reference/analytical_engine/apps/flash/ranking/ppr.h:48-70`):
+    undirected edges, ``next(v) = Σ_{u∼v} d·val(u)/deg(u)`` plus a constant
+    ``d`` restart mass at the source; init val = 1 at source, 0 elsewhere;
+    fixed rounds."""
+    und = graph.undirected_edges(drop_self_loops=True).repartition(F.col("src")).persist()
+    und.count()
+    verts = graph.vertices.select("vid")
+    deg = und.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    state = verts.join(deg, "vid", "left").select(
+        "vid",
+        F.coalesce("deg", F.lit(0)).cast("double").alias("deg"),
+        F.when(F.col("vid") == source, 1.0).otherwise(0.0).alias("val"),
+    )
+    for r in range(rounds):
+        m = (
+            state.select(F.col("vid").alias("src"), "deg", "val")
+            .join(und, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.lit(damping) * F.col("val") / F.col("deg")).alias("s"))
+        )
+        state = state.join(m, state["vid"] == m["dst"], "left").select(
+            state["vid"],
+            "deg",
+            (
+                F.coalesce(F.col("s"), F.lit(0.0))
+                + F.when(state["vid"] == source, F.lit(damping)).otherwise(0.0)
+            ).alias("val"),
+        )
+        if (r + 1) % 3 == 0:
+            state = state.transform(truncate_plan)
+    und.unpersist()
+    return state.select("vid", F.col("val").alias("ppr"))
+
+
 def katz(
     graph: LinkGraph, alpha: float = 0.1, beta: float = 1.0, rounds: int = 10
 ) -> DataFrame:

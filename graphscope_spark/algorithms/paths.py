@@ -37,6 +37,43 @@ def is_simple_path(graph: LinkGraph, path: list[int]) -> bool:
     return missing == 0
 
 
+def all_simple_paths(
+    graph: LinkGraph, source: int, target: int, cutoff: int
+) -> "DataFrame":
+    """All simple (vertex-disjoint) directed paths source→target with at
+    most ``cutoff`` edges, one row per path: (path string "v0->v1->...").
+
+    Reference: `gs::AllSimplePaths`
+    (`/root/reference/analytical_engine/apps/simple_path/all_simple_paths.h`,
+    279 LoC) — bounded path enumeration. Spark shape: BSP frontier of
+    partial paths carried as an array column; each superstep one join with
+    the edge table plus an ``array_contains`` simplicity filter. Paths that
+    reach ``target`` retire (a simple path cannot revisit it), so state
+    holds only live prefixes; worst case O(b^cutoff) — the cutoff IS the
+    scale contract, exactly as in the reference."""
+    from pyspark.sql import DataFrame  # noqa: F401 (annotation)
+
+    spark = graph.vertices.sparkSession
+    edges = graph.edges.where(F.col("src") != F.col("dst")).persist()
+    edges.count()
+    frontier = spark.createDataFrame([([source],)], "path array<long>")
+    done = spark.createDataFrame([], "path array<long>")
+    for _ in range(cutoff):
+        ext = (
+            frontier.join(edges, F.element_at(F.col("path"), -1) == F.col("src"))
+            .where(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"))
+            .localCheckpoint(eager=True)
+        )
+        arrived = ext.where(F.element_at(F.col("path"), -1) == target)
+        done = done.unionByName(arrived).localCheckpoint(eager=True)
+        frontier = ext.where(F.element_at(F.col("path"), -1) != target)
+        if frontier.count() == 0:
+            break
+    edges.unpersist()
+    return done.select(F.concat_ws("->", F.col("path").cast("array<string>")).alias("path"))
+
+
 def path_exists_sql(path: list[int]) -> str:
     """DuckDB mirror returning one row (is_path BIGINT 0/1) for the gate."""
     pair_rows = ", ".join(f"({a}, {b})" for a, b in zip(path[:-1], path[1:]))

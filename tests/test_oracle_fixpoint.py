@@ -96,6 +96,13 @@ def test_coreness_unroll_is_fixpoint():
     assert _eq(at, plus), "coreness peel unrolls not converged"
 
 
+def test_mis_unroll_is_fixpoint():
+    con = _conn()
+    at = con.execute(entry._materialize(entry._mis_sql(25))).df()
+    plus = con.execute(entry._materialize(entry._mis_sql(26))).df()
+    assert _eq(at, plus), "MIS Luby unroll not converged at 25 rounds"
+
+
 def test_diameter_unroll_is_fixpoint():
     con = _conn()
     at = con.execute(entry._materialize(entry._diameter_sql(12))).df()
