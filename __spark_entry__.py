@@ -350,6 +350,28 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return sql + f"\nSELECT vid FROM alive{rounds}"
 
 
+def _sampling_path_sql(length: int, roots_pred: str) -> str:
+    h = _H60.format(x="CONCAT(CAST(q.root AS VARCHAR), ':{k}:', CAST(e.dst AS VARCHAR))")
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "de AS (SELECT src, dst FROM edges WHERE src <> dst),",
+        f"w0 AS (SELECT vid AS root, CAST(0 AS BIGINT) AS step, vid FROM verts WHERE {roots_pred}),",
+    ]
+    for k in range(1, length + 1):
+        hk = h.replace("{k}", str(k))
+        parts.append(
+            f"""w{k} AS (
+  SELECT root, CAST({k} AS BIGINT) AS step, dst AS vid FROM (
+    SELECT q.root, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY q.root ORDER BY {hk}, e.dst) AS rn
+    FROM w{k - 1} q JOIN de e ON e.src = q.vid
+  ) WHERE rn = 1),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    final = " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(length + 1))
+    return sql + "\n" + final
+
+
 def _mis_sql(rounds: int) -> str:
     """Unrolled deterministic Luby rounds mirroring algorithms/mis.py:
     priority = (h60(vid) mod 2^40)·2^20 + vid."""
@@ -1023,6 +1045,15 @@ FROM edges e JOIN s ON s.vid = e.src
 WHERE e.dst NOT IN (SELECT vid FROM s)
 """
 
+_MSF_GOLDEN_SQL = """
+-- Golden: canonical MSF computed by an independent Python Kruskal
+-- (tools/gen_msf_golden.py) with the same (w, a, b) tie-break that
+-- makes the Spark Boruvka's forest unique. Regenerate if the weight
+-- expression changes.
+SELECT CAST(c0 AS BIGINT) AS a, CAST(c1 AS BIGINT) AS b, ROUND(CAST(c2 AS DOUBLE), 6) AS w FROM (VALUES (0,20,1.0), (0,40,1.0), (0,60,1.0), (0,80,1.0), (0,100,1.0), (0,120,1.0), (0,140,1.0), (0,160,1.0), (0,180,1.0), (0,200,1.0), (0,220,1.0), (0,240,1.0), (0,260,1.0), (0,280,1.0), (0,300,1.0), (0,320,1.0), (0,340,1.0), (0,360,1.0), (0,380,1.0), (0,400,1.0), (0,420,1.0), (0,440,1.0), (0,460,1.0), (0,480,1.0), (1,9,1.0), (1,29,1.0), (1,49,1.0), (1,69,1.0), (1,89,1.0), (1,109,1.0), (1,129,1.0), (1,149,1.0), (1,169,1.0), (1,189,1.0), (1,209,1.0), (1,229,1.0), (1,249,1.0), (1,269,1.0), (1,289,1.0), (1,309,1.0), (1,329,1.0), (1,349,1.0), (1,369,1.0), (1,389,1.0), (1,409,1.0), (1,429,1.0), (1,449,1.0), (1,469,1.0), (1,489,1.0), (2,18,1.0), (2,38,1.0), (2,58,1.0), (2,78,1.0), (2,98,1.0), (2,118,1.0), (2,138,1.0), (2,158,1.0), (2,178,1.0), (2,198,1.0), (2,218,1.0), (2,238,1.0), (2,258,1.0), (2,278,1.0), (2,298,1.0), (2,318,1.0), (2,338,1.0), (2,358,1.0), (2,378,1.0), (2,398,1.0), (2,418,1.0), (2,438,1.0), (2,458,1.0), (2,478,1.0), (2,498,1.0), (3,7,1.0), (3,27,1.0), (3,47,1.0), (3,67,1.0), (3,87,1.0), (3,107,1.0), (3,127,1.0), (3,147,1.0), (3,167,1.0), (3,187,1.0), (3,207,1.0), (3,227,1.0), (3,247,1.0), (3,267,1.0), (3,287,1.0), (3,307,1.0), (3,327,1.0), (3,347,1.0), (3,367,1.0), (3,387,1.0), (3,407,1.0), (3,427,1.0), (3,447,1.0), (3,467,1.0), (3,487,1.0), (4,56,1.0), (4,76,1.0), (5,45,1.0), (5,65,1.0), (6,14,1.0), (6,54,1.0), (6,74,1.0), (7,43,1.0), (7,63,1.0), (8,12,1.0), (8,92,1.0), (8,112,1.0), (9,81,1.0), (9,101,1.0), (10,90,1.0), (10,110,1.0), (11,19,1.0), (11,99,1.0), (11,119,1.0), (12,128,1.0), (12,148,1.0), (13,17,1.0), (13,137,1.0), (13,157,1.0), (14,126,1.0), (14,146,1.0), (15,135,1.0), (15,155,1.0), (16,24,1.0), (16,164,1.0), (16,184,1.0), (17,173,1.0), (17,193,1.0), (18,22,1.0), (18,162,1.0), (18,182,1.0), (19,171,1.0), (19,191,1.0), (21,29,1.0), (23,27,1.0), (24,256,1.0), (24,276,1.0), (25,245,1.0), (25,265,1.0), (26,34,1.0), (26,254,1.0), (26,274,1.0), (27,243,1.0), (27,263,1.0), (28,32,1.0), (28,292,1.0), (28,312,1.0), (29,281,1.0), (29,301,1.0), (30,290,1.0), (30,310,1.0), (31,39,1.0), (31,299,1.0), (31,319,1.0), (32,328,1.0), (32,348,1.0), (33,37,1.0), (33,337,1.0), (33,357,1.0), (34,326,1.0), (34,346,1.0), (35,335,1.0), (35,355,1.0), (36,44,1.0), (36,364,1.0), (36,384,1.0), (37,373,1.0), (37,393,1.0), (38,42,1.0), (38,362,1.0), (38,382,1.0), (39,371,1.0), (39,391,1.0), (41,49,1.0), (44,456,1.0), (44,476,1.0), (45,445,1.0), (45,465,1.0), (46,54,1.0), (46,454,1.0), (46,474,1.0), (47,443,1.0), (47,463,1.0), (48,52,1.0), (48,492,1.0), (49,481,1.0), (50,490,1.0), (51,59,1.0), (51,499,1.0), (53,57,1.0), (56,64,1.0), (58,62,1.0), (61,69,1.0), (66,74,1.0), (68,72,1.0), (71,79,1.0), (73,77,1.0), (76,84,1.0), (78,82,1.0), (83,87,1.0), (86,94,1.0), (88,92,1.0), (91,99,1.0), (93,97,1.0), (96,104,1.0), (98,102,1.0), (103,107,1.0), (106,114,1.0), (108,112,1.0), (111,119,1.0), (113,117,1.0), (116,124,1.0), (118,122,1.0), (121,129,1.0), (123,127,1.0), (126,134,1.0), (128,132,1.0), (131,139,1.0), (133,137,1.0), (136,144,1.0), (138,142,1.0), (141,149,1.0), (143,147,1.0), (146,154,1.0), (148,152,1.0), (151,159,1.0), (153,157,1.0), (156,164,1.0), (161,169,1.0), (163,167,1.0), (166,174,1.0), (168,172,1.0), (171,179,1.0), (173,177,1.0), (176,184,1.0), (181,189,1.0), (183,187,1.0), (186,194,1.0), (188,192,1.0), (191,199,1.0), (193,197,1.0), (196,204,1.0), (198,202,1.0), (201,209,1.0), (203,207,1.0), (206,214,1.0), (208,212,1.0), (211,219,1.0), (213,217,1.0), (216,224,1.0), (218,222,1.0), (221,229,1.0), (223,227,1.0), (226,234,1.0), (228,232,1.0), (231,239,1.0), (233,237,1.0), (236,244,1.0), (238,242,1.0), (241,249,1.0), (246,254,1.0), (248,252,1.0), (251,259,1.0), (253,257,1.0), (256,264,1.0), (258,262,1.0), (261,269,1.0), (266,274,1.0), (268,272,1.0), (271,279,1.0), (273,277,1.0), (276,284,1.0), (278,282,1.0), (283,287,1.0), (286,294,1.0), (288,292,1.0), (291,299,1.0), (293,297,1.0), (296,304,1.0), (298,302,1.0), (303,307,1.0), (306,314,1.0), (308,312,1.0), (311,319,1.0), (313,317,1.0), (316,324,1.0), (318,322,1.0), (321,329,1.0), (323,327,1.0), (326,334,1.0), (328,332,1.0), (331,339,1.0), (333,337,1.0), (336,344,1.0), (338,342,1.0), (341,349,1.0), (343,347,1.0), (346,354,1.0), (348,352,1.0), (351,359,1.0), (353,357,1.0), (356,364,1.0), (361,369,1.0), (363,367,1.0), (366,374,1.0), (368,372,1.0), (371,379,1.0), (373,377,1.0), (376,384,1.0), (381,389,1.0), (383,387,1.0), (386,394,1.0), (388,392,1.0), (391,399,1.0), (393,397,1.0), (396,404,1.0), (398,402,1.0), (401,409,1.0), (403,407,1.0), (406,414,1.0), (408,412,1.0), (411,419,1.0), (413,417,1.0), (416,424,1.0), (418,422,1.0), (421,429,1.0), (423,427,1.0), (426,434,1.0), (428,432,1.0), (431,439,1.0), (433,437,1.0), (436,444,1.0), (438,442,1.0), (441,449,1.0), (446,454,1.0), (448,452,1.0), (451,459,1.0), (453,457,1.0), (456,464,1.0), (458,462,1.0), (461,469,1.0), (466,474,1.0), (468,472,1.0), (471,479,1.0), (473,477,1.0), (476,484,1.0), (478,482,1.0), (483,487,1.0), (486,494,1.0), (488,492,1.0), (491,499,1.0), (493,497,1.0), (0,12,3.0), (0,32,3.0), (0,52,3.0), (0,72,3.0), (0,172,3.0), (0,192,3.0), (0,212,3.0), (0,232,3.0), (0,252,3.0), (0,272,3.0), (0,372,3.0), (0,392,3.0), (0,412,3.0), (0,432,3.0), (0,452,3.0), (0,472,3.0), (2,10,3.0), (2,30,3.0), (2,50,3.0), (2,70,3.0), (2,130,3.0), (2,150,3.0), (2,170,3.0), (2,190,3.0), (2,210,3.0), (2,230,3.0), (2,250,3.0), (2,270,3.0), (2,330,3.0), (2,350,3.0), (2,370,3.0), (2,390,3.0), (2,410,3.0), (2,430,3.0), (2,450,3.0), (2,470,3.0), (3,19,3.0), (3,39,3.0), (3,59,3.0), (3,79,3.0), (3,139,3.0), (3,159,3.0), (3,219,3.0), (3,239,3.0), (3,259,3.0), (3,279,3.0), (3,339,3.0), (3,359,3.0), (3,419,3.0), (3,439,3.0), (3,459,3.0), (3,479,3.0), (4,8,3.0), (5,57,3.0), (5,77,3.0), (7,15,3.0), (7,55,3.0), (7,75,3.0), (8,104,3.0), (9,13,3.0), (9,93,3.0), (9,113,3.0), (14,18,3.0), (16,196,3.0), (17,25,3.0), (17,165,3.0), (17,185,3.0), (18,174,3.0), (18,194,3.0), (24,28,3.0), (25,257,3.0), (25,277,3.0), (27,35,3.0), (27,255,3.0), (27,275,3.0), (28,304,3.0), (29,33,3.0), (29,293,3.0), (29,313,3.0), (34,38,3.0), (36,396,3.0), (37,45,3.0), (37,365,3.0), (37,385,3.0), (38,374,3.0), (38,394,3.0), (44,48,3.0), (45,457,3.0), (45,477,3.0), (47,455,3.0), (47,475,3.0), (49,493,3.0), (77,85,3.0), (87,95,3.0), (94,98,3.0), (97,105,3.0), (107,115,3.0), (114,118,3.0), (117,125,3.0), (124,128,3.0), (137,145,3.0), (144,148,3.0), (167,175,3.0), (187,195,3.0), (197,205,3.0), (207,215,3.0), (209,213,3.0), (214,218,3.0), (217,225,3.0), (224,228,3.0), (227,235,3.0), (229,233,3.0), (234,238,3.0), (244,248,3.0), (277,285,3.0), (287,295,3.0), (294,298,3.0), (297,305,3.0), (307,315,3.0), (314,318,3.0), (317,325,3.0), (324,328,3.0), (337,345,3.0), (344,348,3.0), (367,375,3.0), (387,395,3.0), (397,405,3.0), (407,415,3.0), (409,413,3.0), (414,418,3.0), (417,425,3.0), (424,428,3.0), (427,435,3.0), (429,433,3.0), (434,438,3.0), (444,448,3.0), (477,485,3.0), (487,495,3.0), (494,498,3.0), (48,496,5.0)) t(c0, c1, c2)
+"""
+
+
 _LOUVAIN_GOLDEN_SQL = """
 -- Golden output: multi-level Louvain is deterministic (integer-valued
 -- double arithmetic, rounded tie-breaks, fixed schedules) -- verified
@@ -1316,6 +1347,21 @@ def _q_harmonic(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return harmonic_centrality(g, _roots(g)).select(
         "vid", F.round("harmonic", 6).alias("harmonic")
+    )
+
+
+def _q_sampling_path(spark, sf_dir):
+    from graphscope_spark.algorithms.sampling import sampling_path
+
+    g = _graph(spark, sf_dir)
+    return sampling_path(g, _roots(g), length=5)
+
+
+def _q_msf(spark, sf_dir):
+    from graphscope_spark.algorithms.msf import minimum_spanning_forest
+
+    return minimum_spanning_forest(_graph(spark, sf_dir)).select(
+        "a", "b", F.round("w", 6).alias("w")
     )
 
 
@@ -1746,6 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "mis": _q_mis,
         "bridges": _q_bridges,
+        "sampling_path": _q_sampling_path,
+        "msf": _q_msf,
         "all_simple_paths": _q_all_simple_paths,
         "pagerank_csv": _q_pagerank_csv,
         "sssp_path": _q_sssp_path,
@@ -1832,6 +1880,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "scc": _SCC_SQL,
         "mis": _mis_sql(25),
         "bridges": _BRIDGES_SQL,
+        "sampling_path": _sampling_path_sql(5, "vid % 97 = 0"),
+        "msf": _MSF_GOLDEN_SQL,
         "all_simple_paths": _simple_paths_sql(0, 20, 5),
         "pagerank_csv": _pagerank_sql(20, 0.85),
         "sssp_path": _sssp_path_sql(200, 0, _SSSP_PATH_TARGET),
