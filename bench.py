@@ -165,6 +165,15 @@ def main():
         "token_counts",
         "quality_scores",
         "events_hourly",
+        # round 2 additions (breadth: centrality, communities, structure).
+        # scc is gate-only: the synthetic doc-graph has ~62-hop directed
+        # chains (real crawls don't), so FW-BW pays diameter-many barriers
+        # per sweep — measured 161s at sf0.1, all serial driver floor.
+        "betweenness_sampled",
+        "louvain",
+        "mis",
+        "msf",
+        "ann_lsh_topk",
     ]
     timings: dict[str, float] = {}
     for name in headline:

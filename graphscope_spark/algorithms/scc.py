@@ -1,27 +1,28 @@
-"""Strongly connected components — forward-backward reachability with
-trimming.
+"""Strongly connected components — parallel-pivot forward-backward
+reachability with trimming.
 
 Reference semantics: `apps/flash/connectivity/scc.h`
 (`/root/reference/analytical_engine/apps/flash/connectivity/scc.h`) — the
-FLASH SCC computes, per round, forward and backward reachability from a
-pivot and intersects them; trivial SCCs are trimmed eagerly. Component id =
-smallest vid in the component (deterministic, oracle-checkable).
+FLASH SCC repeatedly (a) trims trivial SCCs, (b) picks a pivot PER
+remaining weakly connected component, intersects forward and backward
+reachability, and removes the found SCCs. Component id = smallest vid in
+the component (deterministic, oracle-checkable).
 
 Spark shape (FW-BW-Trim, the standard distributed SCC):
 
-1. **Trim to fixpoint**: a vertex with zero in-degree or zero out-degree in
-   the remaining subgraph is its own SCC; removing those exposes more —
-   iterate until stable. On web graphs this strips the huge IN/OUT tendrils
-   of the bow-tie cheaply (one semi-join + two distinct projections per
-   round).
-2. **Pivot FW∩BW**: BFS forward and backward from the smallest remaining
-   vid; the intersection is that pivot's SCC. Remove and repeat.
+1. **Trim to fixpoint** — a vertex with zero in- or out-degree in the
+   remaining subgraph is its own SCC; removing those exposes more. On web
+   graphs this strips the bow-tie's IN/OUT tendrils cheaply.
+2. **Parallel pivots** — WCC over the remaining subgraph (min-label, so
+   each component's label IS its min vid = the pivot); ALL pivots' forward
+   and backward BFS run together as one frontier (components are disjoint,
+   so a plain vertex-set frontier suffices — no per-root state). Every
+   remaining component sheds its pivot's SCC every outer round.
 
-Driver iterations = O(#nontrivial SCCs) — on web crawls the giant SCC falls
-out in the first pivot round and trimming absorbs the tail, which is why
-FW-BW (not Tarjan, which is inherently sequential DFS) is the scalable
-choice. Worst case (many small cycles) degrades to one pivot per SCC;
-callers needing that regime should pre-partition by WCC.
+Outer rounds = the deepest chain of SCCs inside any single weak component
+(not the total SCC count); each inner step is a frontier join. The
+worst case — one long path of SCCs — is inherent to FW-BW; Tarjan would be
+sequential DFS, which doesn't distribute at all.
 """
 
 from __future__ import annotations
@@ -33,23 +34,15 @@ from graphscope_spark.bsp import truncate_plan
 from graphscope_spark.graph import LinkGraph
 
 
-def _reachable(
-    edges: DataFrame, start: DataFrame, members: DataFrame, reverse: bool = False
-) -> DataFrame:
-    """(vid) reachable from ``start`` inside ``members`` (inclusive)."""
+def _reach(edges: DataFrame, start: DataFrame, reverse: bool = False) -> DataFrame:
+    """(vid) reachable from any start vertex over ``edges`` (inclusive)."""
     src, dst = ("dst", "src") if reverse else ("src", "dst")
-    e = (
-        edges.join(members.withColumnRenamed("vid", src), src)
-        .join(members.withColumnRenamed("vid", dst), dst)
-        .select(F.col(src).alias("from"), F.col(dst).alias("to"))
-        .transform(truncate_plan)
-    )
     seen = start.select("vid").transform(truncate_plan)
     frontier = seen
     while True:
         nxt = (
-            frontier.join(e, frontier["vid"] == e["from"])
-            .select(F.col("to").alias("vid"))
+            frontier.join(edges, frontier["vid"] == edges[src])
+            .select(F.col(dst).alias("vid"))
             .distinct()
             .join(seen, "vid", "anti")
             .transform(truncate_plan)
@@ -60,23 +53,27 @@ def _reachable(
         frontier = nxt
 
 
-def scc(graph: LinkGraph, max_pivots: int = 10_000) -> DataFrame:
+def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
     """(vid, comp) with comp = min vid of the strongly connected component."""
+    from graphscope_spark.algorithms.wcc import wcc
+    from graphscope_spark.graph import LinkGraph as _LG
+
     spark = graph.vertices.sparkSession
-    edges = (
+    all_edges = (
         graph.edges.where(F.col("src") != F.col("dst"))
         .repartition(F.col("src"))
         .persist()
     )
-    edges.count()
+    all_edges.count()
     remaining = graph.vertices.select("vid").transform(truncate_plan)
     assigned = spark.createDataFrame([], "vid long, comp long")
 
-    pivots = 0
-    while pivots < max_pivots:
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
         # -- trim: zero in- or out-degree within `remaining` → singleton SCC
         while True:
-            e_r = edges.join(
+            e_r = all_edges.join(
                 remaining.withColumnRenamed("vid", "src"), "src"
             ).join(remaining.withColumnRenamed("vid", "dst"), "dst")
             has_out = e_r.select(F.col("src").alias("vid")).distinct()
@@ -88,8 +85,7 @@ def scc(graph: LinkGraph, max_pivots: int = 10_000) -> DataFrame:
             )
             n_keep = keep.count()
             trimmed = remaining.join(keep, "vid", "anti")
-            n_trim = trimmed.count()
-            if n_trim == 0:
+            if trimmed.count() == 0:
                 break
             assigned = assigned.unionByName(
                 trimmed.select("vid", F.col("vid").alias("comp"))
@@ -99,17 +95,22 @@ def scc(graph: LinkGraph, max_pivots: int = 10_000) -> DataFrame:
                 break
         if remaining.count() == 0:
             break
-        # -- pivot round: SCC(pivot) = FW(pivot) ∩ BW(pivot)
-        pivots += 1
-        pivot = remaining.agg(F.min("vid")).collect()[0][0]
-        start = spark.createDataFrame([(int(pivot),)], "vid long")
-        fw = _reachable(edges, start, remaining, reverse=False)
-        bw = _reachable(edges, start, remaining, reverse=True)
-        comp = fw.join(bw, "vid", "semi").transform(truncate_plan)
+        # -- parallel pivot round over the remaining subgraph ---------------
+        e_r = (
+            all_edges.join(remaining.withColumnRenamed("vid", "src"), "src")
+            .join(remaining.withColumnRenamed("vid", "dst"), "dst")
+            .transform(truncate_plan)
+        )
+        sub = _LG(vertices=remaining, edges=e_r, num_partitions=graph.num_partitions)
+        comp = wcc(sub).state  # (vid, comp) — comp = min vid = the pivot
+        pivots = comp.select(F.col("comp").alias("vid")).distinct()
+        fw = _reach(e_r, pivots, reverse=False)
+        bw = _reach(e_r, pivots, reverse=True)
+        found = fw.join(bw, "vid", "semi").transform(truncate_plan)
         assigned = assigned.unionByName(
-            comp.select("vid", F.lit(int(pivot)).alias("comp"))
+            found.join(comp, "vid").select("vid", "comp")
         ).transform(truncate_plan)
-        remaining = remaining.join(comp, "vid", "anti").transform(truncate_plan)
+        remaining = remaining.join(found, "vid", "anti").transform(truncate_plan)
 
-    edges.unpersist()
+    all_edges.unpersist()
     return assigned
