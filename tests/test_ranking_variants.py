@@ -1,0 +1,87 @@
+"""ArticleRank / personalized PageRank / lpa_u2i vs pure-Python recurrences."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from graphscope_spark.algorithms.centrality import articlerank, personalized_pagerank
+from graphscope_spark.algorithms.lpa_u2i import lpa_u2i
+from tests.conftest import TINY_EDGES, TINY_VERTICES
+
+
+def test_articlerank_matches_python(tiny_graph):
+    d = 0.85
+    out = defaultdict(list)
+    for u, v in set(TINY_EDGES):
+        out[u].append(v)
+    n = len(TINY_VERTICES)
+    deg = {v: len(out[v]) for v in TINY_VERTICES}
+    avg = sum(deg.values()) / n
+    val = dict.fromkeys(TINY_VERTICES, 0.0)
+    for _ in range(10):
+        nxt = dict.fromkeys(TINY_VERTICES, 0.0)
+        for u in TINY_VERTICES:
+            for v in out[u]:
+                nxt[v] += d * val[u] / (deg[u] + avg)
+        val = {v: nxt[v] + (1 - d) for v in TINY_VERTICES}
+    got = {r["vid"]: r["ar"] for r in articlerank(tiny_graph, d, rounds=10).collect()}
+    for v in TINY_VERTICES:
+        assert np.isclose(got[v], val[v], atol=1e-9), (v, got[v], val[v])
+
+
+def test_ppr_matches_python(tiny_graph):
+    adj = defaultdict(set)
+    for u, v in TINY_EDGES:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    src = 1
+    val = {v: (1.0 if v == src else 0.0) for v in TINY_VERTICES}
+    for _ in range(10):
+        nxt = dict.fromkeys(TINY_VERTICES, 0.0)
+        for u in TINY_VERTICES:
+            for v in adj[u]:
+                nxt[v] += 0.5 * val[u] / len(adj[u])
+        nxt[src] += 0.5
+        val = nxt
+    got = {
+        r["vid"]: r["ppr"]
+        for r in personalized_pagerank(tiny_graph, src, 0.5, rounds=10).collect()
+    }
+    for v in TINY_VERTICES:
+        assert np.isclose(got[v], val[v], atol=1e-9), (v, got[v], val[v])
+
+
+def test_lpa_u2i_matches_python(spark):
+    # 3 users, 2 items; user 0 seeded 1.0, user 2 seeded 0.0, user 1 free
+    edges = [(0, 10, 1.0), (0, 11, 2.0), (1, 10, 1.0), (2, 11, 1.0)]
+    labels = [(0, 0, 1.0), (1, 0, 0.5), (2, 0, 0.0)]
+    e_df = spark.createDataFrame(edges, "uid long, iid long, w double")
+    l_df = spark.createDataFrame(labels, "uid long, prop_id long, val double")
+
+    odeg = {0: 2, 1: 1, 2: 1}
+    ideg = {10: 2, 11: 2}
+    onids = {0: ideg[10] + ideg[11], 1: ideg[10], 2: ideg[11]}
+    val = {0: 1.0, 1: 0.5, 2: 0.0}
+    for _ in range(4):
+        ival = defaultdict(float)
+        for u, i, w in edges:
+            ival[i] += w * val[u]
+        tmp = defaultdict(float)
+        for u, i, w in edges:
+            tmp[u] += w * ival[i]
+        nxt = {}
+        for u in val:
+            if val[u] in (0.0, 1.0):
+                nxt[u] = val[u]
+            elif onids[u] != odeg[u]:
+                nxt[u] = (tmp[u] - odeg[u] * val[u]) / (onids[u] - odeg[u])
+            else:
+                nxt[u] = val[u]
+        val = nxt
+    got = {r["uid"]: r["val"] for r in lpa_u2i(l_df, e_df, rounds=4).collect()}
+    for u in val:
+        assert np.isclose(got[u], val[u], atol=1e-9), (u, got[u], val[u])

@@ -26,6 +26,9 @@ PICKS = {
     "dedup_simhash": "simhash — 60 conditional sums in ONE aggregate, no per-bit explosion",
     "ann_cosine_topk": "blocked exact ANN — one mapInPandas over a broadcast matrix",
     "curation_pipeline": "composite curation — fused multi-branch scan of documents",
+    "ann_lsh_topk": "LSH ANN — GEMM signatures, int-only band join, einsum rescoring",
+    "lpa_u2i": "bipartite LPA — melted label state, two join+agg half-steps per round",
+    "msf": "Boruvka MSF — per-component min_by lightest edge, contraction fixpoint",
 }
 
 
