@@ -483,13 +483,12 @@ SELECT CAST((SELECT MAX(step) FROM walk) - step AS BIGINT) AS step, vid FROM wal
 """
 
 
-def _coreness_sql(peels: list[tuple[int, int]]) -> str:
-    """coreness(v) = max k such that v survives the k-peel, via one unrolled
-    peel fixpoint per k (mirrors `_kcore_sql`). ``peels`` is [(k, rounds)];
-    rounds need only exceed the true peel-cascade depth (extra rounds are
-    no-ops, fixpoint-tested). The largest k's peel must empty out so the
-    oracle PROVES coreness ≤ max-1, not just ≥."""
-    parts = [f"WITH {_SQL_BASE},"]
+def _coreness_ctes(peels: list[tuple[int, int]]) -> str:
+    """The unrolled-peel CTE chain (no WITH prefix, no final SELECT) ending
+    in ``corq AS (vid, core)`` — composable into larger oracles (DuckDB
+    forbids shadowing CTE names, so nesting the full statement is not an
+    option)."""
+    parts = []
     finals = []
     for k, rounds in peels:
         parts.append(f"al_{k}_0 AS (SELECT vid FROM verts),")
@@ -503,11 +502,266 @@ def _coreness_sql(peels: list[tuple[int, int]]) -> str:
   ) d ON d.vid = a.vid WHERE d.deg >= {k}),"""
             )
         finals.append(f"SELECT vid, {k} AS k FROM al_{k}_{rounds}")
-    parts.append("surv AS (" + " UNION ALL ".join(finals) + ")")
-    sql = "\n".join(parts)
-    return sql + """
-SELECT v.vid, CAST(COALESCE((SELECT MAX(k) FROM surv s WHERE s.vid = v.vid), 0) AS BIGINT) AS core
-FROM verts v
+    parts.append("surv AS (" + " UNION ALL ".join(finals) + "),")
+    parts.append(
+        """corq AS (
+  SELECT v.vid,
+         CAST(COALESCE((SELECT MAX(k) FROM surv s WHERE s.vid = v.vid), 0) AS BIGINT) AS core
+  FROM verts v)"""
+    )
+    return "\n".join(parts)
+
+
+def _coreness_sql(peels: list[tuple[int, int]]) -> str:
+    """coreness(v) = max k such that v survives the k-peel, via one unrolled
+    peel fixpoint per k (mirrors `_kcore_sql`). ``peels`` is [(k, rounds)];
+    rounds need only exceed the true peel-cascade depth (extra rounds are
+    no-ops, fixpoint-tested). The largest k's peel must empty out so the
+    oracle PROVES coreness ≤ max-1, not just ≥."""
+    return (
+        f"WITH {_SQL_BASE},\n"
+        + _coreness_ctes(peels)
+        + "\nSELECT vid, core FROM corq"
+    )
+
+
+# -- matching / ordering / subgraph-count SQL mirrors -------------------------
+
+# the same 60-bit hash priority as algorithms/mis.py::_priority
+_PRI_SQL = f"({_H60.format(x='CAST(vid AS VARCHAR)')} % {1 << 40}) * {1 << 20} + vid"
+
+
+def _matching_rounds_sql(rounds: int) -> str:
+    """Unrolled deterministic proposal rounds mirroring
+    algorithms/matching.py::maximal_matching: every alive vertex proposes to
+    its max-priority alive neighbour; mutual proposals match and leave.
+    Extra rounds are no-ops once no alive-alive edge remains (fixpoint)."""
+    parts = [
+        f"al0 AS (SELECT vid, {_PRI_SQL} AS pri FROM verts),",
+        "mt0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE 1 = 0),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""pr{k} AS (
+  SELECT s.t AS vid, arg_max(s.s, a.pri) AS pick
+  FROM sym s JOIN al{k} a ON a.vid = s.s JOIN al{k} b ON b.vid = s.t
+  GROUP BY s.t),
+mu{k} AS (
+  SELECT p.vid AS a, p.pick AS b
+  FROM pr{k} p JOIN pr{k} q ON q.vid = p.pick AND q.pick = p.vid
+  WHERE p.vid < p.pick),
+mt{k + 1} AS (SELECT a, b FROM mt{k} UNION ALL SELECT a, b FROM mu{k}),
+al{k + 1} AS (
+  SELECT a.vid, a.pri FROM al{k} a
+  WHERE a.vid NOT IN (SELECT a FROM mu{k})
+    AND a.vid NOT IN (SELECT b FROM mu{k})),"""
+        )
+    return "\n".join(parts)
+
+
+def _maximal_matching_sql(rounds: int) -> str:
+    return (
+        f"WITH {_SQL_BASE},\n"
+        + _matching_rounds_sql(rounds).rstrip(",")
+        + f"\nSELECT a, b FROM mt{rounds}"
+    )
+
+
+def _min_edge_cover_sql(rounds: int) -> str:
+    """Matching rounds + one edge per exposed non-isolated vertex to its
+    max-priority neighbour (algorithms/matching.py::min_edge_cover)."""
+    return f"""WITH {_SQL_BASE},
+{_matching_rounds_sql(rounds)}
+cov AS (SELECT a AS vid FROM mt{rounds} UNION SELECT b AS vid FROM mt{rounds}),
+expick AS (
+  SELECT s.t AS vid, arg_max(s.s, a.pri) AS pick
+  FROM sym s JOIN al0 a ON a.vid = s.s
+  WHERE s.t NOT IN (SELECT vid FROM cov)
+  GROUP BY s.t)
+SELECT DISTINCT a, b FROM (
+  SELECT a, b FROM mt{rounds}
+  UNION ALL
+  SELECT LEAST(vid, pick) AS a, GREATEST(vid, pick) AS b FROM expick) t
+"""
+
+
+def _min_dominating_sql(rounds: int) -> str:
+    """Unrolled 2-hop-local greedy mirroring
+    algorithms/matching.py::min_dominating_set; the (residual-coverage, vid)
+    pair is packed into cnt*2^32+vid — the Spark side compares the pair as
+    a struct, which orders identically for 0 <= vid < 2^32 (the gate
+    doc_id range; full-range engine vids would overflow this packing,
+    which is why the Spark side doesn't use it)."""
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "ud0 AS (SELECT vid FROM verts),",
+        "ch0 AS (SELECT CAST(NULL AS BIGINT) AS vid WHERE 1 = 0),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""eu{k} AS (
+  SELECT s.s, s.t FROM sym s
+  JOIN ud{k} a ON a.vid = s.s JOIN ud{k} b ON b.vid = s.t),
+vl{k} AS (
+  SELECT u.vid, COALESCE(c.cnt, 0) * {1 << 32} + u.vid AS pv
+  FROM ud{k} u LEFT JOIN (
+    SELECT t AS vid, CAST(COUNT(*) AS BIGINT) AS cnt FROM eu{k} GROUP BY t
+  ) c ON c.vid = u.vid),
+h{k}a AS (
+  SELECT h.vid, GREATEST(h.pv, COALESCE(m.nmax, -1)) AS pv
+  FROM vl{k} h LEFT JOIN (
+    SELECT e.t AS vid, MAX(g.pv) AS nmax
+    FROM eu{k} e JOIN vl{k} g ON g.vid = e.s GROUP BY e.t
+  ) m ON m.vid = h.vid),
+h{k}b AS (
+  SELECT h.vid, GREATEST(h.pv, COALESCE(m.nmax, -1)) AS pv
+  FROM h{k}a h LEFT JOIN (
+    SELECT e.t AS vid, MAX(g.pv) AS nmax
+    FROM eu{k} e JOIN h{k}a g ON g.vid = e.s GROUP BY e.t
+  ) m ON m.vid = h.vid),
+wn{k} AS (
+  SELECT v.vid FROM vl{k} v JOIN h{k}b m ON m.vid = v.vid WHERE v.pv = m.pv),
+ch{k + 1} AS (SELECT vid FROM ch{k} UNION ALL SELECT vid FROM wn{k}),
+dm{k} AS (
+  SELECT DISTINCT s.t AS vid FROM sym s JOIN wn{k} w ON w.vid = s.s
+  UNION SELECT vid FROM wn{k}),
+ud{k + 1} AS (
+  SELECT u.vid FROM ud{k} u WHERE u.vid NOT IN (SELECT vid FROM dm{k})),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT vid FROM ch{rounds}"
+
+
+_CORENESS_PEELS = [(1, 4), (2, 4), (3, 4), (4, 4), (5, 120)]
+
+
+def _degeneracy_order_sql(rounds: int) -> str:
+    """Unrolled parallel peel at the global degeneracy (max coreness, itself
+    computed by nesting the coreness unroll — no pinned constant), mirroring
+    algorithms/ordering.py::degeneracy_order."""
+    parts = [
+        f"WITH {_SQL_BASE},",
+        _coreness_ctes(_CORENESS_PEELS) + ",",
+        "dgv AS (SELECT MAX(core) AS dg FROM corq),",
+        "rm0 AS (SELECT vid FROM verts),",
+        "od0 AS (SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS BIGINT) AS rank WHERE 1 = 0),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""rd{k} AS (
+  SELECT s.t AS vid, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM sym s JOIN rm{k} a ON a.vid = s.s JOIN rm{k} b ON b.vid = s.t
+  GROUP BY s.t),
+rv{k} AS (
+  SELECT r.vid FROM rm{k} r LEFT JOIN rd{k} d ON d.vid = r.vid
+  WHERE COALESCE(d.deg, 0) <= (SELECT dg FROM dgv)),
+od{k + 1} AS (
+  SELECT vid, rank FROM od{k}
+  UNION ALL SELECT vid, CAST({k + 1} AS BIGINT) AS rank FROM rv{k}),
+rm{k + 1} AS (
+  SELECT vid FROM rm{k} WHERE vid NOT IN (SELECT vid FROM rv{k})),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT vid, rank FROM od{rounds}"
+
+
+def _onion_layers_sql(rounds: int) -> str:
+    """Unrolled onion-layer peel (remove v iff #remaining nbrs with core ≥
+    core(v) is ≤ core(v)), coreness nested — mirrors
+    algorithms/ordering.py::onion_layers."""
+    parts = [
+        f"WITH {_SQL_BASE},",
+        _coreness_ctes(_CORENESS_PEELS) + ",",
+        "rm0 AS (SELECT vid, core FROM corq),",
+        "on0 AS (SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS BIGINT) AS layer WHERE 1 = 0),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""qd{k} AS (
+  SELECT s.t AS vid, CAST(COUNT(*) AS BIGINT) AS qdeg
+  FROM sym s
+  JOIN rm{k} a ON a.vid = s.s JOIN rm{k} b ON b.vid = s.t
+  WHERE a.core >= b.core
+  GROUP BY s.t),
+rv{k} AS (
+  SELECT r.vid FROM rm{k} r LEFT JOIN qd{k} q ON q.vid = r.vid
+  WHERE COALESCE(q.qdeg, 0) <= r.core),
+on{k + 1} AS (
+  SELECT vid, layer FROM on{k}
+  UNION ALL SELECT vid, CAST({k + 1} AS BIGINT) AS layer FROM rv{k}),
+rm{k + 1} AS (
+  SELECT r.vid, r.core FROM rm{k} r
+  WHERE r.vid NOT IN (SELECT vid FROM rv{k})),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT vid, layer FROM on{rounds}"
+
+
+# INDEPENDENT formulations (vs the engine's degree-ordered orientation):
+# canonical 6-edge join for 4-cliques; the co-degree identity
+# C4 = ½ Σ_{u<v} C(codeg(u,v), 2) for rectangles.
+_KCLIQUE4_SQL = f"""
+WITH {_SQL_BASE}
+SELECT CAST(COUNT(*) AS BIGINT) AS cliques4
+FROM und ab
+JOIN und ac ON ac.a = ab.a AND ac.b > ab.b
+JOIN und ad ON ad.a = ab.a AND ad.b > ac.b
+JOIN und bc ON bc.a = ab.b AND bc.b = ac.b
+JOIN und bd ON bd.a = ab.b AND bd.b = ad.b
+JOIN und cd ON cd.a = ac.b AND cd.b = ad.b
+"""
+
+_RECTANGLE_SQL = f"""
+WITH {_SQL_BASE},
+cod AS (
+  SELECT s1.t AS u, s2.t AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sym s1 JOIN sym s2 ON s2.s = s1.s AND s1.t < s2.t
+  GROUP BY s1.t, s2.t)
+SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT) AS rectangles
+FROM cod
+"""
+
+
+# bcc / cut_points run on the same deterministically thinned subgraph as
+# `bridges` (the full doc-graph is 2-edge-connected — no bridges, few cut
+# vertices); oracles are INDEPENDENT of the engine's BFS-forest +
+# fundamental-cycle covering: per-vertex-removal reachability classes
+# (adjacent edges {v,x},{v,y} share a block iff x ~ y in G − v; blocks are
+# the transitive closure of that relation over the edge-adjacency graph).
+_NCLS_CTES = """
+nbr AS (SELECT s AS v, t AS x FROM sym),
+nc(v, x, w) AS (
+  SELECT v, x, x FROM nbr
+  UNION
+  SELECT n.v, n.x, s.t FROM nc n JOIN sym s ON s.s = n.w AND s.t <> n.v
+),
+cls AS (SELECT v, x, MIN(w) AS c FROM nc GROUP BY v, x)
+"""
+
+_CUT_POINTS_SQL = f"""
+WITH RECURSIVE {_BRIDGES_BASE},
+{_NCLS_CTES}
+SELECT v AS vid FROM cls GROUP BY v HAVING COUNT(DISTINCT c) > 1
+"""
+
+_BCC_SQL = f"""
+WITH RECURSIVE {_BRIDGES_BASE},
+{_NCLS_CTES},
+keyed AS (SELECT a, b, CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR) AS k FROM und),
+epairs AS (
+  SELECT k1.k AS e1, k2.k AS e2
+  FROM cls c1
+  JOIN cls c2 ON c2.v = c1.v AND c1.x < c2.x AND c1.c = c2.c
+  JOIN keyed k1 ON k1.a = LEAST(c1.v, c1.x) AND k1.b = GREATEST(c1.v, c1.x)
+  JOIN keyed k2 ON k2.a = LEAST(c2.v, c2.x) AND k2.b = GREATEST(c2.v, c2.x)),
+esym AS (SELECT e1, e2 FROM epairs UNION SELECT e2 AS e1, e1 AS e2 FROM epairs),
+reach2(e, w) AS (
+  SELECT k, k FROM keyed
+  UNION
+  SELECT r.e, s.e2 FROM reach2 r JOIN esym s ON s.e1 = r.w
+),
+blk AS (SELECT e, MIN(w) AS block FROM reach2 GROUP BY e)
+SELECT k.a, k.b, b.block FROM keyed k JOIN blk b ON b.e = k.k
 """
 
 
@@ -1374,13 +1628,7 @@ def _q_mis(spark, sf_dir):
 def _q_bridges(spark, sf_dir):
     from graphscope_spark.algorithms.bridges import bridges
 
-    g = _graph(spark, sf_dir)
-    g = LinkGraph(
-        vertices=g.vertices,
-        edges=g.edges.where(F.pmod(F.col("src") + F.col("dst"), F.lit(3)) != 0),
-        num_partitions=g.num_partitions,
-    )
-    return bridges(g)
+    return bridges(_thinned_graph(spark, sf_dir))
 
 
 def _q_all_simple_paths(spark, sf_dir):
@@ -1396,22 +1644,18 @@ def _q_pagerank_csv(spark, sf_dir):
     oracle identical to `pagerank` because the graph is identical (every
     vertex appears as a source, so the endpoint-derived vertex set is
     complete)."""
-    import csv
-    import os
     import tempfile
 
     from graphscope_spark.algorithms import pagerank
     from graphscope_spark.graph import from_edge_df
     from graphscope_spark.sources import read_edge_csv
 
-    rows = sorted(
-        (r["src"], r["dst"]) for r in edges_from_documents(spark, sf_dir).collect()
-    )
-    path = os.path.join(tempfile.gettempdir(), "gs_spark_gate_edges.csv")
-    with open(path, "w", newline="") as f:
-        w = csv.writer(f, delimiter="|")
-        w.writerow(["src", "dst"])
-        w.writerows(rows)
+    # Per-run temp dir (concurrent gate runs must not clobber each other) and
+    # a distributed write — never an O(E) driver-side collect.
+    path = tempfile.mkdtemp(prefix="gs_spark_gate_edges_")
+    edges_from_documents(spark, sf_dir).write.mode("overwrite").option(
+        "header", True
+    ).option("delimiter", "|").csv(path)
     edges = read_edge_csv(spark, path, header=True, delimiter="|")
     g = from_edge_df(edges, num_partitions=NUM_PARTITIONS)
     res = pagerank(g, alpha=0.85, max_rounds=20, tol=0.0)
@@ -1496,6 +1740,69 @@ def _q_is_simple_path(spark, sf_dir):
     return spark.createDataFrame(rows, "path_id long, is_path long")
 
 
+def _thinned_graph(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.where(F.pmod(F.col("src") + F.col("dst"), F.lit(3)) != 0),
+        num_partitions=g.num_partitions,
+    )
+
+
+def _q_cut_points(spark, sf_dir):
+    from graphscope_spark.algorithms.bcc import cut_points
+
+    return cut_points(_thinned_graph(spark, sf_dir))
+
+
+def _q_bcc(spark, sf_dir):
+    from graphscope_spark.algorithms.bcc import bcc
+
+    return bcc(_thinned_graph(spark, sf_dir))
+
+
+def _q_maximal_matching(spark, sf_dir):
+    from graphscope_spark.algorithms.matching import maximal_matching
+
+    return maximal_matching(_graph(spark, sf_dir))
+
+
+def _q_min_edge_cover(spark, sf_dir):
+    from graphscope_spark.algorithms.matching import min_edge_cover
+
+    return min_edge_cover(_graph(spark, sf_dir))
+
+
+def _q_min_dominating_set(spark, sf_dir):
+    from graphscope_spark.algorithms.matching import min_dominating_set
+
+    return min_dominating_set(_graph(spark, sf_dir))
+
+
+def _q_degeneracy_order(spark, sf_dir):
+    from graphscope_spark.algorithms.ordering import degeneracy_order
+
+    return degeneracy_order(_graph(spark, sf_dir))
+
+
+def _q_onion_layers(spark, sf_dir):
+    from graphscope_spark.algorithms.ordering import onion_layers
+
+    return onion_layers(_graph(spark, sf_dir))
+
+
+def _q_kclique4(spark, sf_dir):
+    from graphscope_spark.algorithms.subgraph import kclique4_count
+
+    return kclique4_count(_graph(spark, sf_dir))
+
+
+def _q_rectangles(spark, sf_dir):
+    from graphscope_spark.algorithms.subgraph import rectangle_count
+
+    return rectangle_count(_graph(spark, sf_dir))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from graphscope_spark.datapipe import exact_dedup
 
@@ -1557,17 +1864,21 @@ def _q_ann_lsh(spark, sf_dir):
     exact.unpersist()
     recall = hit / total if total else 0.0
     return spark.createDataFrame(
-        [(round(recall, 6), 1 if recall >= 0.8 else 0)],
-        "recall double, recall_ok long",
+        [(1 if recall >= 0.8 else 0,)],
+        "recall_ok long",
     )
 
 
 _ANN_LSH_SQL = """
--- Golden: recall@5 of the deterministic LSH path vs exact at this SF
--- (PCG64 hyperplanes are a pure function of (num_planes, dim), so the
--- value is reproducible on any cluster size). Regenerate if LSH params
--- or the plane seed change.
-SELECT 0.872 AS recall, CAST(1 AS BIGINT) AS recall_ok
+-- The gate asserts the recall@5 >= 0.8 BIT, not the raw recall value: the
+-- value (0.872 measured at sf0.01, dim=64, num_planes=24, bands=8, PCG64
+-- hyperplanes seeded by (num_planes, dim)) is deterministic but shifts
+-- whenever any of those parameters changes — pinning it would turn a
+-- parameter tweak into a misleading 'wrong recall' diff. The >=0.8 bit is
+-- the operator's actual contract (tests/test_datapipe.py pins the same
+-- threshold); the recall computation itself runs in-engine on the Spark
+-- side against the exact cosine_topk verifier.
+SELECT CAST(1 AS BIGINT) AS recall_ok
 """
 
 
@@ -1801,6 +2112,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": _q_louvain,
         "attribute_assortativity": _q_attr_assortativity,
         "diameter_approx": _q_diameter,
+        # connectivity structure on the thinned subgraph
+        "cut_points": _q_cut_points,
+        "bcc": _q_bcc,
+        # matching / ordering / subgraph counting
+        "maximal_matching": _q_maximal_matching,
+        "min_edge_cover": _q_min_edge_cover,
+        "min_dominating_set": _q_min_dominating_set,
+        "degeneracy_order": _q_degeneracy_order,
+        "onion_layers": _q_onion_layers,
+        "kclique4": _q_kclique4,
+        "rectangles": _q_rectangles,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
@@ -1892,6 +2214,20 @@ def _raw_oracle_sql() -> dict[str, str]:
         ),
         "attribute_assortativity": _ATTR_ASSORT_SQL,
         "diameter_approx": _diameter_sql(12),
+        "cut_points": _CUT_POINTS_SQL,
+        "bcc": _BCC_SQL,
+        # matching rounds converge in ~O(log n); dominating/peel rounds
+        # measured at sf0.01 with margin — extra unrolled rounds are no-ops
+        # (fixpoint-tested in tests/test_matching_ordering.py)
+        "maximal_matching": _maximal_matching_sql(15),
+        "min_edge_cover": _min_edge_cover_sql(15),
+        "min_dominating_set": _min_dominating_sql(12),
+        # both peel cascades bottom out at 112 rounds at sf0.01 (measured);
+        # extra rounds are no-ops, fixpoint-tested
+        "degeneracy_order": _degeneracy_order_sql(130),
+        "onion_layers": _onion_layers_sql(130),
+        "kclique4": _KCLIQUE4_SQL,
+        "rectangles": _RECTANGLE_SQL,
         "sssp_average_length": _bellman_sql(
             200, "(src + dst) % 10 + 1", 0, "dist"
         ).replace(

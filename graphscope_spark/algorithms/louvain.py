@@ -184,6 +184,7 @@ def louvain(
     )
     m2 = sym.agg(F.sum("w")).collect()[0][0] or 0.0
     if m2 == 0.0:
+        sym.unpersist()
         return graph.vertices.select("vid", F.col("vid").alias("comm"))
 
     cur_verts = graph.vertices.select("vid")

@@ -1,0 +1,179 @@
+"""Matching family — maximal matching, minimum edge cover, greedy minimum
+dominating set.
+
+Reference semantics:
+
+* `apps/flash/matching/mm.h` (`/root/reference/analytical_engine/apps/flash/
+  matching/mm.h:63-76`) — rounds of "propose to the extremal unmatched
+  neighbor; an edge matches iff the proposals are mutual"; winners leave.
+  The reference proposes to the MAX VERTEX ID; id-ordered proposals
+  serialize id-monotone chains into O(n) rounds, so (exactly as in
+  `algorithms/mis.py`) the proposal order here is the portable 60-bit hash
+  priority — deterministic, oracle-reproducible in DuckDB, and O(log n)
+  rounds w.h.p. like a random permutation.
+* `apps/flash/matching/min-edge-cover.h` — a minimum edge cover is a
+  maximal matching plus one incident edge for every exposed non-isolated
+  vertex (König/Gallai: |min edge cover| = n − |maximum matching|; with a
+  maximal matching this is the standard 3/2-approximation).
+* `apps/flash/matching/min-dominating-set.h:54-100` — greedy: each round
+  every undominated vertex whose (residual-coverage, id) pair is the strict
+  maximum within its undominated 2-hop neighbourhood joins the set and
+  dominates its closed neighbourhood; repeat until every vertex is
+  dominated. Residual coverage = number of undominated neighbours.
+
+All three are deterministic and therefore carry exact unrolled-round DuckDB
+oracles in `__spark_entry__.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.algorithms.mis import _priority
+
+
+def maximal_matching(graph: LinkGraph, max_rounds: int = 100) -> DataFrame:
+    """(a, b) with a<b — a maximal matching of the undirected simple graph.
+
+    Round: every unmatched vertex proposes to its maximum-priority unmatched
+    neighbour; an edge joins the matching iff the proposals are mutual. The
+    globally max-priority vertex with any unmatched neighbour always forms a
+    mutual pair, so every round matches ≥1 edge; with hash priorities the
+    expected round count is O(log n). Each round is two shuffles: one
+    max_by partial aggregate for the proposals, one self-join for the
+    mutual check — hub vertices cost a map-side combine, never a gather.
+    """
+    und = graph.undirected_edges(drop_self_loops=True).persist()
+    und.count()
+    alive = graph.vertices.select(
+        "vid", _priority(F.col("vid")).alias("pri")
+    ).transform(truncate_plan)
+    spark = graph.vertices.sparkSession
+    matched = spark.createDataFrame([], "a long, b long")
+    for _ in range(max_rounds):
+        # drop vertices with no alive neighbour — they can never match
+        e_a = (
+            und.join(alive.select(F.col("vid").alias("src"), F.col("pri").alias("spri")), "src")
+            .join(alive.select(F.col("vid").alias("dst")), "dst")
+        )
+        # proposal: max-priority alive neighbour of each alive vertex
+        prop = e_a.groupBy(F.col("dst").alias("vid")).agg(
+            F.max_by("src", "spri").alias("pick")
+        )
+        if prop.count() == 0:
+            break
+        mutual = (
+            prop.alias("p")
+            .join(
+                prop.select(F.col("vid").alias("pick"), F.col("pick").alias("vid2")).alias("q"),
+                "pick",
+            )
+            .where(F.col("vid2") == F.col("vid"))
+            .where(F.col("vid") < F.col("pick"))
+            .select(F.col("vid").alias("a"), F.col("pick").alias("b"))
+            .transform(truncate_plan)
+        )
+        matched = matched.unionByName(mutual).transform(truncate_plan)
+        winners = mutual.select(F.col("a").alias("vid")).unionByName(
+            mutual.select(F.col("b").alias("vid"))
+        )
+        alive = alive.join(winners, "vid", "anti").transform(truncate_plan)
+    und.unpersist()
+    return matched
+
+
+def min_edge_cover(graph: LinkGraph, max_rounds: int = 100) -> DataFrame:
+    """(a, b) with a<b — an edge cover: maximal matching plus, for every
+    exposed non-isolated vertex, the edge to its maximum-priority neighbour
+    (deterministic). Isolated vertices are uncoverable and skipped."""
+    m = maximal_matching(graph, max_rounds).persist()
+    m.count()
+    und = graph.undirected_edges(drop_self_loops=True)
+    covered = m.select(F.col("a").alias("vid")).unionByName(
+        m.select(F.col("b").alias("vid"))
+    )
+    pri = und.join(
+        graph.vertices.select(
+            F.col("vid").alias("src"), _priority(F.col("vid")).alias("spri")
+        ),
+        "src",
+    )
+    exposed_pick = (
+        pri.join(covered.withColumnRenamed("vid", "dst"), "dst", "anti")
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.max_by("src", "spri").alias("pick"))
+        .select(F.least("vid", "pick").alias("a"), F.greatest("vid", "pick").alias("b"))
+    )
+    out = m.unionByName(exposed_pick).distinct()
+    m.unpersist()
+    return out
+
+
+def min_dominating_set(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
+    """(vid) — greedy minimum dominating set (reference
+    `min-dominating-set.h` semantics: 2-hop-local greedy by
+    (residual-coverage, vid), winners dominate their closed
+    neighbourhood).
+
+    Each round is three edge-join + partial-aggregate shuffles over the
+    shrinking undominated subgraph: one to count residual coverage, two to
+    propagate the (cnt, vid) max over the 2-hop neighbourhood. The pair is
+    a struct compared lexicographically, so the max is a plain partial
+    aggregate and safe for full-range 64-bit vids (a cnt·2³² + vid BIGINT
+    packing would overflow under ANSI mode); the DuckDB oracle keeps the
+    packed expression, whose order is identical for 0 ≤ vid < 2³² — the
+    gate doc_id range."""
+    und = graph.undirected_edges(drop_self_loops=True).persist()
+    und.count()
+    undom = graph.vertices.select("vid").transform(truncate_plan)
+    spark = graph.vertices.sparkSession
+    chosen = spark.createDataFrame([], "vid long")
+    pack = lambda cnt, vid: F.struct(cnt.alias("c"), vid.alias("v"))  # noqa: E731
+    for _ in range(max_rounds):
+        if undom.count() == 0:
+            break
+        # residual coverage: # undominated neighbours (undominated self adds
+        # nothing to the ORDER, it is common to all competitors at v)
+        e_u = und.join(undom.withColumnRenamed("vid", "src"), "src").join(
+            undom.withColumnRenamed("vid", "dst"), "dst"
+        )
+        cnt = e_u.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("cnt"))
+        val = (
+            undom.join(cnt, "vid", "left")
+            .select("vid", pack(F.coalesce(F.col("cnt"), F.lit(0)), F.col("vid")).alias("pv"))
+            .transform(truncate_plan)
+        )
+        # two rounds of neighbour-max over the undominated subgraph → 2-hop max
+        hop = val
+        for _h in range(2):
+            nbr_max = (
+                e_u.join(hop.select(F.col("vid").alias("src"), F.col("pv").alias("spv")), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.max("spv").alias("nmax"))
+            )
+            # greatest() skips NULLs, so vertices with no undominated
+            # neighbour keep their own pv
+            hop = (
+                hop.join(nbr_max, "vid", "left")
+                .select("vid", F.greatest("pv", "nmax").alias("pv"))
+                .transform(truncate_plan)
+            )
+        winners = (
+            val.join(hop.withColumnRenamed("pv", "mx"), "vid")
+            .where(F.col("pv") == F.col("mx"))
+            .select("vid")
+            .transform(truncate_plan)
+        )
+        chosen = chosen.unionByName(winners).transform(truncate_plan)
+        dominated = (
+            und.join(winners.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+            .unionByName(winners)
+        )
+        undom = undom.join(dominated, "vid", "anti").transform(truncate_plan)
+    und.unpersist()
+    return chosen

@@ -22,15 +22,20 @@ from graphscope_spark.bsp import truncate_plan
 from graphscope_spark.datapipe.hashing import portable_hash60
 from graphscope_spark.graph import LinkGraph
 
-# priority = (hash mod 2^40) * 2^20 + vid — unique, fits a BIGINT, and the
-# identical expression exists in SQL for the oracle (vid < 2^20 assumed at
-# gate scale; collisions above that only risk extra rounds, not wrong sets)
-_PRI_SHIFT = 1 << 20
+# priority = struct(hash mod 2^40, vid) compared lexicographically — unique
+# for ANY 64-bit vid with no arithmetic (the former (h·2²⁰ + vid) BIGINT
+# packing overflows under ANSI mode once vids are full-range xxhash64).
+# The gate oracle keeps the packed SQL expression: for 0 ≤ vid < 2^20 the
+# packed order and this struct order are identical, and gate doc_ids are
+# exactly that range.
 _PRI_MOD = 1 << 40
 
 
 def _priority(vid_col):
-    return F.pmod(portable_hash60(vid_col.cast("string")), F.lit(_PRI_MOD)) * _PRI_SHIFT + vid_col
+    return F.struct(
+        F.pmod(portable_hash60(vid_col.cast("string")), F.lit(_PRI_MOD)).alias("h"),
+        vid_col.alias("v"),
+    )
 
 
 def maximal_independent_set(graph: LinkGraph, max_rounds: int = 100) -> DataFrame:

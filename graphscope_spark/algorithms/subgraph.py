@@ -1,0 +1,111 @@
+"""Subgraph counting — 4-cliques and rectangles (C4), degree-ordered.
+
+Reference semantics: `apps/flash/subgraph/k-clique.h`
+(`/root/reference/analytical_engine/apps/flash/subgraph/k-clique.h:50-95`)
+and `rectangle.h` (`.../subgraph/rectangle.h:50-80`) — both orient every
+undirected edge from the smaller to the larger endpoint under the total
+order ``(deg, id)`` (the same orientation as `algorithms/triangles.py`,
+which bounds each out-neighbourhood by O(√m) and kills hub skew), then:
+
+* **4-cliques**: a 4-clique's two orientation-minimal vertices (u, v) form
+  an oriented edge whose oriented common neighbourhood contains the other
+  two corners, which must themselves be adjacent — so count pairs (w₁, w₂)
+  from each oriented edge's sorted-intersection that are edges. Each
+  4-clique is counted exactly once (from its unique minimal oriented edge).
+* **rectangles** (4-cycles): each C4 is counted exactly once at the
+  diagonal (v, o) where o is the orientation-MAX corner: a wedge table
+  W(v, o) = #{mid u : {v,u} ∈ E, u→o oriented} restricted to o > v in the
+  order gives Σ C(W, 2) = the rectangle count (mids of a max-rooted
+  diagonal are always oriented into o; any other diagonal contributes <2
+  valid mids).
+
+The DuckDB oracles in `__spark_entry__.py` are INDEPENDENT formulations
+(6-way canonical edge join for 4-cliques; the co-degree identity
+C4 = ½·Σ_{u<v} C(codeg(u,v), 2) for rectangles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph, sorted_adjacency
+
+
+def _closed_triangles(graph: LinkGraph):
+    """(u, v, ws) — oriented edges with their oriented common
+    neighbourhoods (the triangle kernel of `algorithms/triangles.py`),
+    plus the oriented edge DataFrame itself."""
+    from graphscope_spark.algorithms.triangles import _oriented, _sorted_intersect
+
+    P = graph.num_partitions
+    oriented, _ = _oriented(graph)
+    oriented = oriented.persist()
+    adj = sorted_adjacency(
+        oriented.select(F.col("u").alias("src"), F.col("v").alias("dst")), P
+    )
+    adj_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    adj_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    closed = (
+        oriented.join(adj_u, "u")
+        .join(adj_v, "v")
+        .select("u", "v", _sorted_intersect("nbrs_u", "nbrs_v").alias("ws"))
+        .where(F.size("ws") > 1)
+    )
+    return closed, oriented
+
+
+def kclique4_count(graph: LinkGraph) -> DataFrame:
+    """One row (cliques4 bigint) — the number of 4-cliques."""
+    closed, oriented = _closed_triangles(graph)
+    # pairs within each oriented common neighbourhood; |ws| ≤ oriented
+    # out-degree = O(√m), so the pair fan-out is the intrinsic
+    # 4-clique-candidate count, never a hub blow-up
+    pairs = (
+        closed.select("u", "v", F.posexplode("ws").alias("i", "w1"))
+        .join(
+            closed.select("u", "v", F.posexplode("ws").alias("j", "w2")),
+            ["u", "v"],
+        )
+        .where(F.col("i") < F.col("j"))
+        .select(F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b"))
+    )
+    und = graph.undirected_edges(drop_self_loops=True).where(
+        F.col("src") < F.col("dst")
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    cnt = pairs.join(und, ["a", "b"], "semi").agg(
+        F.count("*").cast("long").alias("cliques4")
+    )
+    oriented.unpersist()
+    return cnt
+
+
+def rectangle_count(graph: LinkGraph) -> DataFrame:
+    """One row (rectangles bigint) — the number of 4-cycles (C4)."""
+    deg = graph.degrees()
+    # orientation key: struct(deg, vid) compared lexicographically — any
+    # strict total order works for the count; a BIGINT packing would
+    # overflow under ANSI mode for full-range 64-bit vids
+    okey = F.struct(F.col("deg").alias("d"), F.col("vid").alias("v")).alias("okey")
+    keys = deg.select("vid", okey)
+    sym = graph.undirected_edges(drop_self_loops=True)
+    oriented = (
+        sym.join(keys.select(F.col("vid").alias("src"), F.col("okey").alias("ks")), "src")
+        .join(keys.select(F.col("vid").alias("dst"), F.col("okey").alias("kd")), "dst")
+        .where(F.col("ks") < F.col("kd"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("o"), F.col("kd").alias("ko"))
+    )
+    # wedge v — u — o with u→o oriented and okey(o) > okey(v)
+    wedges = (
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .join(keys.select(F.col("vid").alias("v"), F.col("okey").alias("kv")), "v")
+        .join(oriented, "u")
+        .where((F.col("ko") > F.col("kv")) & (F.col("v") != F.col("o")))
+        .groupBy("v", "o")
+        .agg(F.count("*").alias("c"))
+    )
+    return wedges.agg(
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0))
+        .cast("long")
+        .alias("rectangles")
+    )

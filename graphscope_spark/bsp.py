@@ -264,6 +264,14 @@ def run_bsp(
         if converged_fn(scalar, rnd):
             converged = True
             break
+    # If the loop exited between truncation points, earlier states are still
+    # referenced by the final state's lineage — sever it once, then release
+    # them (otherwise they leak in the session CacheManager).
+    if pending_unpersist:
+        state = state.localCheckpoint(eager=True)
+        for st in pending_unpersist:
+            st.unpersist()
+        pending_unpersist.clear()
     # Mark final only on true convergence: a max_rounds-bounded run must stay
     # resumable with a larger budget (e.g. PageRank stopped early by budget).
     if checkpoint_dir and converged:

@@ -51,29 +51,40 @@ def cosine_topk(
     vec_col: str = "embedding",
     block_threshold: int = 100_000,
     strategy: str = "auto",
+    block_bytes: int = 512 * 2**20,
 ) -> DataFrame:
     """Exact top-k neighbors per vector: (id, nbr, sim), ties broken by
     smaller nbr id; self excluded.
 
-    When the corpus side fits in a broadcast (≤ ``block_threshold`` rows),
-    uses a **block matmul**: the full (id, vec) matrix is broadcast once and
-    each Arrow batch of queries does one NumPy GEMM + argpartition — ~20×
-    the Catalyst fold's throughput. Above the threshold ``strategy='auto'``
-    REFUSES rather than silently degrading to the O(n²) cross join —
-    ``lsh_ann_topk`` is the scale path (with this operator as its
-    bucket-local verifier). Pass ``strategy='crossjoin'`` to force the
-    brute-force plan knowingly."""
+    When the corpus side fits in a broadcast (≤ ``block_threshold`` rows AND
+    ≤ ``block_bytes`` of float64 matrix — row count alone is meaningless at
+    production embedding dims: 100k × 4096 float64 is a 3 GB driver
+    collect), uses a **block matmul**: the full (id, vec) matrix is
+    broadcast once and each Arrow batch of queries does one NumPy GEMM +
+    argpartition — ~20× the Catalyst fold's throughput. Outside those
+    bounds ``strategy='auto'`` (and ``'blocked'``) REFUSES rather than
+    silently degrading — ``lsh_ann_topk`` is the scale path (with this
+    operator as its bucket-local verifier). Pass ``strategy='crossjoin'``
+    to force the brute-force distributed plan knowingly.
+
+    NOTE (API change vs r1): 'auto' used to silently fall back to the
+    O(n²) cross join above the threshold; it now raises ValueError."""
     if strategy == "crossjoin":
         return _cosine_topk_crossjoin(emb, k, id_col, vec_col)
     if strategy not in ("auto", "blocked"):
         raise ValueError(f"unknown strategy {strategy!r}")
     n = emb.count()
-    if n <= block_threshold or strategy == "blocked":
+    first = emb.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    mat_bytes = n * dim * 8
+    if n <= block_threshold and mat_bytes <= block_bytes:
         return _cosine_topk_blocked(emb, k, id_col, vec_col)
     raise ValueError(
-        f"cosine_topk: corpus has {n} rows > block_threshold={block_threshold}; "
-        "exact brute force is O(n²) at this size. Use lsh_ann_topk for the "
-        "approximate scale path, or pass strategy='crossjoin' explicitly."
+        f"cosine_topk: corpus is {n} rows × dim {dim} ≈ {mat_bytes / 2**20:.0f} MiB "
+        f"(limits: {block_threshold} rows, {block_bytes / 2**20:.0f} MiB); exact "
+        "brute force does not fit the broadcast-GEMM path at this size. Use "
+        "lsh_ann_topk for the approximate scale path, or pass "
+        "strategy='crossjoin' explicitly."
     )
 
 
@@ -93,7 +104,14 @@ def _cosine_topk_crossjoin(emb, k, id_col, vec_col) -> DataFrame:
 
 def _cosine_topk_blocked(emb, k, id_col, vec_col) -> DataFrame:
     """Broadcast corpus matrix + per-batch NumPy GEMM. Exact; identical
-    ranking rule (round(sim, 9) desc, nbr asc)."""
+    ranking rule (round(sim, 9) desc, nbr asc).
+
+    Top-k selection is fully vectorized over the batch: the (key, id-rank)
+    lexicographic order is packed into ONE int64 composite per cell —
+    round(sim,9)·10⁹ fits 31 bits, the id-rank complement fits 21 — so a
+    single ``np.argpartition`` + small per-row argsort selects and orders
+    the winners with exact tie-breaks (the previous per-row full
+    ``np.lexsort`` was O(B·N log N) Python-loop work)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -102,6 +120,9 @@ def _cosine_topk_blocked(emb, k, id_col, vec_col) -> DataFrame:
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["vec"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
+    # composite packing needs id-rank < 2^21; the byte/row guards keep the
+    # broadcast corpus far below that (2M rows)
+    assert len(ids) < (1 << 21), "blocked path corpus exceeds composite-key bound"
     spark = emb.sparkSession
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
@@ -117,28 +138,41 @@ def _cosine_topk_blocked(emb, k, id_col, vec_col) -> DataFrame:
 
     def batches(it):
         ids_all, mat_all, norms_all = b_ids.value, b_mat.value, b_norms.value
+        n_corpus = len(ids_all)
+        if n_corpus <= 1:
+            return
         pos = {int(v): i for i, v in enumerate(ids_all)}
+        # rank of each corpus column in ascending-id order (ties → asc id)
+        order_rank = np.empty(n_corpus, dtype=np.int64)
+        order_rank[np.argsort(ids_all, kind="stable")] = np.arange(n_corpus)
+        rank_comp = ((1 << 21) - 1 - order_rank)[None, :]
+        kk = min(k, n_corpus - 1)
+        neg_inf = np.iinfo(np.int64).min
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             q = np.array(list(pdf["vec"]), dtype=np.float64)
             qn = np.linalg.norm(q, axis=1)
             sims = (q @ mat_all.T) / (qn[:, None] * norms_all[None, :])
-            out_id, out_nbr, out_sim = [], [], []
-            for r, qid in enumerate(pdf["id"].to_numpy()):
-                row = sims[r]
-                self_i = pos.get(int(qid))
-                # rank by (round(sim,9) desc, nbr asc), excluding self
-                order = np.lexsort((ids_all, -np.round(row, 9)))
-                taken = 0
-                for j in order:
-                    if j == self_i:
-                        continue
-                    out_id.append(int(qid))
-                    out_nbr.append(int(ids_all[j]))
-                    out_sim.append(float(row[j]))
-                    taken += 1
-                    if taken >= k:
-                        break
-            yield pd.DataFrame({"id": out_id, "nbr": out_nbr, "sim": out_sim})
+            key9 = np.rint(
+                np.nan_to_num(sims, nan=-2.0, posinf=2.0, neginf=-2.0) * 1e9
+            ).astype(np.int64)
+            comp = key9 * (1 << 21) + rank_comp
+            qids = pdf["id"].to_numpy()
+            self_idx = np.array([pos.get(int(x), -1) for x in qids], dtype=np.int64)
+            has_self = self_idx >= 0
+            comp[np.nonzero(has_self)[0], self_idx[has_self]] = neg_inf
+            part = np.argpartition(comp, n_corpus - kk, axis=1)[:, n_corpus - kk :]
+            vals = np.take_along_axis(comp, part, axis=1)
+            top = np.take_along_axis(part, np.argsort(-vals, axis=1), axis=1)
+            b = len(qids)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(qids, kk),
+                    "nbr": ids_all[top].ravel(),
+                    "sim": sims[np.repeat(np.arange(b), kk), top.ravel()],
+                }
+            )
 
     q = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"))
     return q.mapInPandas(batches, schema)

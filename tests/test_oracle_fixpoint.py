@@ -108,3 +108,20 @@ def test_diameter_unroll_is_fixpoint():
     at = con.execute(entry._materialize(entry._diameter_sql(12))).df()
     plus = con.execute(entry._materialize(entry._diameter_sql(13))).df()
     assert _eq(at, plus), "diameter oracle sweeps not converged at 12 rounds"
+
+
+@pytest.mark.parametrize(
+    "name,mk,rounds",
+    [
+        ("maximal_matching", lambda r: entry._maximal_matching_sql(r), 15),
+        ("min_edge_cover", lambda r: entry._min_edge_cover_sql(r), 15),
+        ("min_dominating_set", lambda r: entry._min_dominating_sql(r), 12),
+        ("degeneracy_order", lambda r: entry._degeneracy_order_sql(r), 130),
+        ("onion_layers", lambda r: entry._onion_layers_sql(r), 130),
+    ],
+)
+def test_matching_ordering_unrolls_are_fixpoints(name, mk, rounds):
+    con = _conn()
+    at = con.execute(entry._materialize(mk(rounds))).df()
+    plus = con.execute(entry._materialize(mk(rounds + 1))).df()
+    assert _eq(at, plus), f"{name} unroll not converged at {rounds} rounds"
