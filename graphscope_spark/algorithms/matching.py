@@ -15,6 +15,14 @@ Reference semantics:
   maximal matching plus one incident edge for every exposed non-isolated
   vertex (König/Gallai: |min edge cover| = n − |maximum matching|; with a
   maximal matching this is the standard 3/2-approximation).
+* `apps/flash/matching/min-cover.h:42-105` — two-phase greedy vertex
+  cover: (1) threshold halving — rounds with threshold n/2, n/4, … where
+  every remaining vertex whose residual degree (edges to not-yet-covered
+  neighbours) reaches the threshold joins the cover, and vertices whose
+  residual degree hits 0 drop out; (2) redundancy pruning — repeatedly
+  un-cover vertices all of whose neighbours are covered, removing only the
+  id-maxima among adjacent candidates each round so the cover property is
+  never violated.
 * `apps/flash/matching/min-dominating-set.h:54-100` — greedy: each round
   every undominated vertex whose (residual-coverage, id) pair is the strict
   maximum within its undominated 2-hop neighbourhood joins the set and
@@ -177,3 +185,69 @@ def min_dominating_set(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
         undom = undom.join(dominated, "vid", "anti").transform(truncate_plan)
     und.unpersist()
     return chosen
+
+
+def min_vertex_cover(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
+    """(vid) — greedy minimum vertex cover, reference `min-cover.h`
+    semantics (threshold-halving greedy + id-max redundancy pruning).
+
+    Phase 1 runs ≤ ⌈log₂ n⌉ + 1 rounds (the threshold halves every round
+    and at threshold 0 every remaining vertex with a live edge joins);
+    each round is one filter + one edge-join partial aggregate. Phase 2's
+    id-max rule mirrors the reference exactly (deterministic; adjacent
+    candidate chains serialize it, which is acceptable because redundant
+    cover vertices are rare after the greedy phase)."""
+    und = graph.undirected_edges(drop_self_loops=True).persist()
+    und.count()
+    n = graph.vertices.count()
+    # resid: uncovered vertices with >0 edges to uncovered neighbours
+    resid = (
+        und.groupBy(F.col("src").alias("vid"))
+        .agg(F.count("*").alias("d"))
+        .transform(truncate_plan)
+    )
+    spark = graph.vertices.sparkSession
+    cover = spark.createDataFrame([], "vid long")
+    nowd = n // 2
+    for _ in range(max_rounds):
+        if resid.isEmpty():
+            break
+        winners = resid.where(F.col("d") >= F.lit(nowd)).select("vid")
+        cover = cover.unionByName(winners).transform(truncate_plan)
+        dec = (
+            und.join(winners.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.count("*").alias("dec"))
+        )
+        resid = (
+            resid.join(winners, "vid", "anti")
+            .join(dec, "vid", "left")
+            .select("vid", (F.col("d") - F.coalesce("dec", F.lit(0))).alias("d"))
+            .where(F.col("d") > 0)
+            .transform(truncate_plan)
+        )
+        nowd = nowd // 2
+    # phase 2: drop redundant cover vertices (all neighbours covered),
+    # id-maxima among adjacent candidates only, until fixpoint
+    for _ in range(max_rounds):
+        uncovered_nbr = (
+            und.join(cover.withColumnRenamed("vid", "dst"), "dst", "anti")
+            .select(F.col("src").alias("vid"))
+            .distinct()
+        )
+        cand = cover.join(uncovered_nbr, "vid", "anti").transform(truncate_plan)
+        if cand.isEmpty():
+            break
+        higher_adj_cand = (
+            und.join(cand.withColumnRenamed("vid", "src"), "src")
+            .join(cand.withColumnRenamed("vid", "dst"), "dst")
+            .where(F.col("src") > F.col("dst"))
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+        )
+        removable = cand.join(higher_adj_cand, "vid", "anti")
+        if removable.isEmpty():
+            break
+        cover = cover.join(removable, "vid", "anti").transform(truncate_plan)
+    und.unpersist()
+    return cover

@@ -32,10 +32,12 @@ from pyspark.sql import functions as F
 from graphscope_spark.graph import LinkGraph, sorted_adjacency
 
 
-def _closed_triangles(graph: LinkGraph):
+def _closed_triangles(graph: LinkGraph, min_ws: int = 2):
     """(u, v, ws) — oriented edges with their oriented common
     neighbourhoods (the triangle kernel of `algorithms/triangles.py`),
-    plus the oriented edge DataFrame itself."""
+    plus the oriented edge DataFrame itself. ``min_ws=2`` (the 4-clique
+    default) keeps only edges that can anchor a candidate pair; pass 1 to
+    enumerate every triangle (motif counting)."""
     from graphscope_spark.algorithms.triangles import _oriented, _sorted_intersect
 
     P = graph.num_partitions
@@ -50,7 +52,7 @@ def _closed_triangles(graph: LinkGraph):
         oriented.join(adj_u, "u")
         .join(adj_v, "v")
         .select("u", "v", _sorted_intersect("nbrs_u", "nbrs_v").alias("ws"))
-        .where(F.size("ws") > 1)
+        .where(F.size("ws") >= min_ws)
     )
     return closed, oriented
 
@@ -108,4 +110,31 @@ def rectangle_count(graph: LinkGraph) -> DataFrame:
         F.coalesce(F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0))
         .cast("long")
         .alias("rectangles")
+    )
+
+
+def densest_subgraph(graph: LinkGraph) -> DataFrame:
+    """One row (density double, nv bigint, ne bigint) — reference
+    `densest-sub-2-approx.h:84-100`: the subgraph induced on the maximum-
+    coreness vertices; density = (# ordered adjacent pairs within it) / nv,
+    i.e. its average degree, a 2-approximation of the maximum average
+    degree. Coreness comes from the existing h-index iteration
+    (`algorithms/kcore.py::coreness`) — one extra induced-edge count."""
+    from graphscope_spark.algorithms.kcore import coreness
+
+    core = coreness(graph).persist()
+    cmax = core.agg(F.max("core")).collect()[0][0] or 0
+    members = core.where(F.col("core") == cmax).select("vid")
+    sym = graph.undirected_edges(drop_self_loops=True)
+    ne = (
+        sym.join(members.withColumnRenamed("vid", "src"), "src")
+        .join(members.withColumnRenamed("vid", "dst"), "dst")
+        .count()
+    )
+    nv = members.count()
+    core.unpersist()
+    spark = graph.vertices.sparkSession
+    return spark.createDataFrame(
+        [(float(ne) / nv if nv else 0.0, nv, ne)],
+        "density double, nv long, ne long",
     )

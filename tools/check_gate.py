@@ -75,6 +75,7 @@ def main():
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
     ap.add_argument("--oracle-only", action="store_true", help="just run the SQL")
+    ap.add_argument("--json", default="", help="write full result matrix to this path")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -97,6 +98,7 @@ def main():
         )
 
     n_ok = n_fail = 0
+    matrix: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -106,6 +108,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
+            matrix[name] = {"ok": False, "err": f"oracle SQL error: {e}"}
             continue
         if args.oracle_only:
             n = len(duck_df) if duck_df is not None else "(no oracle)"
@@ -116,17 +119,32 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
+            matrix[name] = {"ok": False, "err": f"spark error: {type(e).__name__}: {e}"}
             continue
         problems = compare(name, spark_df, duck_df) if duck_df is not None else []
+        dt = round(time.time() - t0, 1)
         if problems:
             n_fail += 1
-            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            print(f"FAIL {name} ({dt}s):")
             for p in problems:
                 print(f"   {p}")
+            matrix[name] = {"ok": False, "rows": len(spark_df),
+                            "oracle_rows": len(duck_df) if duck_df is not None else None,
+                            "problems": problems, "sec": dt}
         else:
             n_ok += 1
-            print(f"ok   {name}: {len(spark_df)} rows ({time.time()-t0:.1f}s)")
+            print(f"ok   {name}: {len(spark_df)} rows ({dt}s)")
+            matrix[name] = {"ok": True, "rows": len(spark_df),
+                            "oracle_rows": len(duck_df) if duck_df is not None else None,
+                            "sec": dt}
     print(f"\n{n_ok} ok, {n_fail} fail")
+    if args.json and not args.oracle_only:
+        import json as _json
+
+        Path(args.json).write_text(_json.dumps(
+            {"sf_dir": args.sf_dir, "ok": n_ok, "fail": n_fail, "queries": matrix},
+            indent=1))
+        print(f"wrote {args.json}")
     if spark:
         spark.stop()
     sys.exit(1 if n_fail else 0)
