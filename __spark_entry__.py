@@ -845,6 +845,21 @@ JOIN dd xs ON xs.dst = m.s
 JOIN dd xd ON xd.dst = m.d AND xd.src = xs.src
 """
 
+# ordered mutual pairs + completing cycle s→d→x→s (reference
+# cycle-plus-triangle.h counts both orders of each mutual pair; x ∉ {s, d}
+# falls out of dd's self-loop exclusion)
+_CYCLE_PLUS_SQL = f"""
+WITH {_SQL_BASE},
+{_DD_CTE},
+mutord AS (
+  SELECT d1.src AS s, d1.dst AS d FROM dd d1
+  JOIN dd d2 ON d2.src = d1.dst AND d2.dst = d1.src)
+SELECT CAST(COUNT(*) AS BIGINT) AS cycle_plus
+FROM mutord m
+JOIN dd dx ON dx.src = m.d
+JOIN dd xs ON xs.src = dx.dst AND xs.dst = m.s
+"""
+
 
 # -- min_vertex_cover / color / fluid / k_center SQL mirrors ------------------
 
@@ -2106,6 +2121,18 @@ def _q_out_triangles(spark, sf_dir):
     return out_triangle_count(_graph(spark, sf_dir))
 
 
+def _q_cycle_plus_triangles(spark, sf_dir):
+    from graphscope_spark.algorithms.motifs import cycle_plus_triangle_count
+
+    return cycle_plus_triangle_count(_graph(spark, sf_dir))
+
+
+def _q_k_core_search(spark, sf_dir):
+    from graphscope_spark.algorithms.kcore import k_core_search
+
+    return k_core_search(_graph(spark, sf_dir), k=4, max_rounds=30)
+
+
 def _q_min_vertex_cover(spark, sf_dir):
     from graphscope_spark.algorithms.matching import min_vertex_cover
 
@@ -2442,13 +2469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-gated ann_lsh_topk flagged in VERDICT r2). Queries after slot 50
     all have green r2 driver rows with unchanged code plus pytest coverage,
     and the FULL matrix over every entry is run locally each round by
-    tools/check_gate.py --json (committed as CORRECTNESS_full_r0N.json)."""
+    tools/check_gate.py --json (committed as BENCH/GATE_FULL_r{N}.json)."""
     return {
         # --- gate slots 1-50 -------------------------------------------------
         # flagship core
         "graph_edges": _q_edges,
-        "graph_degrees": _q_degrees,
-        "graph_report": _q_graph_report,
         "pagerank": _q_pagerank,
         "pagerank_dangling": _q_pagerank_dangling,
         "wcc": _q_wcc,
@@ -2479,6 +2504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acyclic_triangles": _q_acyclic_triangles,
         "in_triangles": _q_in_triangles,
         "out_triangles": _q_out_triangles,
+        "cycle_plus_triangles": _q_cycle_plus_triangles,
+        "k_core_search": _q_k_core_search,
         # new: clustering / measurement / traversal
         "densest_subgraph": _q_densest_subgraph,
         "k_center": _q_k_center,
@@ -2502,6 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_by_lang": _q_docs_by_lang,
         "betweenness_exact": _q_betweenness_exact,
         # --- after slot 50: r2-green, code unchanged, pytest-covered ---------
+        "graph_degrees": _q_degrees,
+        "graph_report": _q_graph_report,
         "bfs": _q_bfs,
         "sssp": _q_sssp,
         "degree_centrality": _q_degree_centrality,
@@ -2633,6 +2662,11 @@ def _raw_oracle_sql() -> dict[str, str]:
         "acyclic_triangles": _ACYCLIC_SQL,
         "in_triangles": _IN_TRI_SQL,
         "out_triangles": _OUT_TRI_SQL,
+        "cycle_plus_triangles": _CYCLE_PLUS_SQL,
+        "k_core_search": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS core_size FROM ("
+            + _kcore_sql(4, 30) + ")"
+        ),
         "densest_subgraph": _densest_sql(),
         "k_center": _kcenter_sql(4, 14),
         "coloring": _color_sql(40),

@@ -48,6 +48,15 @@ def kcore(graph: LinkGraph, k: int, max_rounds: int = 500) -> DataFrame:
     return alive
 
 
+def k_core_search(graph: LinkGraph, k: int, max_rounds: int = 500) -> DataFrame:
+    """One row (core_size bigint) — size of the k-core, per reference
+    `apps/flash/core/k-core-search.h:42-65` (peel `d < k` vertices with
+    cascading degree decrements until fixpoint, then count survivors).
+    The peel itself is `kcore` above; this is its global-result form."""
+    members = kcore(graph, k, max_rounds=max_rounds)
+    return members.agg(F.count("*").cast("long").alias("core_size"))
+
+
 def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
     """(vid, core) — largest k such that vid is in the k-core (k-shell
     index), via the distributed **h-index iteration** (Lü et al.): start

@@ -180,6 +180,30 @@ def out_triangle_count(graph: LinkGraph) -> DataFrame:
     return t.agg(_count_expr(total, "out_tri"))
 
 
+def cycle_plus_triangle_count(graph: LinkGraph) -> DataFrame:
+    """One row (cycle_plus bigint) — ordered instances (s, d, x) with a
+    MUTUAL pair s↔d and the directed cycle s→d→x→s (i.e. edges d→x and
+    x→s), per reference `apps/flash/subgraph/cycle-plus-triangle.h:46-77`
+    (pass 1/2 collect un-filtered in/out neighbour sets, pass 3 requires
+    the reciprocal `did ∈ s.in` before intersecting — so each triangle
+    contributes once per (ordered mutual pair, completing vertex)."""
+    t = triangle_instances(graph)
+    b = _dir_bits(t)
+    mut = {
+        ("x", "y"): b["xy"] & b["yx"],
+        ("x", "z"): b["xz"] & b["zx"],
+        ("y", "z"): b["yz"] & b["zy"],
+    }
+    total = None
+    # ordered (s, d): both orders of each unordered mutual pair count
+    for (p, q), m in mut.items():
+        third = ({"x", "y", "z"} - {p, q}).pop()
+        for s, d in ((p, q), (q, p)):
+            term = (m & b[d + third] & b[third + s]).cast("int")
+            total = term if total is None else total + term
+    return t.agg(_count_expr(total, "cycle_plus"))
+
+
 def _edge_codegree(graph: LinkGraph) -> DataFrame:
     """(a, b, t) — canonical undirected edge with its triangle count
     (= common-neighbour count), edges in no triangle included with t=0."""

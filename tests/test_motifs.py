@@ -11,6 +11,7 @@ import pytest
 
 from graphscope_spark.algorithms.motifs import (
     acyclic_triangle_count,
+    cycle_plus_triangle_count,
     cyclic_triangle_count,
     diamond_count,
     in_triangle_count,
@@ -70,6 +71,12 @@ def _brute(edges):
     out_t = sum(
         1 for (s, d) in mutual for x in verts if (x, s) in D and (x, d) in D
     )
+    # cycle-plus: ORDERED mutual pair (s, d) + cycle s->d->x->s
+    mut_ord = {(a, b) for (a, b) in D if (b, a) in D}
+    cyc_plus = sum(
+        1 for (s, d) in mut_ord for x in verts
+        if x not in (s, d) and (d, x) in D and (x, s) in D
+    )
     return {
         "diamonds": diamonds,
         "tailed": tailed,
@@ -78,6 +85,7 @@ def _brute(edges):
         "acyclic": acyc,
         "in_tri": in_t,
         "out_tri": out_t,
+        "cycle_plus": cyc_plus,
     }
 
 
@@ -90,6 +98,7 @@ def _engine(g):
         "acyclic": acyclic_triangle_count(g).collect()[0][0],
         "in_tri": in_triangle_count(g).collect()[0][0],
         "out_tri": out_triangle_count(g).collect()[0][0],
+        "cycle_plus": cycle_plus_triangle_count(g).collect()[0][0],
     }
 
 

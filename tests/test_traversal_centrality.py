@@ -152,6 +152,14 @@ def test_kcore_tiny(tiny_graph):
         assert got == _kcore_oracle(TINY_EDGES, TINY_VERTICES, k), k
 
 
+def test_k_core_search_tiny(tiny_graph):
+    from graphscope_spark.algorithms.kcore import k_core_search
+
+    for k in (1, 2, 3):
+        got = k_core_search(tiny_graph, k).collect()[0]["core_size"]
+        assert got == len(_kcore_oracle(TINY_EDGES, TINY_VERTICES, k)), k
+
+
 def test_coreness_tiny(tiny_graph):
     got = _collect(coreness(tiny_graph), "vid", "core")
     for v in TINY_VERTICES:
