@@ -165,15 +165,16 @@ def main():
         "token_counts",
         "quality_scores",
         "events_hourly",
-        # round 2 additions (breadth: centrality, communities, structure).
-        # scc is gate-only: the synthetic doc-graph has ~62-hop directed
-        # chains (real crawls don't), so FW-BW pays diameter-many barriers
-        # per sweep — measured 161s at sf0.1, all serial driver floor.
+        # round 2 additions (breadth: centrality, communities, structure)
         "betweenness_sampled",
         "louvain",
         "mis",
         "msf",
         "ann_lsh_topk",
+        # round 3: SCC joined the headline after the rewrite to doubled
+        # fwd/bwd min-labels (O(log diameter) rounds; the ~500-hop directed
+        # diameter of this graph made BFS-reach pivots cost 142 s here)
+        "scc",
     ]
     timings: dict[str, float] = {}
     for name in headline:

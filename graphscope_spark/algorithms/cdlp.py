@@ -40,7 +40,7 @@ def cdlp(
     P = graph.num_partitions
     # Directed graph, LDBC CDLP: each edge contributes its src's label to dst
     # AND its dst's label to src (both directions, counted per edge).
-    e = graph.edges.where(F.col("src") != F.col("dst"))
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     # partitioned by the join column — cached distribution feeds every
     # round's labels⋈sym join shuffle-free (see pagerank.py rationale)
     sym = (

@@ -10,32 +10,42 @@ removes the found SCCs; the log-round variants shortcut long paths with
 pointer doubling. Component id = smallest vid in the component
 (deterministic, oracle-checkable).
 
-Spark shape (FW-BW-Trim over a chain-contracted graph):
+Spark shape (per-round Contract-Trim-FW-BW):
 
-1. **Chain contraction (pointer doubling, O(log L) rounds)** — a *chain
-   vertex* has in-degree 1 and out-degree 1 in the simple directed graph.
-   Maximal chain paths are contracted to a single edge (head-predecessor →
+1. **Chain contraction (pointer doubling, O(log L) rounds) — EVERY outer
+   round, on the remaining subgraph.** A *chain vertex* has in-degree 1
+   and out-degree 1 *within the not-yet-assigned subgraph*. Maximal chain
+   paths are contracted to a single edge (head-predecessor →
    tail-successor) by doubling jumps `j(v) ← j(j(v))`; a chain whose jump
    never reaches a non-chain vertex is a *pure cycle* — a complete SCC
-   whose id (min member vid) falls out of the same doubling by carrying a
-   running min. Web-graph tendrils/chains are exactly what made per-level
-   BFS pay diameter-many barriers (measured 62-hop chains at sf0.1); after
-   contraction both trimming and reach run on a graph whose every path
-   alternates through branching vertices.
+   (no other remaining edge touches a (1,1) vertex) whose id (min member
+   vid) falls out of the same doubling by carrying a running min.
+   Contracting per round matters: measured at sf0.1, the FULL graph has
+   ZERO (1,1) vertices, but its cyclic core is ~62-hop directed cycles —
+   which are (1,1) *within the core* and collapse here in ≤⌈log₂ L⌉
+   doubling steps instead of L BFS levels (142 s → see BENCH).
 2. **Trim to fixpoint** — zero in- or out-degree in the remaining
-   subgraph → own SCC; removing those exposes more (the bow-tie's IN/OUT
-   tendrils are already gone via contraction, so this converges fast).
-3. **Parallel pivots** — WCC over the remaining subgraph (min-label: each
-   weak component's label IS its min vid = the pivot); ALL pivots' forward
-   and backward BFS run together as one frontier. Every remaining weak
-   component sheds its pivot's SCC each outer round.
-4. **Relabel** — chain members join their chain's SCC iff head and tail
-   land in the same contracted SCC; the final component id is re-minimized
-   over the full membership (a chain vid can undercut every branching vid).
+   subgraph → own SCC; removing those exposes more. Long tendril paths
+   that would trim one hop per iteration are already a single shortcut
+   edge after step 1, so this converges in O(branching depth).
+3. **Doubled fwd/bwd min labels** — f(v) = min ancestor vid, b(v) = min
+   descendant vid, each computed by fused edge-relax + pointer-jump
+   rounds (``f(v) ← min(f(v), f(f(v)))``), so the phase converges in
+   O(log diameter) rounds — BFS reach from pivots paid the full ~500-hop
+   directed diameter of the gate web graph per sweep. ``f(v) == b(v) == m``
+   ⟺ m both reaches and is reached by v ⟺ v ∈ SCC(m); f and b are
+   constant across an SCC (its members share one ancestor set), so whole
+   SCCs peel per outer round — at least the min-vid SCC of every weak
+   component, in practice every "locally min-closed" SCC at once.
+4. **Relabel (LIFO across rounds)** — chain members join their chain's
+   SCC iff head and tail land in the same contracted SCC; round-k chain
+   brackets may themselves be round-(k+1) chain vertices, so fold-back
+   runs newest-round-first. The final component id is re-minimized over
+   the full membership (a chain vid can undercut every branching vid).
 
 Outer rounds = the deepest chain of *branching* SCCs inside any weak
 component; each inner step is a join + partial aggregate. All shuffles key
-on vid; the doubling state is O(#chain vertices).
+on vid; the doubling state is O(#chain vertices in that round).
 """
 
 from __future__ import annotations
@@ -47,23 +57,66 @@ from graphscope_spark.bsp import truncate_plan
 from graphscope_spark.graph import LinkGraph
 
 
-def _reach(edges: DataFrame, start: DataFrame, reverse: bool = False) -> DataFrame:
-    """(vid) reachable from any start vertex over ``edges`` (inclusive)."""
-    src, dst = ("dst", "src") if reverse else ("src", "dst")
-    seen = start.select("vid").transform(truncate_plan)
-    frontier = seen
-    while True:
-        nxt = (
-            frontier.join(edges, frontier["vid"] == edges[src])
-            .select(F.col(dst).alias("vid"))
-            .distinct()
-            .join(seen, "vid", "anti")
+def _fb_minlabels(
+    edges: DataFrame, vertices: DataFrame, max_rounds: int = 200
+) -> DataFrame:
+    """(vid, f, b): f = min vid among v's ancestors (vertices that REACH v,
+    v included), b = min vid among v's descendants — both over ``edges``.
+
+    Each round fuses one edge-relax step with one POINTER-DOUBLING jump
+    ``f(v) ← min(f(v), f(f(v)))`` — sound for directed reachability
+    because f(v) is an ancestor of v and any ancestor of f(v) is therefore
+    an ancestor of v (ditto descendants for b). The jump doubles the
+    covered path length per round, so convergence is O(log diameter)
+    rounds instead of O(diameter) — on the gate's sf0.1 web graph the
+    directed diameter is ~500, which made per-level BFS reach the whole
+    cost of SCC (reference log-round shapes: `apps/flash/connectivity/
+    scc-2.h`, `cc-log.h`).
+    """
+    state = vertices.select(
+        "vid", F.col("vid").alias("f"), F.col("vid").alias("b")
+    ).transform(truncate_plan)
+    for _ in range(max_rounds):
+        fmsg = (
+            edges.join(state.select(F.col("vid").alias("src"), "f"), "src")
+            .groupBy("dst")
+            .agg(F.min("f").alias("fm"))
+            .withColumnRenamed("dst", "vid")
+        )
+        bmsg = (
+            edges.join(state.select(F.col("vid").alias("dst"), "b"), "dst")
+            .groupBy("src")
+            .agg(F.min("b").alias("bm"))
+            .withColumnRenamed("src", "vid")
+        )
+        fjump = state.select(F.col("vid").alias("f"), F.col("f").alias("ff"))
+        bjump = state.select(F.col("vid").alias("b"), F.col("b").alias("bb"))
+        new = (
+            state.join(fmsg, "vid", "left")
+            .join(bmsg, "vid", "left")
+            .join(fjump, "f", "left")
+            .join(bjump, "b", "left")
+            .select(
+                "vid",
+                F.least(
+                    "f", F.coalesce("fm", "f"), F.coalesce("ff", "f")
+                ).alias("nf"),
+                F.least(
+                    "b", F.coalesce("bm", "b"), F.coalesce("bb", "b")
+                ).alias("nb"),
+                ((F.col("f") != F.least("f", F.coalesce("fm", "f"), F.coalesce("ff", "f")))
+                 | (F.col("b") != F.least("b", F.coalesce("bm", "b"), F.coalesce("bb", "b")))
+                 ).alias("changed"),
+            )
             .transform(truncate_plan)
         )
-        if nxt.count() == 0:
-            return seen
-        seen = seen.unionByName(nxt).transform(truncate_plan)
-        frontier = nxt
+        n_changed = new.where("changed").count()
+        state = new.select(
+            "vid", F.col("nf").alias("f"), F.col("nb").alias("b")
+        )
+        if n_changed == 0:
+            break
+    return state
 
 
 def _contract_chains(edges: DataFrame, vertices: DataFrame):
@@ -181,35 +234,52 @@ def _contract_chains(edges: DataFrame, vertices: DataFrame):
 
 def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
     """(vid, comp) with comp = min vid of the strongly connected component."""
-    from graphscope_spark.algorithms.wcc import wcc
-    from graphscope_spark.graph import LinkGraph as _LG
-
     spark = graph.vertices.sparkSession
-    simple = graph.edges.where(F.col("src") != F.col("dst")).distinct()
-    contracted, chain_map, cycle_comp = _contract_chains(simple, graph.vertices)
-    chain_map = chain_map.persist()
-    cycle_comp = cycle_comp.persist()
-    chain_map.count()
-    cycle_comp.count()
-
-    chain_vids = chain_map.select("vid").unionByName(cycle_comp.select("vid"))
-    branch_verts = graph.vertices.select("vid").join(chain_vids, "vid", "anti")
-
-    all_edges = contracted.repartition(F.col("src")).persist()
-    all_edges.count()
-    remaining = branch_verts.transform(truncate_plan)
+    cur_edges = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+        .transform(truncate_plan)
+    )
+    remaining = graph.vertices.select("vid").transform(truncate_plan)
     assigned = spark.createDataFrame([], "vid long, comp long")
+    chain_maps: list[DataFrame] = []  # one per round, folded back LIFO
 
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
+        if remaining.count() == 0:
+            break
+        # -- induce on remaining, then contract (1,1)-chain paths -----------
+        e_r = (
+            cur_edges.join(remaining.withColumnRenamed("vid", "src"), "src", "semi")
+            .join(remaining.withColumnRenamed("vid", "dst"), "dst", "semi")
+            .select("src", "dst")  # USING joins reorder cols; union is positional
+            .transform(truncate_plan)
+        )
+        contracted, cmap, cycle_comp = _contract_chains(e_r, remaining)
+        cmap = cmap.persist()
+        if cmap.count() > 0 or not cycle_comp.isEmpty():
+            chain_maps.append(cmap)
+            # pure cycles of (1,1) vertices touch no other remaining edge —
+            # each is a complete SCC, final as-is
+            assigned = assigned.unionByName(cycle_comp).transform(truncate_plan)
+            remaining = (
+                remaining.join(cmap.select("vid"), "vid", "anti")
+                .join(cycle_comp.select("vid"), "vid", "anti")
+                .transform(truncate_plan)
+            )
+            cur_edges = contracted.transform(truncate_plan)
+        else:
+            cmap.unpersist()
+            cur_edges = e_r
         # -- trim: zero in- or out-degree within `remaining` → singleton SCC
         while True:
-            e_r = all_edges.join(
-                remaining.withColumnRenamed("vid", "src"), "src"
-            ).join(remaining.withColumnRenamed("vid", "dst"), "dst")
-            has_out = e_r.select(F.col("src").alias("vid")).distinct()
-            has_in = e_r.select(F.col("dst").alias("vid")).distinct()
+            e_t = cur_edges.join(
+                remaining.withColumnRenamed("vid", "src"), "src", "semi"
+            ).join(remaining.withColumnRenamed("vid", "dst"), "dst", "semi")
+            has_out = e_t.select(F.col("src").alias("vid")).distinct()
+            has_in = e_t.select(F.col("dst").alias("vid")).distinct()
             keep = (
                 remaining.join(has_out, "vid", "semi")
                 .join(has_in, "vid", "semi")
@@ -227,49 +297,48 @@ def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
                 break
         if remaining.count() == 0:
             break
-        # -- parallel pivot round over the remaining subgraph ---------------
+        # -- doubled fwd/bwd min-label phase over the contracted subgraph ---
         e_r = (
-            all_edges.join(remaining.withColumnRenamed("vid", "src"), "src")
-            .join(remaining.withColumnRenamed("vid", "dst"), "dst")
+            cur_edges.join(remaining.withColumnRenamed("vid", "src"), "src", "semi")
+            .join(remaining.withColumnRenamed("vid", "dst"), "dst", "semi")
+            .select("src", "dst")
             .transform(truncate_plan)
         )
-        sub = _LG(vertices=remaining, edges=e_r, num_partitions=graph.num_partitions)
-        comp = wcc(sub).state  # (vid, comp) — comp = min vid = the pivot
-        pivots = comp.select(F.col("comp").alias("vid")).distinct()
-        fw = _reach(e_r, pivots, reverse=False)
-        bw = _reach(e_r, pivots, reverse=True)
-        found = fw.join(bw, "vid", "semi").transform(truncate_plan)
-        assigned = assigned.unionByName(
-            found.join(comp, "vid").select("vid", "comp")
-        ).transform(truncate_plan)
+        labels = _fb_minlabels(e_r, remaining)
+        found = labels.where(F.col("f") == F.col("b")).select(
+            "vid", F.col("f").alias("comp")
+        )
+        assigned = assigned.unionByName(found).transform(truncate_plan)
         remaining = remaining.join(found, "vid", "anti").transform(truncate_plan)
+        cur_edges = e_r
 
-    # -- fold chain vertices back in ---------------------------------------
+    # -- fold chain vertices back in, newest round first --------------------
     # a chain path lies on a cycle iff its bracketing non-chain vertices
-    # ended up in the same contracted SCC
-    ch = (
-        chain_map.join(
-            assigned.select(F.col("vid").alias("head"), F.col("comp").alias("hc")),
-            "head",
+    # ended up in the same contracted SCC; a round-k bracket vertex may
+    # itself be a round-(k+1) chain vertex, resolved by the LIFO order
+    for cmap in reversed(chain_maps):
+        ch = (
+            cmap.join(
+                assigned.select(F.col("vid").alias("head"), F.col("comp").alias("hc")),
+                "head",
+            )
+            .join(
+                assigned.select(F.col("vid").alias("tail"), F.col("comp").alias("tc")),
+                "tail",
+            )
+            .select(
+                "vid",
+                F.when(F.col("hc") == F.col("tc"), F.col("hc"))
+                .otherwise(F.col("vid"))
+                .alias("comp"),
+            )
         )
-        .join(
-            assigned.select(F.col("vid").alias("tail"), F.col("comp").alias("tc")),
-            "tail",
-        )
-        .select(
-            "vid",
-            F.when(F.col("hc") == F.col("tc"), F.col("hc"))
-            .otherwise(F.col("vid"))
-            .alias("comp"),
-        )
-    )
-    merged = assigned.unionByName(ch).unionByName(cycle_comp)
+        assigned = assigned.unionByName(ch).transform(truncate_plan)
     # re-minimize the representative over full membership (a chain vid can
     # be smaller than every branching vid in its SCC)
-    rep = merged.groupBy("comp").agg(F.min("vid").alias("newc"))
-    out = merged.join(rep, "comp").select("vid", F.col("newc").alias("comp"))
+    rep = assigned.groupBy("comp").agg(F.min("vid").alias("newc"))
+    out = assigned.join(rep, "comp").select("vid", F.col("newc").alias("comp"))
     out = out.localCheckpoint(eager=True)
-    all_edges.unpersist()
-    chain_map.unpersist()
-    cycle_comp.unpersist()
+    for cmap in chain_maps:
+        cmap.unpersist()
     return out

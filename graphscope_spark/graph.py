@@ -49,7 +49,11 @@ class LinkGraph:
         """Symmetrized, deduplicated edge set (each undirected edge appears
         as both (u,v) and (v,u)); reference analog: TO_UNDIRECTED
         (`grape_instance.cc:1400`)."""
-        e = self.edges
+        # Canonical column ORDER first: USING-style joins upstream reorder
+        # columns to [dst, src], and the positional ``union`` below would
+        # then silently produce e ∪ e instead of e ∪ reverse(e) — measured
+        # as WCC-inside-SCC hitting max_rounds with a directed edge set.
+        e = self.edges.select("src", "dst")
         if drop_self_loops:
             e = e.where(F.col("src") != F.col("dst"))
         sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -29,7 +29,7 @@ from graphscope_spark.graph import LinkGraph
 def to_undirected(graph: LinkGraph) -> LinkGraph:
     """Symmetrized view: each edge present in both directions (self-loops
     preserved once)."""
-    e = graph.edges
+    e = graph.edges.select("src", "dst")
     sym = e.union(
         e.where(F.col("src") != F.col("dst")).select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
