@@ -1669,6 +1669,12 @@ def _q_wcc(spark, sf_dir):
     return wcc(_graph(spark, sf_dir)).state
 
 
+def _q_wcc_log(spark, sf_dir):
+    from graphscope_spark.algorithms.wcc import wcc_log
+
+    return wcc_log(_graph(spark, sf_dir))
+
+
 def _q_cdlp(spark, sf_dir):
     from graphscope_spark.algorithms import cdlp
 
@@ -2475,8 +2481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship core
         "graph_edges": _q_edges,
         "pagerank": _q_pagerank,
-        "pagerank_dangling": _q_pagerank_dangling,
         "wcc": _q_wcc,
+        "wcc_log": _q_wcc_log,
         "cdlp": _q_cdlp,
         "triangles": _q_triangles,
         "lcc": _q_lcc,
@@ -2529,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_by_lang": _q_docs_by_lang,
         "betweenness_exact": _q_betweenness_exact,
         # --- after slot 50: r2-green, code unchanged, pytest-covered ---------
+        "pagerank_dangling": _q_pagerank_dangling,
         "graph_degrees": _q_degrees,
         "graph_report": _q_graph_report,
         "bfs": _q_bfs,
@@ -2594,6 +2601,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(20, 0.85),
         "pagerank_dangling": _pagerank_sql(20, 0.85, "WHERE src % 13 <> 12"),
         "wcc": _WCC_SQL,
+        "wcc_log": _WCC_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,

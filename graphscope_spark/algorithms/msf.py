@@ -85,14 +85,25 @@ def minimum_spanning_forest(
                 .groupBy(F.col("y").alias("c"))
                 .agg(F.min("rx").alias("nroot"))
             )
+            # fused pointer-doubling jump root(c) ← root(root(c)): sound
+            # because root chains stay within one merged component; makes
+            # the fixpoint O(log chain) rounds instead of O(chain) (hook
+            # chains of chosen edges can be long in early Boruvka rounds)
+            jump = mapping.select(
+                F.col("c").alias("root"), F.col("root").alias("rr")
+            )
+            nroot = F.least(
+                F.col("root"),
+                F.coalesce("nroot", F.col("root")),
+                F.coalesce("rr", F.col("root")),
+            )
             upd = (
                 mapping.join(m, "c", "left")
+                .join(jump, "root", "left")
                 .select(
                     "c",
-                    F.least(F.col("root"), F.coalesce("nroot", F.col("root"))).alias("root"),
-                    (
-                        F.coalesce("nroot", F.col("root")) < F.col("root")
-                    ).alias("chg"),
+                    nroot.alias("root"),
+                    (nroot < F.col("root")).alias("chg"),
                 )
                 .transform(truncate_plan)
             )

@@ -58,7 +58,10 @@ from graphscope_spark.graph import LinkGraph
 
 
 def _fb_minlabels(
-    edges: DataFrame, vertices: DataFrame, max_rounds: int = 200
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_rounds: int = 200,
+    backward: bool = True,
 ) -> DataFrame:
     """(vid, f, b): f = min vid among v's ancestors (vertices that REACH v,
     v included), b = min vid among v's descendants — both over ``edges``.
@@ -72,6 +75,10 @@ def _fb_minlabels(
     directed diameter is ~500, which made per-level BFS reach the whole
     cost of SCC (reference log-round shapes: `apps/flash/connectivity/
     scc-2.h`, `cc-log.h`).
+
+    ``backward=False`` computes f only (the b column mirrors f) — the
+    log-round WCC mode, where edges are pre-symmetrized and ancestor ==
+    descendant == weak-component member.
     """
     state = vertices.select(
         "vid", F.col("vid").alias("f"), F.col("vid").alias("b")
@@ -83,33 +90,36 @@ def _fb_minlabels(
             .agg(F.min("f").alias("fm"))
             .withColumnRenamed("dst", "vid")
         )
-        bmsg = (
-            edges.join(state.select(F.col("vid").alias("dst"), "b"), "dst")
-            .groupBy("src")
-            .agg(F.min("b").alias("bm"))
-            .withColumnRenamed("src", "vid")
-        )
         fjump = state.select(F.col("vid").alias("f"), F.col("f").alias("ff"))
-        bjump = state.select(F.col("vid").alias("b"), F.col("b").alias("bb"))
-        new = (
-            state.join(fmsg, "vid", "left")
-            .join(bmsg, "vid", "left")
-            .join(fjump, "f", "left")
-            .join(bjump, "b", "left")
-            .select(
-                "vid",
-                F.least(
-                    "f", F.coalesce("fm", "f"), F.coalesce("ff", "f")
-                ).alias("nf"),
-                F.least(
-                    "b", F.coalesce("bm", "b"), F.coalesce("bb", "b")
-                ).alias("nb"),
-                ((F.col("f") != F.least("f", F.coalesce("fm", "f"), F.coalesce("ff", "f")))
-                 | (F.col("b") != F.least("b", F.coalesce("bm", "b"), F.coalesce("bb", "b")))
-                 ).alias("changed"),
+        new = state.join(fmsg, "vid", "left").join(fjump, "f", "left")
+        nf = F.least("f", F.coalesce("fm", "f"), F.coalesce("ff", "f"))
+        if backward:
+            bmsg = (
+                edges.join(state.select(F.col("vid").alias("dst"), "b"), "dst")
+                .groupBy("src")
+                .agg(F.min("b").alias("bm"))
+                .withColumnRenamed("src", "vid")
             )
-            .transform(truncate_plan)
-        )
+            bjump = state.select(F.col("vid").alias("b"), F.col("b").alias("bb"))
+            nb = F.least("b", F.coalesce("bm", "b"), F.coalesce("bb", "b"))
+            new = (
+                new.join(bmsg, "vid", "left")
+                .join(bjump, "b", "left")
+                .select(
+                    "vid",
+                    nf.alias("nf"),
+                    nb.alias("nb"),
+                    ((F.col("f") != nf) | (F.col("b") != nb)).alias("changed"),
+                )
+            )
+        else:
+            new = new.select(
+                "vid",
+                nf.alias("nf"),
+                nf.alias("nb"),
+                (F.col("f") != nf).alias("changed"),
+            )
+        new = new.transform(truncate_plan)
         n_changed = new.where("changed").count()
         state = new.select(
             "vid", F.col("nf").alias("f"), F.col("nb").alias("b")

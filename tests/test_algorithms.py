@@ -43,6 +43,27 @@ def test_wcc_tiny(tiny_graph):
     assert len(set(got.values())) == 2  # two components by construction
 
 
+def test_wcc_log_tiny(tiny_graph):
+    from graphscope_spark.algorithms.wcc import wcc_log
+
+    got = _collect_map(wcc_log(tiny_graph), "vid", "comp")
+    assert got == wcc_oracle(TINY_EDGES, TINY_VERTICES)
+
+
+def test_wcc_log_long_chain(spark):
+    # a 64-hop chain: frontier wcc needs 64 rounds, the doubling variant
+    # must converge in far fewer (O(log n)) — assert correctness only here,
+    # round count is covered by the sf0.1 bench
+    from graphscope_spark.graph import from_edge_df
+    from graphscope_spark.algorithms.wcc import wcc_log
+
+    edges = [(i, i + 1) for i in range(64)] + [(100, 101)]
+    g = from_edge_df(spark.createDataFrame(edges, "src long, dst long"), 4)
+    got = _collect_map(wcc_log(g, max_rounds=12), "vid", "comp")
+    assert all(got[v] == 0 for v in range(65))
+    assert got[100] == got[101] == 100
+
+
 def test_cdlp_tiny(tiny_graph):
     res = cdlp(tiny_graph, max_rounds=10)
     got = _collect_map(res.state, "vid", "label")

@@ -34,6 +34,12 @@ def test_algorithms_partition_invariance(spark, pages_small):
     assert set(p2) == set(p8)
     assert max(abs(p2[v] - p8[v]) for v in p2) < 1e-9
 
+    from graphscope_spark.algorithms.scc import scc
+
+    s2 = {r["vid"]: r["comp"] for r in scc(g2).collect()}
+    s8 = {r["vid"]: r["comp"] for r in scc(g8).collect()}
+    assert s2 == s8
+
 
 def test_extraction_byte_identity_across_partitionings(spark, pages_small):
     a = {r["url"]: r["text"] for r in extract_pages(pages_small.coalesce(1)).collect()}

@@ -68,6 +68,35 @@ def test_scc_cycle_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6}
 
 
+def test_scc_random_graphs(spark):
+    """Randomized adversary for the doubled-min-label phase: sparse random
+    digraphs mix long chains (exercises per-round contraction + LIFO
+    fold-back), pure cycles (cycle_comp path), and nested SCC DAGs."""
+    import random
+
+    from graphscope_spark.graph import from_edge_df
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 24 + 8 * trial
+        edges = set()
+        # random sparse edges
+        for _ in range(int(1.6 * n)):
+            edges.add((rng.randrange(n), rng.randrange(n)))
+        # a long directed chain (tendril) and a pure cycle, offset ids
+        for i in range(8):
+            edges.add((n + i, n + i + 1))
+        for i in range(6):
+            edges.add((2 * n + i, 2 * n + (i + 1) % 6))
+        edges.add((rng.randrange(n), n))  # attach tendril head
+        vertices = sorted({u for e in edges for u in e})
+        edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+        g = from_edge_df(edf, 4)
+        got = {r["vid"]: r["comp"] for r in scc(g).collect()}
+        want = _python_scc(sorted(edges), vertices)
+        assert got == want, f"trial {trial}"
+
+
 def test_shortest_path_tiny(tiny_graph, spark):
     # unweighted (weight=1): path 1→7 follows 1→2→3→4→5→6→7? verify cost
     # consistency instead of a pinned route: endpoints correct, consecutive

@@ -1,4 +1,39 @@
-# BENCH/BASELINE.md — scaling + throughput evidence
+"""Assemble BENCH/BASELINE.md from tools/bench_scaling.py JSON outputs.
+
+Usage: python tools/assemble_baseline_md.py HEADLINE.json [SENS1.json ...]
+
+The first JSON is the headline (largest work size); any further JSONs
+become rows of the work-size sensitivity table. Restores the round-1
+methodology sections (warmups, sensitivity, Amdahl note, tuning table)
+that the round-2 snapshot dropped — see VERDICT.md r2 "What's wrong #2".
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main():
+    dec = json.JSONDecoder()
+    runs = [dec.raw_decode(Path(p).read_text())[0] for p in sys.argv[1:]]
+    if not runs:
+        sys.exit("usage: assemble_baseline_md.py HEADLINE.json [SENS.json ...]")
+    head = runs[0]
+    lo, hi = head["low"], head["high"]
+    eff = head["scaling_efficiency"]
+    ratio = head["core_ratio"]
+
+    sens_rows = "\n".join(
+        f"| {r['edges'] // 1_000_000}M | {r['low']['median_round_s']} | "
+        f"{r['high']['median_round_s']} | {r['scaling_efficiency']:.2f} |"
+        for r in sorted(runs, key=lambda r: r["edges"])
+    )
+
+    md = f"""# BENCH/BASELINE.md — scaling + throughput evidence
 
 North rule: "throughput scaling efficiency ≥ 0.8 between N and 4N
 executors". No real cluster exists in this sandbox, so the evidence is the
@@ -12,23 +47,21 @@ two measured passes per level, low/high levels alternated twice
 drift, median steady-state round reported; runs are exclusive (no
 concurrent Spark jobs).
 
-## Headline: N=2 vs 4N=8 cores, 100,000,000 edges
+## Headline: N={lo['cpus']} vs 4N={hi['cpus']} cores, {head['edges']:,} edges
 
 | level | cores | median sec/superstep | edges/s/superstep |
 |---|---|---|---|
-| low  | 2 | 29.256 | 3,418,160 |
-| high | 8 | 8.679 | 11,521,665 |
+| low  | {lo['cpus']} | {lo['median_round_s']} | {lo['edges_per_sec_per_superstep']:,} |
+| high | {hi['cpus']} | {hi['median_round_s']} | {hi['edges_per_sec_per_superstep']:,} |
 
-* speedup (2→8): **3.37×** over a 4× core ratio
-* **scaling efficiency: 0.843** (rule target ≥ 0.8)
+* speedup ({lo['cpus']}→{hi['cpus']}): **{head['speedup']:.2f}×** over a {ratio:.0f}× core ratio
+* **scaling efficiency: {eff:.3f}** (rule target ≥ 0.8)
 
-## Work-size sensitivity (same job, 2 vs 8 cores)
+## Work-size sensitivity (same job, {lo['cpus']} vs {hi['cpus']} cores)
 
 | edges | low median s | high median s | efficiency |
 |---|---|---|---|
-| 10M | 3.826 | 1.445 | 0.66 |
-| 20M | 9.281 | 3.037 | 0.76 |
-| 100M | 29.256 | 8.679 | 0.84 |
+{sens_rows}
 
 Amdahl note: ~1 s/superstep of driver-side serial cost (AQE planning,
 stage barriers, checkpoint job launch) is independent of graph size — it
@@ -64,40 +97,22 @@ count.
 ## Reference baseline (BASELINE.md)
 
 GAE PageRank ≈ 1.8×10⁹ edges/s/superstep on 128 C++/MPI cores
-(≈14M/s/core). This engine: 11.5M
-edges/s/superstep on 8 JVM threads
-(≈1.4M/s/core) — the
+(≈14M/s/core). This engine: {hi['edges_per_sec_per_superstep'] / 1e6:.1f}M
+edges/s/superstep on {hi['cpus']} JVM threads
+(≈{hi['edges_per_sec_per_superstep'] / hi['cpus'] / 1e6:.1f}M/s/core) — the
 expected JVM/DataFrame overhead class vs hand-tuned C++, with linear
 scaling taking over from there.
 
 Latest raw JSON from `tools/bench_scaling.py` (headline run):
 
 ```json
-{
-  "edges": 100000000,
-  "rounds": 5,
-  "low": {
-    "edges": 99999995,
-    "supersteps": 5,
-    "wall_s": 364.288,
-    "sec_per_superstep": 72.858,
-    "median_round_s": 29.256,
-    "edges_per_sec_per_superstep": 3418160,
-    "cpus": 2,
-    "proc_wall_s": 1208.7
-  },
-  "high": {
-    "edges": 99999995,
-    "supersteps": 5,
-    "wall_s": 102.032,
-    "sec_per_superstep": 20.406,
-    "median_round_s": 8.679,
-    "edges_per_sec_per_superstep": 11521665,
-    "cpus": 8,
-    "proc_wall_s": 578.6
-  },
-  "speedup": 3.371,
-  "core_ratio": 4.0,
-  "scaling_efficiency": 0.843
-}
+{json.dumps(head, indent=2)}
 ```
+"""
+    out = REPO / "BENCH" / "BASELINE.md"
+    out.write_text(md)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,9 @@ PICKS = {
     "ann_lsh_topk": "LSH ANN — GEMM signatures, int-only band join, einsum rescoring",
     "lpa_u2i": "bipartite LPA — melted label state, two join+agg half-steps per round",
     "msf": "Boruvka MSF — per-component min_by lightest edge, contraction fixpoint",
+    "kclique4": "4-clique — degree-ordered orientation, two oriented-adjacency joins",
+    "rectangles": "rectangle count — wedge partial-agg, C(n,2) fold, no 4-way join",
+    "diamonds": "diamond count — shared triangle-instance kernel, direction-bit aggregate",
 }
 
 
