@@ -1645,7 +1645,10 @@ def _q_graph_report(spark, sf_dir):
 def _q_pagerank(spark, sf_dir):
     from graphscope_spark.algorithms import pagerank
 
-    res = pagerank(_graph(spark, sf_dir), alpha=0.85, max_rounds=20, tol=0.0)
+    # fused_rounds=4: 5 Spark jobs for 20 supersteps (same arithmetic;
+    # in-plan dangling mass) — the barrier-fusion scale path
+    res = pagerank(_graph(spark, sf_dir), alpha=0.85, max_rounds=20, tol=0.0,
+                   fused_rounds=4)
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
@@ -1659,7 +1662,7 @@ def _q_pagerank_dangling(spark, sf_dir):
         edges=g.edges.where(F.pmod(F.col("src"), F.lit(13)) != 12),
         num_partitions=g.num_partitions,
     )
-    res = pagerank(g, alpha=0.85, max_rounds=20, tol=0.0)
+    res = pagerank(g, alpha=0.85, max_rounds=20, tol=0.0, fused_rounds=4)
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 

@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan, truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 def _edge_key(a, b):
@@ -68,7 +68,7 @@ def _spanning_forest(graph: LinkGraph, max_rounds: int):
             F.lit(0).cast("long").alias("dist"),
             F.lit(None).cast("long").alias("parent"),
         )
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     frontier = settled
     depth = 0
@@ -82,12 +82,12 @@ def _spanning_forest(graph: LinkGraph, max_rounds: int):
         new = (
             cand.join(settled.select("vid"), "vid", "anti")
             .select("vid", F.lit(depth).cast("long").alias("dist"), "parent")
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         if new.count() == 0:
             depth -= 1
             break
-        settled = settled.unionByName(new).transform(truncate_plan)
+        settled = settled.unionByName(new).transform(truncate_plan_lazy)
         frontier = new
     return settled, sym, depth
 
@@ -115,7 +115,7 @@ def bcc(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
         .join(pos.select(F.col("vid").alias("b"), F.col("dist").alias("dv")), "b")
         .select("nkey", F.col("a").alias("u"), "du", F.col("b").alias("v"), "dv")
         .where(F.col("u") != F.col("v"))
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     cover = spark.createDataFrame([], "nkey string, tkey string")
     for _ in range(2 * depth + 2):

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan, truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
@@ -57,7 +57,7 @@ def betweenness_sampled(
         F.col("vid"),
         F.lit(0).cast("long").alias("dist"),
         F.lit(1.0).alias("sigma"),
-    ).transform(truncate_plan)
+    ).transform(truncate_plan_lazy)
     frontier = settled
     level = 0
     while level < max_rounds:
@@ -70,12 +70,12 @@ def betweenness_sampled(
         new = (
             cand.join(settled.select("root", "vid"), ["root", "vid"], "anti")
             .select("root", "vid", F.lit(level).cast("long").alias("dist"), "sigma")
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         if new.count() == 0:
             level -= 1
             break
-        settled = settled.unionByName(new).transform(truncate_plan)
+        settled = settled.unionByName(new).transform(truncate_plan_lazy)
         frontier = new
 
     # -- backward: dependency accumulation by decreasing level --------------

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan, truncate_plan_lazy
 from graphscope_spark.datapipe.hashing import portable_hash60
 from graphscope_spark.graph import LinkGraph
 
@@ -53,7 +53,7 @@ def bridges(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
             F.lit(0).cast("long").alias("dist"),
             F.lit(None).cast("long").alias("parent"),
         )
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     frontier = settled
     depth = 0
@@ -67,12 +67,12 @@ def bridges(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
         new = (
             cand.join(settled.select("vid"), "vid", "anti")
             .select("vid", F.lit(depth).cast("long").alias("dist"), "parent")
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         if new.count() == 0:
             depth -= 1
             break
-        settled = settled.unionByName(new).transform(truncate_plan)
+        settled = settled.unionByName(new).transform(truncate_plan_lazy)
         frontier = new
 
     tree = settled.where(F.col("parent").isNotNull())

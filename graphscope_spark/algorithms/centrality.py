@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan, truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
@@ -94,7 +94,9 @@ def hits(graph: LinkGraph, rounds: int = 10) -> DataFrame:
             state["vid"], F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"), "auth"
         )
         if r % 2 == 0 or r == rounds:
-            state = state.transform(truncate_plan)
+            # lazy: the normalization aggregate below materializes the
+            # checkpoint — one job per 2 rounds instead of two
+            state = state.transform(truncate_plan_lazy)
             sums = state.agg(
                 F.sum("hub").alias("sh"), F.sum("auth").alias("sa")
             ).collect()[0]
@@ -232,7 +234,11 @@ def eigenvector_centrality(graph: LinkGraph, rounds: int = 20) -> DataFrame:
         state = state.join(m, state["vid"] == m["dst"], "left").select(
             state["vid"], F.coalesce(F.col("s"), F.lit(0.0)).alias("x")
         )
+        # truncate (lazily) BEFORE the norm aggregate so the collect is the
+        # materializing action — one job per round, not two; the post-norm
+        # scaling is a pure projection over the checkpointed RDD
+        state = state.transform(truncate_plan_lazy)
         norm = state.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
-        state = state.withColumn("x", F.col("x") / F.lit(norm)).transform(truncate_plan)
+        state = state.withColumn("x", F.col("x") / F.lit(norm))
     edges.unpersist()
     return state.select("vid", F.col("x").alias("ec"))

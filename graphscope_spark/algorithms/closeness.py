@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
@@ -38,7 +38,7 @@ def multi_source_bfs(
     edges.count()
     settled = roots.select(
         F.col("vid").alias("root"), F.col("vid"), F.lit(0).cast("long").alias("dist")
-    ).transform(truncate_plan)
+    ).transform(truncate_plan_lazy)
     frontier = settled
     rnd = 0
     while rnd < max_rounds:
@@ -50,11 +50,11 @@ def multi_source_bfs(
             .agg(F.min("dist").alias("dist"))
         )
         new = cand.join(settled.select("root", "vid"), ["root", "vid"], "anti")
-        new = new.transform(truncate_plan)
+        new = new.transform(truncate_plan_lazy)
         n_new = new.count()
         if n_new == 0:
             break
-        settled = settled.unionByName(new).transform(truncate_plan)
+        settled = settled.unionByName(new).transform(truncate_plan_lazy)
         frontier = new
     edges.unpersist()
     return settled

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan, truncate_plan_lazy
 from graphscope_spark.datapipe.hashing import portable_hash60
 from graphscope_spark.graph import LinkGraph
 
@@ -87,7 +87,7 @@ def color(graph: LinkGraph, max_rounds: int = 100) -> DataFrame:
                 .alias("c"),
                 F.col("c").alias("old"),
             )
-        ).transform(truncate_plan)
+        ).transform(truncate_plan_lazy)
         changed = nxt.where(F.col("c") != F.col("old")).count()
         colors = nxt.select("vid", "c")
         if changed == 0:
@@ -178,7 +178,7 @@ def fluid_community(
                 .alias("lab"),
                 lab["lab"].alias("old"),
             )
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         changed = nxt.where(
             ~(F.col("lab").eqNullSafe(F.col("old")))

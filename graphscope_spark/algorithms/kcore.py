@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan, truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
@@ -36,7 +36,7 @@ def kcore(graph: LinkGraph, k: int, max_rounds: int = 500) -> DataFrame:
             alive.join(deg, "vid", "left")
             .where(F.coalesce(F.col("deg"), F.lit(0)) >= k)
             .select("vid")
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         n_next = nxt.count()
         alive = nxt
@@ -77,7 +77,7 @@ def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
         graph.vertices.select("vid")
         .join(cores, "vid", "left")
         .select("vid", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     for _ in range(max_rounds):
         nbr = und.join(
@@ -104,7 +104,7 @@ def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
                     "chg"
                 ),
             )
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         changed = nxt.where("chg").count()
         cores = nxt.select("vid", "core")

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
@@ -95,7 +95,7 @@ def _local_moves(
             F.coalesce("deg", F.lit(0.0)).alias("deg"),
             F.lit(None).cast("long").alias("prev"),
         )
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     cross = sym.where(F.col("src") != F.col("dst"))
     prev_moved = None
@@ -157,7 +157,7 @@ def _local_moves(
                 F.when(moving, F.col("comm")).otherwise(F.col("prev")).alias("prev"),
                 moving.alias("moved"),
             )
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         n_moved = nxt.where("moved").count()
         comm = nxt.select("vid", "comm", "deg", "prev")
@@ -200,7 +200,7 @@ def louvain(
         assign = (
             assign.join(lut, "comm")
             .select("vid", F.col("_new").alias("comm"))
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         if n_comm >= n_before:
             break
@@ -213,10 +213,10 @@ def louvain(
             .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
             .agg(F.sum("w").alias("w"))
         )
-        new_sym = ce.transform(truncate_plan)
+        new_sym = ce.transform(truncate_plan_lazy)
         if cur_sym is not sym:
             cur_sym.unpersist()
         cur_sym = new_sym
-        cur_verts = comm.select(F.col("comm").alias("vid")).distinct().transform(truncate_plan)
+        cur_verts = comm.select(F.col("comm").alias("vid")).distinct().transform(truncate_plan_lazy)
     sym.unpersist()
     return assign.select("vid", "comm")

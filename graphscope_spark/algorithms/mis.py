@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan_lazy
 from graphscope_spark.datapipe.hashing import portable_hash60
 from graphscope_spark.graph import LinkGraph
 
@@ -44,7 +44,7 @@ def maximal_independent_set(graph: LinkGraph, max_rounds: int = 100) -> DataFram
     und.count()
     alive = graph.vertices.select(
         "vid", _priority(F.col("vid")).alias("pri")
-    ).transform(truncate_plan)
+    ).transform(truncate_plan_lazy)
     spark = graph.vertices.sparkSession
     mis = spark.createDataFrame([], "vid long")
     for _ in range(max_rounds):
@@ -59,9 +59,9 @@ def maximal_independent_set(graph: LinkGraph, max_rounds: int = 100) -> DataFram
             alive.join(nbr_min, "vid", "left")
             .where(F.col("nmin").isNull() | (F.col("pri") < F.col("nmin")))
             .select("vid")
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
-        mis = mis.unionByName(winners).transform(truncate_plan)
+        mis = mis.unionByName(winners).transform(truncate_plan_lazy)
         # remove winners and their neighbors
         nbrs = und.join(
             winners.withColumnRenamed("vid", "src"), "src"
@@ -69,7 +69,7 @@ def maximal_independent_set(graph: LinkGraph, max_rounds: int = 100) -> DataFram
         alive = (
             alive.join(winners, "vid", "anti")
             .join(nbrs, "vid", "anti")
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
     und.unpersist()
     return mis

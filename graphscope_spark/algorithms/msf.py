@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
@@ -42,7 +42,7 @@ def minimum_spanning_forest(
     )
     und.count()
     spark = graph.vertices.sparkSession
-    comp = graph.vertices.select("vid", F.col("vid").alias("c")).transform(truncate_plan)
+    comp = graph.vertices.select("vid", F.col("vid").alias("c")).transform(truncate_plan_lazy)
     forest = spark.createDataFrame([], "a long, b long, w double")
 
     for _ in range(max_rounds):
@@ -64,11 +64,11 @@ def minimum_spanning_forest(
             )
             .select("e.a", "e.b", "e.w", "e.ca", "e.cb")
             .distinct()
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         if chosen.count() == 0:
             break
-        forest = forest.unionByName(chosen.select("a", "b", "w")).transform(truncate_plan)
+        forest = forest.unionByName(chosen.select("a", "b", "w")).transform(truncate_plan_lazy)
         # contract: min-label fixpoint over the chosen component-pairs
         pairs = chosen.select(F.col("ca").alias("x"), F.col("cb").alias("y"))
         mapping = (
@@ -76,7 +76,7 @@ def minimum_spanning_forest(
             .unionByName(pairs.select(F.col("y").alias("c")))
             .distinct()
             .select("c", F.col("c").alias("root"))
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         sym = pairs.unionByName(pairs.select(F.col("y").alias("x"), F.col("x").alias("y")))
         while True:
@@ -105,7 +105,7 @@ def minimum_spanning_forest(
                     nroot.alias("root"),
                     (nroot < F.col("root")).alias("chg"),
                 )
-                .transform(truncate_plan)
+                .transform(truncate_plan_lazy)
             )
             changed = upd.where("chg").count()
             mapping = upd.select("c", "root")
@@ -114,7 +114,7 @@ def minimum_spanning_forest(
         comp = (
             comp.join(mapping, "c", "left")
             .select("vid", F.coalesce("root", F.col("c")).alias("c"))
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
     und.unpersist()
     return forest

@@ -19,6 +19,15 @@ Spark shape (one shuffle-agg + one join per superstep):
 * dangling mass is a scalar: folded into the *previous* round's convergence
   aggregate so each superstep costs exactly one extra one-row collect;
 * per-round lineage truncation + durable checkpoint/resume via bsp.run_bsp.
+* ``fused_rounds=k`` stacks k supersteps into ONE Spark job (the dangling
+  scalar moves in-plan as a broadcast 1-row aggregate, so no driver
+  round-trip is needed between fused rounds). Arithmetic is identical per
+  round; only the barrier count changes — k× fewer driver round-trips and
+  scheduler waits, the dominant cost at high executor counts. Convergence
+  (reference semantics: last round's Σ|Δ| < N·tol) is then only CHECKED at
+  block boundaries, so a tol>0 run may execute up to k-1 extra rounds past
+  the reference's stopping round — use fused_rounds>1 with tol=0 /
+  fixed-round workloads, or accept the documented overshoot.
 """
 
 from __future__ import annotations
@@ -38,8 +47,13 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    fused_rounds: int = 1,
 ) -> BSPResult:
-    """Returns BSPResult whose state is (vid, rank)."""
+    """Returns BSPResult whose state is (vid, rank).
+
+    ``fused_rounds=k`` runs k power-iteration rounds per Spark job (see
+    module docstring); ``max_rounds`` is still counted in supersteps and is
+    rounded UP to a multiple of k."""
     spark = graph.vertices.sparkSession
     P = graph.num_partitions
     verts = graph.vertices.select("vid")
@@ -89,23 +103,43 @@ def pagerank(
 
     base = (1.0 - alpha) / n
 
-    def superstep(state: DataFrame, rnd: int) -> DataFrame:
-        dmass_term = alpha * holder["dmass"] / n
+    k = max(1, int(fused_rounds))
+
+    def one_round(s: DataFrame, dmass_term) -> DataFrame:
         contrib = (
-            state.join(ew, state["vid"] == ew["src"])
+            s.join(ew, s["vid"] == ew["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
         )
-        return (
-            state.join(contrib, state["vid"] == contrib["dst"], "left")
-            .select(
-                state["vid"],
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("c"), F.lit(0.0))
-                 + F.lit(dmass_term)).alias("rank"),
-                state["rank"].alias("prev"),
-                "dangling",
+        joined = s.join(contrib, s["vid"] == contrib["dst"], "left")
+        if dmass_term is None:
+            # in-plan dangling mass: broadcast 1-row aggregate of the input
+            # state — no driver round-trip between fused rounds
+            dm = s.agg(
+                (
+                    F.coalesce(
+                        F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+                    )
+                    * F.lit(alpha / n)
+                ).alias("_dmt")
             )
+            joined = joined.crossJoin(F.broadcast(dm))
+            dmass_term = F.col("_dmt")
+        return joined.select(
+            s["vid"],
+            (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("c"), F.lit(0.0))
+             + dmass_term).alias("rank"),
+            s["rank"].alias("prev"),
+            s["dangling"],
         )
+
+    def superstep(state: DataFrame, rnd: int) -> DataFrame:
+        if k == 1:
+            return one_round(state, F.lit(alpha * holder["dmass"] / n))
+        s = state
+        for _ in range(k):
+            s = one_round(s, None)
+        return s
 
     def scalar_fn(state: DataFrame) -> float:
         row = state.agg(
@@ -118,14 +152,21 @@ def pagerank(
     res = run_bsp(
         state0,
         superstep,
-        max_rounds=max_rounds,
+        max_rounds=-(-max_rounds // k),  # blocks of k supersteps, rounded up
         scalar_fn=scalar_fn,
         converged_fn=lambda delta, rnd: delta < n * tol,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         resume=resume,
-        meta={"algorithm": "pagerank", "alpha": alpha, "tol": tol, "n": n},
+        meta={"algorithm": "pagerank", "alpha": alpha, "tol": tol, "n": n,
+              "fused_rounds": k},
+        # a fused block references the state 3× per inner round (contrib,
+        # dangling agg, join base), so sizeInBytes stats grow ~3^k digits
+        # per block — reset them with the fresh-RDD rebuild EVERY block
+        # (see bsp.truncate_plan docstring / the stats-explosion note)
+        stats_reset_every=1 if k > 1 else 8,
     )
     ew.unpersist()
+    res.supersteps *= k
     res.state = res.state.select("vid", "rank")
     return res

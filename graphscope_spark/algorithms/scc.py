@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
@@ -82,7 +82,7 @@ def _fb_minlabels(
     """
     state = vertices.select(
         "vid", F.col("vid").alias("f"), F.col("vid").alias("b")
-    ).transform(truncate_plan)
+    ).transform(truncate_plan_lazy)
     for _ in range(max_rounds):
         fmsg = (
             edges.join(state.select(F.col("vid").alias("src"), "f"), "src")
@@ -119,7 +119,7 @@ def _fb_minlabels(
                 nf.alias("nb"),
                 (F.col("f") != nf).alias("changed"),
             )
-        new = new.transform(truncate_plan)
+        new = new.transform(truncate_plan_lazy)
         n_changed = new.where("changed").count()
         state = new.select(
             "vid", F.col("nf").alias("f"), F.col("nb").alias("b")
@@ -189,7 +189,7 @@ def _contract_chains(edges: DataFrame, vertices: DataFrame):
             F.col("cp").isNotNull().alias("pc"),
             F.col("vid").alias("m"),
         )
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
     rounds = max(1, int(n_chain).bit_length())
     for _ in range(rounds):
@@ -213,7 +213,7 @@ def _contract_chains(edges: DataFrame, vertices: DataFrame):
                 F.when(F.col("pc"), F.col("pc2")).otherwise(F.lit(False)).alias("pc"),
                 F.when(F.col("jc"), F.least("m", "m2")).otherwise(F.col("m")).alias("m"),
             )
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
     # jc still true after ceil(log2(n_chain)) doublings ⇒ the jump walked
     # ≥ n_chain hops without leaving the chain set ⇒ pure cycle; the
@@ -249,9 +249,9 @@ def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
         graph.edges.where(F.col("src") != F.col("dst"))
         .distinct()
         .repartition(F.col("src"))
-        .transform(truncate_plan)
+        .transform(truncate_plan_lazy)
     )
-    remaining = graph.vertices.select("vid").transform(truncate_plan)
+    remaining = graph.vertices.select("vid").transform(truncate_plan_lazy)
     assigned = spark.createDataFrame([], "vid long, comp long")
     chain_maps: list[DataFrame] = []  # one per round, folded back LIFO
 
@@ -265,7 +265,7 @@ def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
             cur_edges.join(remaining.withColumnRenamed("vid", "src"), "src", "semi")
             .join(remaining.withColumnRenamed("vid", "dst"), "dst", "semi")
             .select("src", "dst")  # USING joins reorder cols; union is positional
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         contracted, cmap, cycle_comp = _contract_chains(e_r, remaining)
         cmap = cmap.persist()
@@ -273,13 +273,13 @@ def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
             chain_maps.append(cmap)
             # pure cycles of (1,1) vertices touch no other remaining edge —
             # each is a complete SCC, final as-is
-            assigned = assigned.unionByName(cycle_comp).transform(truncate_plan)
+            assigned = assigned.unionByName(cycle_comp).transform(truncate_plan_lazy)
             remaining = (
                 remaining.join(cmap.select("vid"), "vid", "anti")
                 .join(cycle_comp.select("vid"), "vid", "anti")
-                .transform(truncate_plan)
+                .transform(truncate_plan_lazy)
             )
-            cur_edges = contracted.transform(truncate_plan)
+            cur_edges = contracted.transform(truncate_plan_lazy)
         else:
             cmap.unpersist()
             cur_edges = e_r
@@ -293,7 +293,7 @@ def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
             keep = (
                 remaining.join(has_out, "vid", "semi")
                 .join(has_in, "vid", "semi")
-                .transform(truncate_plan)
+                .transform(truncate_plan_lazy)
             )
             n_keep = keep.count()
             trimmed = remaining.join(keep, "vid", "anti")
@@ -301,7 +301,7 @@ def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
                 break
             assigned = assigned.unionByName(
                 trimmed.select("vid", F.col("vid").alias("comp"))
-            ).transform(truncate_plan)
+            ).transform(truncate_plan_lazy)
             remaining = keep
             if n_keep == 0:
                 break
@@ -312,14 +312,14 @@ def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
             cur_edges.join(remaining.withColumnRenamed("vid", "src"), "src", "semi")
             .join(remaining.withColumnRenamed("vid", "dst"), "dst", "semi")
             .select("src", "dst")
-            .transform(truncate_plan)
+            .transform(truncate_plan_lazy)
         )
         labels = _fb_minlabels(e_r, remaining)
         found = labels.where(F.col("f") == F.col("b")).select(
             "vid", F.col("f").alias("comp")
         )
-        assigned = assigned.unionByName(found).transform(truncate_plan)
-        remaining = remaining.join(found, "vid", "anti").transform(truncate_plan)
+        assigned = assigned.unionByName(found).transform(truncate_plan_lazy)
+        remaining = remaining.join(found, "vid", "anti").transform(truncate_plan_lazy)
         cur_edges = e_r
 
     # -- fold chain vertices back in, newest round first --------------------
@@ -343,7 +343,7 @@ def scc(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
                 .alias("comp"),
             )
         )
-        assigned = assigned.unionByName(ch).transform(truncate_plan)
+        assigned = assigned.unionByName(ch).transform(truncate_plan_lazy)
     # re-minimize the representative over full membership (a chain vid can
     # be smaller than every branching vid in its SCC)
     rep = assigned.groupBy("comp").agg(F.min("vid").alias("newc"))

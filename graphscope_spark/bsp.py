@@ -67,6 +67,20 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
         return ck
 
 
+def truncate_plan_lazy(df: DataFrame) -> DataFrame:
+    """``truncate_plan`` with deferred materialization: the NEXT action on
+    the result is the job that computes and caches it — one scheduler
+    barrier per round instead of two (materialize + aggregate). The plan is
+    still cut at construction time (the stats-blowup guard does not depend
+    on eagerness).
+
+    Use ONLY where an action on the result runs before any upstream
+    ``unpersist()``: unpersisting an input local-checkpoint first would
+    delete blocks the deferred computation still needs (localCheckpoint
+    truncates RDD lineage, so lost blocks are unrecoverable)."""
+    return truncate_plan(df, eager=False)
+
+
 # --- metrics ------------------------------------------------------------------
 
 
@@ -235,9 +249,15 @@ def run_bsp(
             new_state = save_checkpoint(new_state, checkpoint_dir, rnd, meta)
         elif rnd % truncate_every == 0:
             if stats_reset_every and rnd % (truncate_every * stats_reset_every) == 0:
-                new_state = truncate_plan(new_state)
+                # lazy for the same one-job-per-round reason; the rebuild
+                # node's stats reset happens at plan construction either way
+                new_state = truncate_plan(new_state, eager=False)
             else:
-                new_state = new_state.localCheckpoint(eager=True)
+                # lazy: the convergence aggregate below is the action that
+                # materializes this checkpoint — keeps the loop at ONE job
+                # per round (eager=True ran a separate materialization job
+                # before the scalar job: 2 scheduler barriers per round)
+                new_state = new_state.localCheckpoint(eager=False)
         else:
             new_state = new_state.persist()
             truncated = False

@@ -35,6 +35,20 @@ def test_pagerank_tiny(tiny_graph):
     assert np.isclose(sum(got.values()), 1.0, atol=1e-9)
 
 
+def test_pagerank_fused_matches_unfused(tiny_graph):
+    # fused_rounds stacks k power-iteration rounds per Spark job with the
+    # dangling mass computed in-plan; the arithmetic per round is identical,
+    # so a fixed-round run must agree with the per-round path to float noise
+    a = pagerank(tiny_graph, alpha=0.85, tol=0.0, max_rounds=12)
+    b = pagerank(tiny_graph, alpha=0.85, tol=0.0, max_rounds=12, fused_rounds=4)
+    assert b.supersteps == 12
+    ga = _collect_map(a.state, "vid", "rank")
+    gb = _collect_map(b.state, "vid", "rank")
+    assert set(ga) == set(gb)
+    for v in ga:
+        assert np.isclose(ga[v], gb[v], atol=1e-12), (v, ga[v], gb[v])
+
+
 def test_wcc_tiny(tiny_graph):
     res = wcc(tiny_graph)
     got = _collect_map(res.state, "vid", "comp")
