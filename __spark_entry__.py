@@ -2288,6 +2288,43 @@ SELECT CAST(1 AS BIGINT) AS recall_ok
 """
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN gate: recall@5 of coarse-cell candidates (nprobe nearest
+    centroids of a sample-trained deterministic spherical k-means) vs the
+    exact verifier, computed in-engine. Same >=0.8-bit contract as
+    ``ann_lsh_topk``."""
+    from graphscope_spark.datapipe import cosine_topk
+    from graphscope_spark.datapipe.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, k=5).persist()
+    total = exact.count()
+    # nprobe=8/16 cells (recall 0.833 measured at sf0.01): the synthetic
+    # gate embeddings are near-uniform on the sphere — the WORST case for a
+    # coarse quantizer, so a high scan fraction is needed here; clustered
+    # real corpora reach the same recall at far smaller nprobe/n_centroids
+    approx = ivf_ann_topk(emb, k=5, n_centroids=16, nprobe=8)
+    hit = exact.join(approx, ["id", "nbr"], "semi").count()
+    exact.unpersist()
+    recall = hit / total if total else 0.0
+    return spark.createDataFrame(
+        [(1 if recall >= 0.8 else 0,)],
+        "recall_ok long",
+    )
+
+
+_ANN_IVF_SQL = """
+-- Same contract as ann_lsh_topk: the gate asserts the recall@5 >= 0.8 BIT.
+-- The quantizer is deterministic (hash-ordered sample, first-rows init,
+-- fixed Lloyd iterations) so the recall is reproducible, but its value
+-- shifts with (n_centroids, nprobe, sample_cap, dim) — the bit is the
+-- operator's contract (tests/test_datapipe.py pins the same threshold);
+-- the recall computation runs in-engine against the exact cosine_topk
+-- verifier.
+SELECT CAST(1 AS BIGINT) AS recall_ok
+"""
+
+
 def _q_emb_neardup(spark, sf_dir):
     from graphscope_spark.datapipe import embedding_neardup_pairs
 
@@ -2526,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # datapipe rows stale since r1 / never gated (VERDICT r2 §wrong-1)
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "dedup_embedding_cosine": _q_emb_neardup,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -2707,6 +2745,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_pairs_sql(7),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
         "dedup_embedding_cosine": _emb_neardup_sql(0.4),
         "lang_id": _lang_id_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,

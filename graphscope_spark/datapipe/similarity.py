@@ -7,10 +7,18 @@
   components are deterministic pseudo-randoms derived from the portable
   hash (no RNG state, reproducible across cluster sizes); candidates are
   bucket-joined on the sign-bit signature, then exactly re-scored.
+* ``ivf_ann_topk``   — the other scale path: IVF-flat. A coarse quantizer
+  is trained driver-side with deterministic Lloyd iterations on a
+  hash-ordered SAMPLE (the standard IVF practice — the quantizer never
+  sees the full corpus), every vector is assigned to its nearest centroid
+  by one broadcast GEMM per Arrow batch, queries probe the ``nprobe``
+  nearest centroids, and candidates are exactly re-scored.
 * ``embedding_neardup_pairs`` — near-duplicate pairs by cosine ≥ threshold.
 
 At 100 TB brute force is O(n²) and only serves as the small-block verifier;
-the LSH variant's cost is Σ bucket², bounded by the signature length.
+the LSH variant's cost is Σ bucket², bounded by the signature length; the
+IVF variant's cost is Σ_c |probes(c)|·|members(c)| ≈ (nprobe/n_centroids)·n²
+with int-only shuffles until the per-pair rescore.
 """
 
 from __future__ import annotations
@@ -345,3 +353,135 @@ def lsh_ann_topk(
         Window.partitionBy("id").orderBy(F.round(F.col("sim"), 9).desc(), F.col("nbr").asc())
     )
     return scored.withColumn("rk", w).where(F.col("rk") <= k).select("id", "nbr", "sim")
+
+
+def _ivf_train_centroids(X, n_centroids: int, iters: int = 5):
+    """Deterministic spherical k-means on a unit-normalized sample matrix.
+
+    Init = the first ``n_centroids`` sample rows (the caller hash-orders the
+    sample, so init is reproducible across partitionings and cluster sizes);
+    assignment by max inner product; empty clusters keep their previous
+    centroid. Returns a unit-row (n_centroids × dim) matrix."""
+    import numpy as np
+
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=n_centroids)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(C, axis=1)
+        C[norms > 0] /= norms[norms > 0, None]
+    return C
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_cap: int = 20_000,
+    train_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, norm, cluster, rk) — each vector's ``nprobe`` nearest coarse
+    centroids by inner product, rk = 0 being the assignment cell.
+
+    The quantizer trains on a deterministic sample: the ``sample_cap`` rows
+    with the smallest ``xxhash64(id)`` (reproducible total order, no RNG, no
+    dependence on partitioning). At 100 TB the sample is the only data that
+    ever reaches the driver — (n_centroids × dim) doubles broadcast back.
+    Assignment is one NumPy GEMM per Arrow batch against the broadcast
+    centroid matrix, the same O(1)-plan-nodes shape as ``lsh_signatures``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    u = with_unit_vectors(emb, id_col, vec_col)
+    samp = (
+        u.where(F.col("norm") > 0)
+        .select("vec", "norm", F.xxhash64(F.col("id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r["vec"] for r in samp], dtype=np.float64)
+    X /= np.array([r["norm"] for r in samp], dtype=np.float64)[:, None]
+    n_centroids = min(n_centroids, len(X))
+    nprobe = min(nprobe, n_centroids)
+    C = _ivf_train_centroids(X, n_centroids, train_iters)
+    b_c = emb.sparkSession.sparkContext.broadcast(C)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+            T.StructField("norm", T.DoubleType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+
+    def batches(it):
+        C = b_c.value
+        np_ = np
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            q = np_.array(list(pdf["vec"]), dtype=np_.float64)
+            norms = pdf["norm"].to_numpy()
+            qn = q / np_.where(norms > 0, norms, 1.0)[:, None]
+            ip = qn @ C.T  # (batch, n_centroids)
+            # top-nprobe centroids per row, best first (stable by -ip)
+            top = np_.argsort(-ip, kind="stable", axis=1)[:, :nprobe]
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np_.repeat(pdf["id"].to_numpy(), nprobe),
+                    "vec": [v for v in pdf["vec"] for _ in range(nprobe)],
+                    "norm": np_.repeat(norms, nprobe),
+                    "cluster": top.ravel().astype("int32"),
+                    "rk": np_.tile(np_.arange(nprobe, dtype="int32"), b),
+                }
+            )
+
+    return u.mapInPandas(batches, schema)
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_cap: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by IVF-flat: each query scans only the members of
+    its ``nprobe`` nearest coarse cells, re-scored exactly. Returns
+    (id, nbr, sim). Recall measured in tests against ``cosine_topk``.
+
+    Scale shape: the probe ⋈ member join carries ONLY (cluster, id) ints —
+    vectors rejoin once per surviving pair; a pair can match on at most one
+    cluster (a member belongs to exactly one cell), so no dedup shuffle is
+    needed at all (cheaper than the LSH band join, which must distinct())."""
+    asg = ivf_assignments(
+        emb, n_centroids, nprobe, sample_cap, id_col=id_col, vec_col=vec_col
+    ).persist()
+    asg.count()
+    members = asg.where(F.col("rk") == 0).select("cluster", F.col("id").alias("nbr"))
+    probes = asg.select("cluster", "id")
+    cand = probes.join(members, "cluster").where(F.col("id") != F.col("nbr")).select("id", "nbr")
+    vecs = asg.where(F.col("rk") == 0)
+    va = vecs.select("id", F.col("vec").alias("va"), F.col("norm").alias("na"))
+    vb = vecs.select(
+        F.col("id").alias("nbr"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    scored = _pair_cosine(cand.join(va, "id").join(vb, "nbr"))
+    w = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.round(F.col("sim"), 9).desc(), F.col("nbr").asc())
+    )
+    out = scored.withColumn("rk", w).where(F.col("rk") <= k).select("id", "nbr", "sim")
+    return out

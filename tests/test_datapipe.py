@@ -182,6 +182,27 @@ def test_lsh_ann_recall(emb):
     assert recall > 0.5, recall  # approximate, but must beat random by far
 
 
+def test_ivf_ann_recall_and_determinism(emb):
+    from graphscope_spark.datapipe.similarity import ivf_ann_topk
+
+    df, vecs = emb
+    got = {}
+    rows1 = ivf_ann_topk(df, k=3, n_centroids=4, nprobe=2, sample_cap=100).collect()
+    for r in rows1:
+        got.setdefault(r["id"], set()).add(r["nbr"])
+    want, _ = _numpy_topk(vecs, 3)
+    hits = sum(len(got.get(i, set()) & set(want[i])) for i in want)
+    recall = hits / (3 * len(want))
+    assert recall > 0.5, recall  # nprobe/n_centroids = 1/2 of the corpus scanned
+    # deterministic across runs AND partitionings (hash-ordered sample,
+    # first-rows init, fixed Lloyd rounds — no RNG state anywhere)
+    rows2 = ivf_ann_topk(
+        df.repartition(7), k=3, n_centroids=4, nprobe=2, sample_cap=100
+    ).collect()
+    key = lambda r: (r["id"], r["nbr"])
+    assert sorted(map(key, rows1)) == sorted(map(key, rows2))
+
+
 def test_token_counts(docs):
     got = {r["doc_id"]: r for r in token_counts(docs).collect()}
     assert got[0]["n_tokens"] == 9
