@@ -1678,6 +1678,16 @@ def _q_wcc_log(spark, sf_dir):
     return wcc_log(_graph(spark, sf_dir))
 
 
+def _q_pregel_wcc(spark, sf_dir):
+    """The Pregel vertex-program surface (graphscope_spark/pregel.py): the
+    min-label program must reproduce wcc exactly (reference validates its
+    pregel variants against the builtins the same way, apps/pregel/)."""
+    from graphscope_spark.pregel import min_label_program, run_pregel
+
+    res = run_pregel(_graph(spark, sf_dir), min_label_program())
+    return res.state.select("vid", F.col("value").alias("comp"))
+
+
 def _q_cdlp(spark, sf_dir):
     from graphscope_spark.algorithms import cdlp
 
@@ -2523,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "wcc": _q_wcc,
         "wcc_log": _q_wcc_log,
+        "pregel_wcc": _q_pregel_wcc,
         "cdlp": _q_cdlp,
         "triangles": _q_triangles,
         "lcc": _q_lcc,
@@ -2643,6 +2654,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "pagerank_dangling": _pagerank_sql(20, 0.85, "WHERE src % 13 <> 12"),
         "wcc": _WCC_SQL,
         "wcc_log": _WCC_SQL,
+        "pregel_wcc": _WCC_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,

@@ -64,13 +64,70 @@ def user_sessions(
     ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
+USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_USER_TOTALS_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom STATEFUL operator: per-user running event count + value sum,
+    re-emitted after every microbatch that touches the user.
+
+    This is the ``applyInPandasWithState`` path — arbitrary Python state per
+    key, Arrow-batched, state kept in Spark's per-partition state store
+    (keyed by user_id, so a 10^9-user stream shards the state across
+    executors exactly like any keyed aggregation). Built-in windowed aggs
+    (``hourly_event_counts``/``user_sessions``) cover the declarative cases;
+    this operator is the template for semantics they can't express
+    (cross-window running totals, custom eviction, model state).
+
+    On a BATCH DataFrame it degrades to the equivalent groupBy — the
+    batch/stream parity contract tested in tests/test_streaming.py."""
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint: str, mode: str = "complete"
+):
     """Drain everything currently available into an in-memory sink and stop —
-    the deterministic test/backfill mode. Returns the finished query."""
+    the deterministic test/backfill mode. Returns the finished query.
+    ``mode='update'`` for stateful operators that emit per-batch updates
+    (``running_user_totals``)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
