@@ -26,12 +26,35 @@ PICKS = {
     "dedup_simhash": "simhash — 60 conditional sums in ONE aggregate, no per-bit explosion",
     "ann_cosine_topk": "blocked exact ANN — one mapInPandas over a broadcast matrix",
     "curation_pipeline": "composite curation — fused multi-branch scan of documents",
-    "ann_lsh_topk": "LSH ANN — GEMM signatures, int-only band join, einsum rescoring",
+    "ann_lsh_topk": "LSH ANN — GEMM signatures, int-only band join, einsum rescoring (operator plan, not the gate's recall-bit wrapper)",
     "lpa_u2i": "bipartite LPA — melted label state, two join+agg half-steps per round",
     "msf": "Boruvka MSF — per-component min_by lightest edge, contraction fixpoint",
     "kclique4": "4-clique — degree-ordered orientation, two oriented-adjacency joins",
     "rectangles": "rectangle count — wedge partial-agg, C(n,2) fold, no 4-way join",
     "diamonds": "diamond count — shared triangle-instance kernel, direction-bit aggregate",
+    "ann_ivf_topk": "IVF ANN — broadcast-centroid GEMM assignment, int-only probe⋈member join (no dedup), einsum rescoring (operator plan)",
+}
+
+MAX_TREE_LINES = 90  # subgraph-census trees run to ~800 nodes; keep the head
+
+
+def _ann_factory(which):
+    def build(spark):
+        from graphscope_spark.datapipe.similarity import ivf_ann_topk, lsh_ann_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        if which == "ivf":
+            return ivf_ann_topk(emb, k=5, n_centroids=16, nprobe=8)
+        return lsh_ann_topk(emb, k=5, num_planes=24, bands=8)
+
+    return build
+
+
+# picks whose GATE wrapper collects eagerly and returns a scalar/truncated
+# frame — explain the real operator DataFrame instead
+FACTORIES = {
+    "ann_lsh_topk": _ann_factory("lsh"),
+    "ann_ivf_topk": _ann_factory("ivf"),
 }
 
 
@@ -65,12 +88,22 @@ def main():
         "",
     ]
     for name, why in PICKS.items():
-        df = qs[name](spark, SF_DIR)
+        if name in FACTORIES:
+            df = FACTORIES[name](spark)
+        else:
+            df = qs[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
         # keep the operator tree; drop the verbose per-node details
         tree = plan.split("\n\n")[0]
+        lines = tree.splitlines()
+        if len(lines) > MAX_TREE_LINES:
+            lines = lines[:MAX_TREE_LINES] + [
+                f"... ({len(tree.splitlines()) - MAX_TREE_LINES} more plan lines"
+                " — same join/agg shapes repeated)"
+            ]
+        tree = "\n".join(lines)
         out += [f"## {name}", "", why, "", summarize(plan), "", "```", tree, "```", ""]
     (REPO / "BENCH" / "PLANS.md").write_text("\n".join(out))
     print(f"wrote {REPO / 'BENCH' / 'PLANS.md'}")
