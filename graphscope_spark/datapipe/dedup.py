@@ -44,12 +44,20 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def char_shingles(
-    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct lowercase character k-grams per doc: (doc_id, shingle).
-    Pure codegen: explode(sequence(1, len-k+1)) → substring."""
+    """Lowercase character k-grams per doc: (doc_id, shingle), distinct by
+    default (set semantics, what Jaccard needs). Pure codegen:
+    explode(sequence(1, len-k+1)) → substring. ``distinct=False`` skips the
+    dedup EXCHANGE — a full shuffle of every shingle string — for consumers
+    that are duplicate-insensitive (MinHash: min over a multiset == min
+    over its set)."""
     t = F.lower(F.col(text_col))
-    return (
+    out = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             t.alias("t"),
@@ -59,8 +67,8 @@ def char_shingles(
         )
         .select("doc_id", F.substring(F.col("t"), F.col("pos"), k).alias("shingle"))
         .where(F.length("shingle") == k)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # -- MinHash + LSH ---------------------------------------------------------------
@@ -145,20 +153,62 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jac) with exact Jaccard ≥ threshold among
     MinHash-LSH candidates. The full pipeline: shingle → signature → band →
-    bucket join → exact verify."""
-    sh = char_shingles(docs, k, id_col, text_col).persist()
-    sh.count()
-    sig = minhash_signatures(sh, num_perm)
-    cand = lsh_candidate_pairs(sig, num_perm, bands)
+    bucket join → exact verify.
+
+    Two physical strategies, identical results (``mode``):
+
+    * ``shared`` — distinct shingles computed ONCE (one full string
+      shuffle), cached, feeding both the signature aggregate and the exact
+      verify. Optimal while the shingle set fits comfortably in cluster
+      memory/shuffle: the work-sharing beats everything at small scale.
+    * ``scan``  — signatures from NON-distinct shingles (MinHash is
+      duplicate-insensitive: min over a multiset == min over its set), so
+      the only full-corpus shuffle is the partial-aggregated docs ×
+      num_perm LONGS; distinct set-shingles are then built only for the
+      docs the exact verify touches (semi-join on candidate ids). At 100 TB
+      this is the only viable plan — ``shared``'s distinct would exchange
+      every shingle STRING (≈ the corpus's text bytes) across the network.
+    * ``auto`` (default) — ``shared`` below 1M docs, ``scan`` above.
+    """
+    mode = mode if mode != "auto" else (
+        "shared" if docs.count() <= 1_000_000 else "scan"
+    )
+    if mode == "shared":
+        sh = char_shingles(docs, k, id_col, text_col).persist()
+        sh.count()
+        sig = minhash_signatures(sh, num_perm)
+        cand = lsh_candidate_pairs(sig, num_perm, bands)
+    else:
+        # persist the (docs × num_perm longs) signature table: the band
+        # bucket join references it on BOTH sides — uncached it would
+        # re-run the shingle scan + hash twice
+        sig = minhash_signatures(
+            char_shingles(docs, k, id_col, text_col, distinct=False), num_perm
+        ).persist()
+        cand = lsh_candidate_pairs(sig, num_perm, bands).persist()
+        cand.count()
+        sig.unpersist()
+        cand_ids = (
+            cand.select(F.col("a").alias(id_col))
+            .unionByName(cand.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        sh = char_shingles(
+            docs.join(cand_ids, id_col, "semi"), k, id_col, text_col
+        ).persist()
+        sh.count()
     out = jaccard_of_pairs(cand, sh).where(F.col("jac") >= threshold)
-    # Materialize the (small) pair output, then release the shingle cache —
+    # Materialize the (small) pair output, then release the caches —
     # persisted entries otherwise live in the CacheManager for the whole
     # session and repeated calls accumulate storage pressure.
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
+    if mode == "scan":
+        cand.unpersist()
     return out
 
 

@@ -53,6 +53,12 @@ def test_minhash_finds_near_dups(docs):
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
     assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
     assert (0, 5) not in pairs
+    # the scan strategy (non-distinct signatures + candidate-only verify —
+    # the 100TB shuffle shape) must produce identical pairs and jaccards
+    scan = {(r["a"], r["b"]): r["jac"] for r in
+            minhash_dedup_pairs(docs, k=5, num_perm=16, bands=8,
+                                threshold=0.5, mode="scan").collect()}
+    assert scan == pairs
 
 
 def test_ngram_jaccard_exact(docs):
