@@ -88,6 +88,19 @@ def get_spark(
     return spark
 
 
+def apply_engine_conf(spark: SparkSession) -> None:
+    """Apply the engine's SQL conf to an EXTERNALLY created session — the
+    ``spark-submit`` path (tools/submit_job.py), where master/executors are
+    the cluster's business and only runtime-settable SQL conf belongs to the
+    engine. Also ships the package zip in case --py-files was omitted."""
+    for k, v in _SCALE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover — static conf on some builds
+            pass
+    _ship_package(spark)
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executors so pandas UDFs deserialize anywhere —
     the in-process analog of ``spark-submit --py-files graphscope_spark.zip``
