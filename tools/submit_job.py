@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--fused-rounds", type=int, default=1)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--metrics-out", default=None,
+                    help="write per-superstep metrics (wall s, convergence "
+                         "scalar, shuffle bytes, task-skew) as JSON lines")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -94,6 +97,11 @@ def main() -> None:
     out.write.mode("overwrite").parquet(args.output)
     meta["rows"] = spark.read.parquet(args.output).count()
     meta["wall_s"] = round(time.time() - t0, 3)
+    if args.metrics_out and "res" in dir():
+        with open(args.metrics_out, "w") as f:
+            for m in res.metrics:
+                f.write(json.dumps(m) + "\n")
+        meta["metrics_out"] = args.metrics_out
     print(json.dumps(meta))
     spark.stop()
 
