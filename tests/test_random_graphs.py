@@ -106,3 +106,36 @@ def test_kcore_random(spark):
     for g, edges, verts in _graphs(spark):
         got = {r["vid"] for r in kcore(g, k=2).collect()}
         assert got == _py_kcore(edges, verts, 2)
+
+
+def test_cdlp_and_pagerank_random(spark):
+    """North-star kernels vs the FIXTURES.md oracles on random digraphs."""
+    from graphscope_spark.algorithms import cdlp, pagerank
+    from tests.oracles import cdlp_oracle, pagerank_oracle
+
+    for g, edges, verts in _graphs(spark):
+        want_l = cdlp_oracle(edges, set(verts), max_rounds=10)
+        got_l = {r["vid"]: r["label"] for r in cdlp(g, max_rounds=10).state.collect()}
+        assert got_l == want_l
+        want_r = pagerank_oracle(edges, set(verts), alpha=0.85, tol=1e-10)
+        got_r = {r["vid"]: r["rank"] for r in pagerank(g, tol=1e-10).state.collect()}
+        assert set(got_r) == set(want_r)
+        assert max(abs(got_r[v] - want_r[v]) for v in want_r) < 1e-8
+
+
+def test_mega_hub_skew(spark):
+    """A 5000-degree hub exercises the salted two-phase adjacency build and
+    the skew-aware message aggregation: results must match the oracle."""
+    from graphscope_spark.algorithms import pagerank, wcc
+    from tests.oracles import pagerank_oracle
+
+    edges = [(0, v) for v in range(1, 5001)] + [(v, 0) for v in range(1, 5001, 7)]
+    edges += [(5000 + i, 5001 + i) for i in range(199)]  # a chain component
+    verts = sorted({u for e in edges for u in e})
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    g = from_edge_df(edf, 8)
+    got_w = {r["vid"]: r["comp"] for r in wcc(g).state.collect()}
+    assert got_w == _py_wcc(edges, verts)
+    want_r = pagerank_oracle(edges, set(verts), alpha=0.85, tol=1e-10)
+    got_r = {r["vid"]: r["rank"] for r in pagerank(g, tol=1e-10).state.collect()}
+    assert max(abs(got_r[v] - want_r[v]) for v in want_r) < 1e-8
