@@ -1680,6 +1680,29 @@ def _q_wcc_log(spark, sf_dir):
     return wcc_log(_graph(spark, sf_dir))
 
 
+def _q_gie_traversal(spark, sf_dir):
+    """GIE-lite Gremlin step kernel (graphscope_spark/traversal.py):
+    g.V().has('lang','en').out().groupCount() by the head's lang — the
+    has/out/groupCount steps compiled to the DataFrame join chain, checked
+    against the equivalent relational join (reference step inventory:
+    docs/interactive_engine/tinkerpop/supported_gremlin_steps.md)."""
+    from graphscope_spark.graph import edges_from_documents
+    from graphscope_spark.property_graph import PropertyGraph
+    from graphscope_spark.traversal import traversal
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("vid"), "lang"
+    )
+    links = edges_from_documents(spark, sf_dir)
+    pg = (
+        PropertyGraph(num_partitions=NUM_PARTITIONS)
+        .add_vertices("page", docs)
+        .add_edges("page", "links", "page", links)
+    )
+    out = traversal(pg, "page").has("lang", "en").out("links").group_count("lang")
+    return out.select(F.col("key").alias("lang"), F.col("count").alias("n"))
+
+
 def _q_pregel_wcc(spark, sf_dir):
     """The Pregel vertex-program surface (graphscope_spark/pregel.py): the
     min-label program must reproduce wcc exactly (reference validates its
@@ -2524,12 +2547,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r0N). Priority for the round-3 window, highest first:
     (a) the flagship four + this round's most-changed kernels (scc rewrite,
     louvain/msf lazy-truncation + pointer doubling, fused pagerank);
-    (b) all 31 queries that have NEVER had a driver row (round-3 additions
-    incl. ann_lsh_topk/ann_ivf_topk/pregel_wcc and the flash subgraph/
-    matching/ordering families);
-    (c) the 11 datapipe rows stale since CORRECTNESS_r01 (VERDICT r2 #1).
+    (b) all 32 queries that have NEVER had a driver row (round-3 additions
+    incl. ann_lsh_topk/ann_ivf_topk/pregel_wcc/gie_traversal and the flash
+    subgraph/matching/ordering families);
+    (c) the datapipe rows stale since CORRECTNESS_r01 (VERDICT r2 #1 — 10
+    of 11 fit; docs_by_lang lands at slot 51, covered by check_gate).
     Queries after slot 50 all have green r2 driver rows (plus pytest), and
-    the FULL 92-query matrix is run locally each round by
+    the FULL 93-query matrix is run locally each round by
     tools/check_gate.py --json (committed as BENCH/GATE_FULL_r{N}.json)."""
     return {
         # ---- driver first-50 window: flagship four + this round's most-
@@ -2545,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": _q_pagerank_dangling,
         "wcc_log": _q_wcc_log,
         "pregel_wcc": _q_pregel_wcc,
+        "gie_traversal": _q_gie_traversal,
         "cut_points": _q_cut_points,
         "bcc": _q_bcc,
         "maximal_matching": _q_maximal_matching,
@@ -2646,6 +2671,17 @@ def oracle_sql() -> dict[str, str]:
     return {k: _materialize(v) for k, v in _raw_oracle_sql().items()}
 
 
+_GIE_TRAVERSAL_SQL = f"""
+WITH edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
+docs AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents)
+SELECT d2.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM edges e
+JOIN docs d1 ON d1.vid = e.src AND d1.lang = 'en'
+JOIN docs d2 ON d2.vid = e.dst
+GROUP BY d2.lang
+"""
+
+
 def _raw_oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": f"WITH {_SQL_BASE} SELECT src, dst FROM edges",
@@ -2656,6 +2692,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "wcc": _WCC_SQL,
         "wcc_log": _WCC_SQL,
         "pregel_wcc": _WCC_SQL,
+        "gie_traversal": _GIE_TRAVERSAL_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,

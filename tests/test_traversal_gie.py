@@ -1,0 +1,101 @@
+"""GIE-lite traversal steps vs hand-computed results on a typed toy graph
+(step semantics from the reference's supported_gremlin_steps.md: bag
+traversers, dedup as an explicit step, PathExpand as hop-range union)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.property_graph import PropertyGraph
+from graphscope_spark.traversal import traversal
+
+
+@pytest.fixture(scope="module")
+def pg(spark):
+    people = spark.createDataFrame(
+        [(1, "ann", 31), (2, "bob", 27), (3, "cat", 45), (4, "dan", 27)],
+        "vid long, name string, age long",
+    )
+    posts = spark.createDataFrame(
+        [(10, "x"), (11, "y"), (12, "z")], "vid long, topic string"
+    )
+    knows = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src long, dst long"
+    )
+    wrote = spark.createDataFrame(
+        [(1, 10), (2, 11), (2, 12)], "src long, dst long"
+    )
+    return (
+        PropertyGraph(num_partitions=4)
+        .add_vertices("person", people)
+        .add_vertices("post", posts)
+        .add_edges("person", "knows", "person", knows)
+        .add_edges("person", "wrote", "post", wrote)
+    )
+
+
+def test_out_bag_and_dedup(pg):
+    t = traversal(pg, "person").out("knows").out("knows")
+    # 2-hop bag: 1→2→3, 1→3→1, 2→3→1, 3→1→2, 3→1→3, 4→1→2, 4→1→3 = 7 rows
+    assert t.count().collect()[0]["count"] == 7
+    heads = sorted(r["v"] for r in t.dedup().to_df().collect())
+    assert heads == [1, 2, 3]  # bag collapses to the 3 distinct heads
+
+
+def test_has_and_values(pg):
+    names = sorted(
+        r["name"]
+        for r in traversal(pg, "person").has("age", 27).values("name").collect()
+    )
+    assert names == ["bob", "dan"]
+    # predicate-column form
+    n = (
+        traversal(pg, "person")
+        .has("age", F.col("age") > 30)
+        .count()
+        .collect()[0]["count"]
+    )
+    assert n == 2  # ann(31), cat(45)
+
+
+def test_cross_label_hop_and_group_count(pg):
+    # person -wrote-> post: label of the head flips to 'post'
+    topics = sorted(
+        r["topic"] for r in traversal(pg, "person").out("wrote").values("topic").collect()
+    )
+    assert topics == ["x", "y", "z"]
+    gc = {
+        r["key"]: r["count"]
+        for r in traversal(pg, "person").out("knows").group_count("name").collect()
+    }
+    assert gc == {"ann": 2, "bob": 1, "cat": 2}
+
+
+def test_in_and_both(pg):
+    # who wrote post 11? in_ from posts
+    writers = sorted(
+        r["name"] for r in traversal(pg, "post").in_("wrote").dedup().values("name").collect()
+    )
+    assert writers == ["ann", "bob"]
+    n_both = traversal(pg, "person").both("knows").count().collect()[0]["count"]
+    assert n_both == 10  # 5 edges × 2 directions
+
+
+def test_path_expand(pg):
+    t = traversal(pg, "person").has("name", "dan").path_expand(1, 2, "knows")
+    rows = sorted((r["hops"], r["v"]) for r in t.to_df().collect())
+    # dan→1 (1 hop); dan→1→2, dan→1→3 (2 hops)
+    assert rows == [(1, 1), (2, 2), (2, 3)]
+
+
+def test_traversal_matches_sql_two_hop(pg, spark):
+    """The join-chain the traversal builds must equal the SQL a relational
+    user would write — the GIE-to-DataFrame compilation contract."""
+    knows = pg.edges[("person", "knows", "person")]
+    knows.createOrReplaceTempView("knows_e")
+    want = spark.sql(
+        "SELECT COUNT(*) AS count FROM knows_e a JOIN knows_e b ON a.dst = b.src"
+    ).collect()[0]["count"]
+    got = traversal(pg, "person").out("knows").out("knows").count().collect()[0]["count"]
+    assert got == want
