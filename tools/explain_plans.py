@@ -33,6 +33,7 @@ PICKS = {
     "rectangles": "rectangle count — wedge partial-agg, C(n,2) fold, no 4-way join",
     "diamonds": "diamond count — shared triangle-instance kernel, direction-bit aggregate",
     "ann_ivf_topk": "IVF ANN — broadcast-centroid GEMM assignment, int-only probe⋈member join (no dedup), einsum rescoring (operator plan)",
+    "gie_traversal": "GIE-lite has→out→groupCount — the lang filter pushes into the vertex-side scan; hops are plain equi-joins",
 }
 
 MAX_TREE_LINES = 90  # subgraph-census trees run to ~800 nodes; keep the head
