@@ -92,6 +92,15 @@ def color(graph: LinkGraph, max_rounds: int = 100) -> DataFrame:
         colors = nxt.select("vid", "c")
         if changed == 0:
             break
+    else:
+        # a monotone-(deg,id) path propagates the recolor wave one hop per
+        # round, so hitting the budget means the result may not yet be a
+        # proper coloring — surface it rather than return silently
+        hi_edges.unpersist()
+        raise RuntimeError(
+            f"color: no fixpoint within max_rounds={max_rounds} "
+            f"({changed} vertices still recoloring); raise max_rounds"
+        )
     hi_edges.unpersist()
     return colors.select("vid", F.col("c").alias("color"))
 

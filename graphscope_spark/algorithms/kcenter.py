@@ -49,7 +49,7 @@ def k_center(graph: LinkGraph, k: int = 4, max_rounds: int = 500) -> DataFrame:
         .collect()[0][0]
     )
     center = first["vid"]
-    for _ in range(k):
+    for i in range(k):
         frontier = dis.sparkSession.createDataFrame(
             [(center, 0)], "vid long, dis long"
         )
@@ -80,7 +80,10 @@ def k_center(graph: LinkGraph, k: int = 4, max_rounds: int = 500) -> DataFrame:
                 .transform(truncate_plan)
             )
             frontier = improved
-        nxt = dis.agg(F.max(F.struct(F.col("dis"), F.col("vid"))).alias("m")).collect()[0][0]
-        center = nxt["vid"]
+        if i < k - 1:
+            # pick the farthest vertex as the next center; skipped on the
+            # final iteration — a (k+1)-th center would never be used
+            nxt = dis.agg(F.max(F.struct(F.col("dis"), F.col("vid"))).alias("m")).collect()[0][0]
+            center = nxt["vid"]
     und.unpersist()
     return dis

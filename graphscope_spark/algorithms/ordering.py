@@ -15,14 +15,24 @@ coreness, rank vertices by iterated parallel peel rounds:
   core(w) ≥ core(v) is ≤ core(v). Layers refine the k-shell decomposition
   (Hébert-Dufresne et al., "Multi-scale structure… onion decomposition").
 
-The reference decrements cached residual degrees incrementally from the
-removed frontier; the DataFrame shape recomputes the residual count with
-one semi-join + partial aggregate per round over the shrinking remainder —
-same fixpoint, deterministic, and exactly mirrored by the unrolled DuckDB
-oracles in `__spark_entry__.py`. Progress per round is guaranteed (an empty
-removal set would exhibit a (c*+1)-core inside the c*-shell, contradicting
-coreness), so rounds ≤ peel-cascade depth, the same bound the `coreness`
-h-index iteration already carries.
+Scale shape (rewritten round 4, matching the reference's incremental
+decrement): ONE state DataFrame carries the residual degree AND the
+rank/layer as columns — rank IS NULL means "still in the residual graph".
+Each round is exactly ONE Spark job: the removed frontier's edges decrement
+their surviving endpoints' residual degrees (`und ⋈ frontier`, work ∝
+frontier out-edges, so the TOTAL join work across all rounds is O(m) —
+not O(m · rounds) like the recompute-from-remaining formulation), the new
+state is built lazily (`truncate_plan_lazy`), and the single action that
+materializes it is the remaining-vertex count that doubles as the stopping
+condition — the `coreness` (`kcore.py:60`) / `run_bsp` (`bsp.py:231`)
+pattern. No per-round union accumulator, no growing output re-checkpoint:
+ranks accumulate in place in the fixed-size state. (The previous
+formulation ran ~4 driver jobs per round plus an O(rounds)-deep union —
+a driver-bound scale-killer at web-graph peel depths.)
+
+Progress per round is guaranteed (an empty removal set would exhibit a
+(c*+1)-core inside the c*-shell, contradicting coreness), so rounds ≤
+peel-cascade depth, the same bound the `coreness` h-index iteration carries.
 """
 
 from __future__ import annotations
@@ -30,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.bsp import truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
@@ -42,69 +52,110 @@ def degeneracy_order(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
     und = graph.undirected_edges(drop_self_loops=True).persist()
     und.count()
     dg = coreness(graph).agg(F.max("core")).collect()[0][0] or 0
-    spark = graph.vertices.sparkSession
-    out = spark.createDataFrame([], "vid long, rank long")
-    remaining = graph.vertices.select("vid").transform(truncate_plan)
+    deg0 = und.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    state = (
+        graph.vertices.select("vid")
+        .join(deg0, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.lit(None).cast("long").alias("rank"),
+        )
+        .transform(truncate_plan_lazy)
+    )
+    removable = F.col("rank").isNull() & (F.col("deg") <= dg)
     for rnd in range(1, max_rounds + 1):
-        if remaining.count() == 0:
+        # this round's removed frontier, and the decrement its edges apply
+        # to surviving endpoints (edges among two removed vertices also
+        # decrement, harmlessly — the endpoint's deg is frozen by its rank)
+        frontier = state.where(removable).select(F.col("vid").alias("src"))
+        dec = (
+            und.join(frontier, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.count("*").cast("long").alias("dec"))
+        )
+        state = (
+            state.join(dec, "vid", "left")
+            .select(
+                "vid",
+                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
+                F.when(removable, F.lit(rnd))
+                .otherwise(F.col("rank"))
+                .cast("long")
+                .alias("rank"),
+            )
+            .transform(truncate_plan_lazy)
+        )
+        # the ONE action of the round: materializes the checkpointed state
+        # AND yields the stopping condition
+        if state.where(F.col("rank").isNull()).count() == 0:
             break
-        e_r = und.join(remaining.withColumnRenamed("vid", "src"), "src").join(
-            remaining.withColumnRenamed("vid", "dst"), "dst"
-        )
-        deg = e_r.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("deg"))
-        removed = (
-            remaining.join(deg, "vid", "left")
-            .where(F.coalesce(F.col("deg"), F.lit(0)) <= dg)
-            .select("vid")
-            .transform(truncate_plan)
-        )
-        out = out.unionByName(
-            removed.select("vid", F.lit(rnd).cast("long").alias("rank"))
-        ).transform(truncate_plan)
-        remaining = remaining.join(removed, "vid", "anti").transform(truncate_plan)
     und.unpersist()
-    return out
+    return state.where(F.col("rank").isNotNull()).select("vid", "rank")
 
 
 def onion_layers(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
     """(vid, layer) — 1-based onion layer: round at which v is removed when
     each round removes v iff #{remaining nbrs w : core(w) ≥ core(v)} ≤
-    core(v)."""
+    core(v).
+
+    Same incremental shape as ``degeneracy_order``; the static edge table is
+    annotated ONCE with both endpoints' coreness so the per-round decrement
+    (remove w → decrement v iff core(w) ≥ core(v)) is a frontier join with
+    an in-row predicate, never a rejoin against vertex state."""
     from graphscope_spark.algorithms.kcore import coreness
 
     und = graph.undirected_edges(drop_self_loops=True).persist()
     und.count()
-    core = coreness(graph).persist()
-    core.count()
-    spark = graph.vertices.sparkSession
-    out = spark.createDataFrame([], "vid long, layer long")
-    remaining = core.transform(truncate_plan)  # (vid, core)
+    core = coreness(graph)
+    # (src, dst, qualifies): does src's presence count toward dst's
+    # qualifying degree?  qualifies ⇔ core(src) ≥ core(dst)
+    ecore = (
+        und.join(core.select(F.col("vid").alias("src"), F.col("core").alias("score")), "src")
+        .join(core.select(F.col("vid").alias("dst"), F.col("core").alias("dcore")), "dst")
+        .where(F.col("score") >= F.col("dcore"))
+        .select("src", "dst")
+        .persist()
+    )
+    ecore.count()
+    qdeg0 = ecore.groupBy(F.col("dst").alias("vid")).agg(
+        F.count("*").cast("long").alias("qdeg")
+    )
+    state = (
+        core.join(qdeg0, "vid", "left")
+        .select(
+            "vid",
+            "core",
+            F.coalesce("qdeg", F.lit(0)).cast("long").alias("qdeg"),
+            F.lit(None).cast("long").alias("layer"),
+        )
+        .transform(truncate_plan_lazy)
+    )
+    removable = F.col("layer").isNull() & (F.col("qdeg") <= F.col("core"))
     for rnd in range(1, max_rounds + 1):
-        if remaining.count() == 0:
+        frontier = state.where(removable).select(F.col("vid").alias("src"))
+        dec = (
+            ecore.join(frontier, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.count("*").cast("long").alias("dec"))
+        )
+        state = (
+            state.join(dec, "vid", "left")
+            .select(
+                "vid",
+                "core",
+                (F.col("qdeg") - F.coalesce(F.col("dec"), F.lit(0))).alias("qdeg"),
+                F.when(removable, F.lit(rnd))
+                .otherwise(F.col("layer"))
+                .cast("long")
+                .alias("layer"),
+            )
+            .transform(truncate_plan_lazy)
+        )
+        if state.where(F.col("layer").isNull()).count() == 0:
             break
-        # qualifying residual degree: remaining neighbours with core ≥ own
-        e_r = (
-            und.join(
-                remaining.select(F.col("vid").alias("src"), F.col("core").alias("score")),
-                "src",
-            )
-            .join(
-                remaining.select(F.col("vid").alias("dst"), F.col("core").alias("dcore")),
-                "dst",
-            )
-            .where(F.col("score") >= F.col("dcore"))
-        )
-        qdeg = e_r.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("qdeg"))
-        removed = (
-            remaining.join(qdeg, "vid", "left")
-            .where(F.coalesce(F.col("qdeg"), F.lit(0)) <= F.col("core"))
-            .select("vid")
-            .transform(truncate_plan)
-        )
-        out = out.unionByName(
-            removed.select("vid", F.lit(rnd).cast("long").alias("layer"))
-        ).transform(truncate_plan)
-        remaining = remaining.join(removed, "vid", "anti").transform(truncate_plan)
-    core.unpersist()
+    ecore.unpersist()
     und.unpersist()
-    return out
+    return state.where(F.col("layer").isNotNull()).select("vid", "layer")

@@ -89,11 +89,25 @@ def pagerank(
     # dangling mass for the upcoming round; updated by scalar_fn each round
     # (one collect returns both Σ|Δ| and Σ_dangling r — the Spark analog of
     # the reference's two Sum() allreduces at pagerank_networkx.h:85,146,159).
+    k = max(1, int(fused_rounds))
+
     holder = {"dmass": None}
     if resume and checkpoint_dir:
         loaded = load_checkpoint(spark, checkpoint_dir)
         if loaded is not None:
-            st, _, _ = loaded
+            st, _, man = loaded
+            # the manifest's 'superstep' counts BLOCKS of fused_rounds; a
+            # resume under a different k would silently misinterpret the
+            # round budget and the returned superstep count — refuse.
+            ck_k = int(man.get("fused_rounds", 1))
+            if ck_k != k:
+                raise ValueError(
+                    f"pagerank resume: checkpoint at {checkpoint_dir} was "
+                    f"written with fused_rounds={ck_k} but this run asked "
+                    f"for fused_rounds={fused_rounds}; pass "
+                    f"fused_rounds={ck_k} (block counters are only "
+                    "comparable at the same fusion factor)"
+                )
             holder["dmass"] = (
                 st.agg(F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0))).collect()[0][0]
             ) or 0.0
@@ -102,8 +116,6 @@ def pagerank(
         holder["dmass"] = n_dangling / n
 
     base = (1.0 - alpha) / n
-
-    k = max(1, int(fused_rounds))
 
     def one_round(s: DataFrame, dmass_term) -> DataFrame:
         contrib = (

@@ -191,14 +191,107 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
+    block_threshold: int = 100_000,
+    block_bytes: int = 512 * 2**20,
+    num_planes: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
-    """Exact near-duplicate pairs (a, b, sim) with cosine ≥ threshold, a<b."""
+    """Near-duplicate pairs (a, b, sim) with cosine ≥ threshold, a < b.
+
+    Strategies:
+
+    * ``'auto'`` — exact, but ONLY while the corpus fits the same
+      rows-AND-bytes broadcast bound as ``cosine_topk`` (the O(n²) pair
+      space is then one broadcast GEMM per Arrow batch, never a
+      materialized cross join). Above the bound it REFUSES with a pointer
+      to ``'lsh'`` rather than silently running an O(n²) plan on a
+      10⁹-row corpus.
+    * ``'lsh'`` — the 100-TB scale path: random-hyperplane band join
+      generates candidates (int-only shuffle, ``distinct`` before vectors
+      rejoin), then EXACT cosine rescoring keeps only pairs ≥ threshold.
+      Approximate only in recall (a pair whose signatures never share a
+      band is missed — with ``bands`` wide and near-dup thresholds high,
+      collision probability ≈ 1 - (1 - cosθ/π·…)ᵇᵃⁿᵈˢ is close to 1);
+      every emitted pair is exactly scored.
+    * ``'crossjoin'`` — force the exact distributed cross join knowingly
+      (the small-block verifier for 'lsh' recall tests).
+    """
+    if strategy == "crossjoin":
+        return _neardup_crossjoin(emb, threshold, id_col, vec_col)
+    if strategy == "lsh":
+        return _neardup_lsh(emb, threshold, id_col, vec_col, num_planes, bands)
+    if strategy != "auto":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    n = emb.count()
+    first = emb.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    mat_bytes = n * dim * 8
+    if n <= block_threshold and mat_bytes <= block_bytes:
+        return _neardup_crossjoin(emb, threshold, id_col, vec_col)
+    raise ValueError(
+        f"embedding_neardup_pairs: corpus is {n} rows × dim {dim} ≈ "
+        f"{mat_bytes / 2**20:.0f} MiB (limits: {block_threshold} rows, "
+        f"{block_bytes / 2**20:.0f} MiB); the exact O(n²) pair scan does not "
+        "fit at this size. Use strategy='lsh' (banded candidates + exact "
+        "≥-threshold rescore) for the scale path, or strategy='crossjoin' "
+        "to force the brute-force plan knowingly."
+    )
+
+
+def _neardup_crossjoin(emb, threshold, id_col, vec_col) -> DataFrame:
+    """Exact all-pairs scan — the verifier/small-corpus path."""
     u = with_unit_vectors(emb, id_col, vec_col)
     a = u.select(F.col("id").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
     b = u.select(F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
     pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select("a", "b", sim.alias("sim")).where(F.col("sim") >= threshold)
+
+
+def _neardup_lsh(emb, threshold, id_col, vec_col, num_planes, bands) -> DataFrame:
+    """Banded LSH candidates + exact rescore ≥ threshold, a < b.
+
+    Same int-only candidate shuffle as ``lsh_ann_topk``: band self-join on
+    (band, key) carries only ids; vectors rejoin once per surviving pair;
+    the einsum rescore is the arbiter, so precision is exact."""
+    sigs = lsh_signatures(emb, num_planes, id_col, vec_col).persist()
+    sigs.count()
+    width = max(1, num_planes // bands)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("sig"), b * width + 1, width).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l = banded.select("band", "key", F.col("id").alias("a"))
+    r = banded.select("band", "key", F.col("id").alias("b"))
+    cand = (
+        l.join(r, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = sigs.select(F.col("id").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    vb = sigs.select(F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    scored = _pair_cosine(
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            F.col("a").alias("id"), F.col("b").alias("nbr"), "va", "vb", "na", "nb"
+        )
+    )
+    return scored.where(F.col("sim") >= threshold).select(
+        F.col("id").alias("a"), F.col("nbr").alias("b"), "sim"
+    )
 
 
 def _plane_matrix(num_planes: int, dim: int):

@@ -54,34 +54,75 @@ def _resolve_triple(
 @dataclass(frozen=True)
 class Traversal:
     """Immutable builder: every step returns a new Traversal whose ``frame``
-    has a ``v`` column (current vertex id) plus any carried columns."""
+    has a ``v`` column (current vertex id) plus any carried columns
+    (``as_`` path aliases are carried as ``p_<name>`` columns)."""
 
     pg: PropertyGraph
     frame: DataFrame
     head_label: str | None  # vertex label of `v`, when known
+    aliases: tuple = ()  # ((name, vertex_label_or_None), ...) from as_()
 
     # -- expand steps -------------------------------------------------------
 
     def _hop(self, edge_label: str | None, direction: str) -> "Traversal":
-        trip = _resolve_triple(
-            self.pg, edge_label, self.head_label, end=2 if direction == "in" else 0
-        )
-        e = self.pg.edges[trip].select("src", "dst")
-        if direction == "out":
-            joined = self.frame.join(e, self.frame["v"] == e["src"])
-            nxt, lbl = F.col("dst"), trip[2]
-        elif direction == "in":
-            joined = self.frame.join(e, self.frame["v"] == e["dst"])
-            nxt, lbl = F.col("src"), trip[0]
-        else:  # both
-            sym = e.unionByName(
-                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
-            joined = self.frame.join(sym, self.frame["v"] == sym["src"])
-            nxt = F.col("dst")
-            lbl = trip[2] if trip[0] == trip[2] else None
         carried = [c for c in self.frame.columns if c != "v"]
-        out = joined.select(nxt.alias("v"), *carried)
+        if direction in ("out", "in"):
+            trip = _resolve_triple(
+                self.pg, edge_label, self.head_label, end=2 if direction == "in" else 0
+            )
+            e = self.pg.edges[trip].select("src", "dst")
+            if direction == "out":
+                joined = self.frame.join(e, self.frame["v"] == e["src"])
+                nxt, lbl = F.col("dst"), trip[2]
+            else:
+                joined = self.frame.join(e, self.frame["v"] == e["dst"])
+                nxt, lbl = F.col("src"), trip[0]
+            return replace(
+                self, frame=joined.select(nxt.alias("v"), *carried), head_label=lbl
+            )
+        # both(): resolve each direction independently — the head may match
+        # a label-asymmetric triple at only ONE endpoint, and reversing rows
+        # joined on the other endpoint's id space would produce spurious
+        # traversers when vid ranges overlap across vertex labels.
+        def _cands(end: int):
+            return [
+                k
+                for k in self.pg.edges
+                if (edge_label is None or k[1] == edge_label)
+                and (self.head_label is None or k[end] == self.head_label)
+            ]
+
+        out_c, in_c = _cands(0), _cands(2)
+        if not out_c and not in_c:
+            raise ValueError(
+                f"no edge triple matches label={edge_label!r} at either "
+                f"endpoint of {self.head_label!r}"
+            )
+        if len(out_c) > 1 or len(in_c) > 1:
+            raise ValueError(
+                f"ambiguous edge label {edge_label!r}: {out_c + in_c} — name it"
+            )
+        frames, labels = [], []
+        if out_c:
+            e = self.pg.edges[out_c[0]].select("src", "dst")
+            frames.append(
+                self.frame.join(e, self.frame["v"] == e["src"]).select(
+                    F.col("dst").alias("v"), *carried
+                )
+            )
+            labels.append(out_c[0][2])
+        if in_c:
+            e = self.pg.edges[in_c[0]].select("src", "dst")
+            frames.append(
+                self.frame.join(e, self.frame["v"] == e["dst"]).select(
+                    F.col("src").alias("v"), *carried
+                )
+            )
+            labels.append(in_c[0][0])
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        lbl = labels[0] if len(set(labels)) == 1 else None
         return replace(self, frame=out, head_label=lbl)
 
     def out(self, edge_label: str | None = None) -> "Traversal":
@@ -134,6 +175,105 @@ class Traversal:
     def dedup(self) -> "Traversal":
         return replace(self, frame=self.frame.distinct())
 
+    # -- path steps: as_ / select / where -------------------------------------
+
+    def as_(self, name: str) -> "Traversal":
+        """``as('a')`` — label the current head; carried through later hops
+        as a ``p_<name>`` column (GIE models this the same way: path
+        projection columns materialized into the traverser record,
+        supported_gremlin_steps.md:281)."""
+        if any(n == name for n, _ in self.aliases):
+            raise ValueError(f"alias {name!r} already bound")
+        return replace(
+            self,
+            frame=self.frame.withColumn(f"p_{name}", F.col("v")),
+            aliases=self.aliases + ((name, self.head_label),),
+        )
+
+    def select(self, *names: str) -> DataFrame:
+        """``select('a', 'b')`` — project the labeled path steps (one row
+        per traverser, bag semantics). Column names = alias names."""
+        bound = dict(self.aliases)
+        for n in names:
+            if n not in bound:
+                raise ValueError(f"unknown alias {n!r}; bound: {sorted(bound)}")
+        return self.frame.select(*[F.col(f"p_{n}").alias(n) for n in names])
+
+    def select_head(self, name: str) -> "Traversal":
+        """``select('a')`` used mid-traversal — re-focus the head on the
+        labeled step (its vertex label is restored from the binding)."""
+        bound = dict(self.aliases)
+        if name not in bound:
+            raise ValueError(f"unknown alias {name!r}; bound: {sorted(bound)}")
+        carried = [c for c in self.frame.columns if c != "v"]
+        return replace(
+            self,
+            frame=self.frame.select(F.col(f"p_{name}").alias("v"), *carried),
+            head_label=bound[name],
+        )
+
+    def where(self, pred) -> "Traversal":
+        """Cross-step predicate over the traverser record: a Column over
+        ``v`` (current head) and ``p_<alias>`` columns, or a shorthand
+        string ``'a'``/``'!a'`` for head ==/!= that alias (Gremlin's
+        ``where(eq('a'))`` / ``where(neq('a'))``)."""
+        if isinstance(pred, str):
+            neg = pred.startswith("!")
+            name = pred[1:] if neg else pred
+            if all(n != name for n, _ in self.aliases):
+                raise ValueError(f"unknown alias {name!r}")
+            col = F.col(f"p_{name}")
+            pred = (F.col("v") != col) if neg else (F.col("v") == col)
+        return replace(self, frame=self.frame.where(pred))
+
+    def union(self, *others: "Traversal") -> "Traversal":
+        """``union(t1, t2)`` — bag union of traverser frames (the branches
+        must carry the same columns, i.e. the same alias set)."""
+        out = self.frame
+        lbls = {self.head_label}
+        for o in others:
+            if set(o.frame.columns) != set(self.frame.columns):
+                raise ValueError(
+                    f"union branches carry different columns: "
+                    f"{sorted(self.frame.columns)} vs {sorted(o.frame.columns)}"
+                )
+            out = out.unionByName(o.frame)
+            lbls.add(o.head_label)
+        return replace(
+            self,
+            frame=out,
+            head_label=next(iter(lbls)) if len(lbls) == 1 else None,
+        )
+
+    # -- GREMLIN_TO_SUBGRAPH ---------------------------------------------------
+
+    def to_subgraph(self, edge_label: str | None = None):
+        """Materialize the traversal result as a new simple graph
+        (reference GREMLIN_TO_SUBGRAPH, `framework/dag_utils.py:1048`):
+        the distinct heads induce a subgraph of the head label's edge
+        triple, returned as a LinkGraph so any analytical app can run on
+        it. Requires a same-label triple (src == dst == head)."""
+        from graphscope_spark.graph import LinkGraph
+
+        if self.head_label is None:
+            raise ValueError("head label unknown — cannot induce a subgraph")
+        trip = _resolve_triple(self.pg, edge_label, self.head_label, end=0)
+        if trip[2] != self.head_label:
+            raise ValueError(
+                f"triple {trip} is not an endo-relation on {self.head_label!r}"
+            )
+        keep = self.frame.select(F.col("v").alias("vid")).distinct()
+        verts = self.pg.vertices[self.head_label].join(keep, "vid", "semi")
+        e = self.pg.edges[trip].select("src", "dst")
+        edges = (
+            e.join(keep.withColumnRenamed("vid", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("vid", "dst"), "dst", "semi")
+            .select("src", "dst")
+        )
+        return LinkGraph(
+            verts.select("vid"), edges, self.pg.num_partitions
+        )
+
     def limit(self, n: int) -> "Traversal":
         return replace(self, frame=self.frame.limit(n))
 
@@ -171,3 +311,56 @@ def traversal(pg: PropertyGraph, vertex_label: str | None = None) -> Traversal:
         vertex_label = next(iter(pg.vertices))
     frame = pg.vertices[vertex_label].select(F.col("vid").alias("v"))
     return Traversal(pg=pg, frame=frame, head_label=vertex_label)
+
+
+@dataclass(frozen=True)
+class EdgeTraversal:
+    """``g.E()`` source (supported_gremlin_steps.md:25): traversers are
+    edges — ``frame`` carries (src, dst, <edge props…>). ``out_v``/``in_v``
+    move to an endpoint, yielding a vertex Traversal."""
+
+    pg: PropertyGraph
+    frame: DataFrame
+    trip: tuple  # the (src_label, edge_label, dst_label) triple
+
+    def has(self, prop: str, value) -> "EdgeTraversal":
+        pred = value if isinstance(value, Column) else (F.col(prop) == F.lit(value))
+        return replace(self, frame=self.frame.where(pred))
+
+    def out_v(self) -> Traversal:
+        """outV(): the source endpoint of each edge traverser."""
+        return Traversal(
+            pg=self.pg,
+            frame=self.frame.select(F.col("src").alias("v")),
+            head_label=self.trip[0],
+        )
+
+    def in_v(self) -> Traversal:
+        """inV(): the destination endpoint of each edge traverser."""
+        return Traversal(
+            pg=self.pg,
+            frame=self.frame.select(F.col("dst").alias("v")),
+            head_label=self.trip[2],
+        )
+
+    def count(self) -> DataFrame:
+        return self.frame.agg(F.count("*").alias("count"))
+
+    def dedup(self) -> "EdgeTraversal":
+        return replace(self, frame=self.frame.distinct())
+
+    def limit(self, n: int) -> "EdgeTraversal":
+        return replace(self, frame=self.frame.limit(n))
+
+    def to_df(self) -> DataFrame:
+        return self.frame
+
+
+def edge_traversal(pg: PropertyGraph, edge_label: str | None = None) -> EdgeTraversal:
+    """``g.E()`` / ``g.E().hasLabel(l)`` source step."""
+    cands = [k for k in pg.edges if edge_label is None or k[1] == edge_label]
+    if not cands:
+        raise ValueError(f"no edge triple matches label={edge_label!r}")
+    if len(cands) > 1:
+        raise ValueError(f"ambiguous edge label {edge_label!r}: {cands} — name it")
+    return EdgeTraversal(pg=pg, frame=pg.edges[cands[0]], trip=cands[0])

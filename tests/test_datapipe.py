@@ -177,6 +177,35 @@ def test_embedding_neardup(emb):
     assert (0, 1) in pairs
 
 
+def test_embedding_neardup_refuses_above_bounds(emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="strategy='lsh'"):
+        embedding_neardup_pairs(df, threshold=0.95, block_threshold=10)
+
+
+def test_embedding_neardup_lsh_mode_equivalence(emb):
+    """The bucketed scale mode: every emitted pair is exactly scored
+    (subset of the exact pair set, identical sims), and the measured
+    recall on the fixture clears the contract bit."""
+    df, _ = emb
+    exact = {
+        (r["a"], r["b"]): r["sim"]
+        for r in embedding_neardup_pairs(df, threshold=0.4, strategy="crossjoin").collect()
+    }
+    lsh = {
+        (r["a"], r["b"]): r["sim"]
+        for r in embedding_neardup_pairs(
+            df, threshold=0.4, strategy="lsh", num_planes=16, bands=8
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision is exact
+    for k, v in lsh.items():
+        assert np.isclose(v, exact[k], atol=1e-9)
+    assert exact, "fixture should contain qualifying pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_lsh_ann_recall(emb):
     df, vecs = emb
     got = {}

@@ -99,3 +99,95 @@ def test_traversal_matches_sql_two_hop(pg, spark):
     ).collect()[0]["count"]
     got = traversal(pg, "person").out("knows").out("knows").count().collect()[0]["count"]
     assert got == want
+
+
+def test_as_select_path(pg):
+    """as/select path projection: 2-hop paths with both steps labeled."""
+    t = (
+        traversal(pg, "person").as_("a").out("knows").as_("b").out("knows")
+    )
+    rows = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in t.as_("c").select("a", "b", "c").collect()
+    )
+    assert rows == sorted(
+        [(1, 2, 3), (1, 3, 1), (2, 3, 1), (3, 1, 2), (3, 1, 3), (4, 1, 2), (4, 1, 3)]
+    )
+
+
+def test_where_cross_step(pg):
+    """where(neq('a')): drop 2-hop paths that return to the start."""
+    t = traversal(pg, "person").as_("a").out("knows").out("knows").where("!a")
+    rows = sorted(r["v"] for r in t.to_df().collect())
+    # 7 paths minus the two that return to the start (1→3→1, 3→1→3)
+    assert rows == [1, 2, 2, 3, 3]
+    # eq form keeps exactly the returning paths
+    t2 = traversal(pg, "person").as_("a").out("knows").out("knows").where("a")
+    assert t2.count().collect()[0]["count"] == 2  # 1→3→1 and 3→1→3
+
+
+def test_select_head_refocus(pg):
+    """select('a') mid-traversal re-focuses the head with its label."""
+    t = (
+        traversal(pg, "person")
+        .has("name", "bob")
+        .as_("a")
+        .out("wrote")  # head now post
+        .select_head("a")  # back to bob
+    )
+    assert t.head_label == "person"
+    assert sorted(r for (r,) in t.values("name").collect()) == ["bob", "bob"]
+
+
+def test_edge_source(pg):
+    from graphscope_spark.traversal import edge_traversal
+
+    assert edge_traversal(pg, "knows").count().collect()[0]["count"] == 5
+    outs = sorted(r["v"] for r in edge_traversal(pg, "knows").out_v().to_df().collect())
+    assert outs == [1, 1, 2, 3, 4]
+    writers = sorted(
+        r
+        for (r,) in edge_traversal(pg, "wrote").in_v().dedup().to_df().collect()
+    )
+    assert writers == [10, 11, 12]
+
+
+def test_union_step(pg):
+    a = traversal(pg, "person").has("name", "ann").out("knows")
+    b = traversal(pg, "person").has("name", "dan").out("knows")
+    u = a.union(b)
+    assert sorted(r["v"] for r in u.to_df().collect()) == [1, 2, 3]
+    assert u.head_label == "person"
+
+
+def test_both_label_asymmetric(pg):
+    """both() on a label-asymmetric triple traverses only the direction(s)
+    whose endpoint label matches the head — no spurious traversers from
+    reversed rows in a different label's id space."""
+    # person -wrote-> post: from person, both('wrote') == out('wrote')
+    from_person = sorted(
+        r["v"] for r in traversal(pg, "person").both("wrote").to_df().collect()
+    )
+    assert from_person == [10, 11, 12]
+    # from post, both('wrote') == in_('wrote')
+    from_post = sorted(
+        r["v"] for r in traversal(pg, "post").both("wrote").to_df().collect()
+    )
+    assert from_post == [1, 2, 2]
+
+
+def test_to_subgraph_feeds_algorithms(pg):
+    """GREMLIN_TO_SUBGRAPH: induce the subgraph of people known by ann's
+    circle and run an analytical app on it (the reference's
+    dag_utils.py:1048 materialization contract)."""
+    from graphscope_spark.algorithms.wcc import wcc
+
+    sub = (
+        traversal(pg, "person")
+        .has("age", F.col("age") >= 27)
+        .to_subgraph("knows")
+    )
+    assert sub.vertices.count() == 4
+    assert sub.edges.count() == 5
+    comps = {r["vid"]: r["comp"] for r in wcc(sub).state.collect()}
+    assert len(set(comps.values())) == 1  # all connected
