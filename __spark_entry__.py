@@ -1645,7 +1645,7 @@ def _q_graph_report(spark, sf_dir):
 def _q_pagerank(spark, sf_dir):
     from graphscope_spark.algorithms import pagerank
 
-    res = pagerank(_graph(spark, sf_dir), alpha=0.85, max_rounds=20, tol=0.0)
+    res = pagerank(_graph(spark, sf_dir), alpha=0.85, max_rounds=10, tol=0.0)
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
@@ -1659,12 +1659,12 @@ def _q_pagerank_dangling(spark, sf_dir):
         edges=g.edges.where(F.pmod(F.col("src"), F.lit(13)) != 12),
         num_partitions=g.num_partitions,
     )
-    # fused_rounds=4: 5 Spark jobs for 20 supersteps (same arithmetic,
+    # fused_rounds=4: 3 Spark jobs for 12 supersteps (same arithmetic,
     # in-plan dangling mass) — keeps the barrier-fusion path driver-gated.
     # NOT used in the bench query: block plans pay ~2x cold codegen/AQE
     # planning, and the bench times cold first runs; fusion's win is fewer
     # driver round-trips on a real cluster, not toy-scale wall time.
-    res = pagerank(g, alpha=0.85, max_rounds=20, tol=0.0, fused_rounds=4)
+    res = pagerank(g, alpha=0.85, max_rounds=12, tol=0.0, fused_rounds=4)
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
@@ -1701,6 +1701,72 @@ def _q_gie_traversal(spark, sf_dir):
     )
     out = traversal(pg, "page").has("lang", "en").out("links").group_count("lang")
     return out.select(F.col("key").alias("lang"), F.col("count").alias("n"))
+
+
+def _gie_pg(spark, sf_dir):
+    from graphscope_spark.graph import edges_from_documents
+    from graphscope_spark.property_graph import PropertyGraph
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("vid"), "lang"
+    )
+    links = edges_from_documents(spark, sf_dir)
+    return (
+        PropertyGraph(num_partitions=NUM_PARTITIONS)
+        .add_vertices("page", docs)
+        .add_edges("page", "links", "page", links)
+    )
+
+
+def _q_gie_select_path(spark, sf_dir):
+    """GIE path projection: g.V().has('lang','en').as('a').out().out()
+    .where(neq('a')).as('c').select('a','c') grouped — the as/select/where
+    steps added round 4 (reference step inventory
+    docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:121,281),
+    checked against the equivalent 2-hop relational join."""
+    from graphscope_spark.traversal import traversal
+
+    t = (
+        traversal(_gie_pg(spark, sf_dir), "page")
+        .has("lang", "en")
+        .as_("a")
+        .out("links")
+        .out("links")
+        .where("!a")
+        .as_("c")
+    )
+    return (
+        t.select("a", "c")
+        .groupBy("a", "c")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _q_gie_subgraph_wcc(spark, sf_dir):
+    """GREMLIN_TO_SUBGRAPH (reference framework/dag_utils.py:1048): the
+    traversal g.V().has('lang','en') materializes as a new LinkGraph
+    (induced on the 'links' triple) and an analytical app (wcc) runs on
+    it — the traversal→graph→algorithm round trip."""
+    from graphscope_spark.algorithms import wcc
+    from graphscope_spark.traversal import traversal
+
+    sub = (
+        traversal(_gie_pg(spark, sf_dir), "page")
+        .has("lang", "en")
+        .to_subgraph("links")
+    )
+    return wcc(sub).state
+
+
+def _q_apsp_exact(spark, sf_dir):
+    """Exact all-pairs shortest path lengths (reference
+    apps/apsp/all_pairs_shortest_path_length.h) — all-sources
+    multi-source BFS, the same machinery closeness_exact fans out on."""
+    from graphscope_spark.algorithms.closeness import apsp
+
+    return apsp(_graph(spark, sf_dir)).select(
+        "root", "vid", F.col("dist").cast("long").alias("dist")
+    )
 
 
 def _q_pregel_wcc(spark, sf_dir):
@@ -1978,7 +2044,7 @@ def _q_pagerank_csv(spark, sf_dir):
     ).option("delimiter", "|").csv(path)
     edges = read_edge_csv(spark, path, header=True, delimiter="|")
     g = from_edge_df(edges, num_partitions=NUM_PARTITIONS)
-    res = pagerank(g, alpha=0.85, max_rounds=20, tol=0.0)
+    res = pagerank(g, alpha=0.85, max_rounds=10, tol=0.0)
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
@@ -2570,6 +2636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_log": _q_wcc_log,
         "pregel_wcc": _q_pregel_wcc,
         "gie_traversal": _q_gie_traversal,
+        "gie_select_path": _q_gie_select_path,
+        "gie_subgraph_wcc": _q_gie_subgraph_wcc,
+        "apsp_exact": _q_apsp_exact,
         "cut_points": _q_cut_points,
         "bcc": _q_bcc,
         "maximal_matching": _q_maximal_matching,
@@ -2682,17 +2751,57 @@ GROUP BY d2.lang
 """
 
 
+_GIE_SELECT_PATH_SQL = f"""
+WITH edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
+docs AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents)
+SELECT e1.src AS a, e2.dst AS c, CAST(COUNT(*) AS BIGINT) AS n
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN docs d ON d.vid = e1.src AND d.lang = 'en'
+WHERE e2.dst <> e1.src
+GROUP BY e1.src, e2.dst
+"""
+
+# wcc over the traversal-induced subgraph: en pages + links edges whose
+# both endpoints are en; min-label over the undirected closure (self-loops
+# are connectivity no-ops, dropped like algorithms/wcc.py does).
+_GIE_SUBGRAPH_WCC_SQL = f"""
+WITH RECURSIVE edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
+env AS (SELECT CAST(doc_id AS BIGINT) AS vid FROM documents WHERE lang = 'en'),
+se AS (SELECT DISTINCT LEAST(e.src, e.dst) AS a, GREATEST(e.src, e.dst) AS b
+       FROM edges e
+       JOIN env v1 ON v1.vid = e.src
+       JOIN env v2 ON v2.vid = e.dst
+       WHERE e.src <> e.dst),
+ssym AS (SELECT a AS s, b AS t FROM se UNION ALL SELECT b AS s, a AS t FROM se),
+reach(v, w) AS (
+  SELECT vid, vid FROM env
+  UNION
+  SELECT r.v, s.t FROM reach r JOIN ssym s ON s.s = r.w
+)
+SELECT v AS vid, MIN(w) AS comp FROM reach GROUP BY v
+"""
+
+_APSP_FINAL = """
+SELECT root, vid, CAST(dist AS BIGINT) AS dist
+FROM {last} WHERE dist IS NOT NULL
+"""
+
+
 def _raw_oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": f"WITH {_SQL_BASE} SELECT src, dst FROM edges",
         "graph_degrees": _DEGREES_SQL,
         "graph_report": _GRAPH_REPORT_SQL,
-        "pagerank": _pagerank_sql(20, 0.85),
-        "pagerank_dangling": _pagerank_sql(20, 0.85, "WHERE src % 13 <> 12"),
+        "pagerank": _pagerank_sql(10, 0.85),
+        "pagerank_dangling": _pagerank_sql(12, 0.85, "WHERE src % 13 <> 12"),
         "wcc": _WCC_SQL,
         "wcc_log": _WCC_SQL,
         "pregel_wcc": _WCC_SQL,
         "gie_traversal": _GIE_TRAVERSAL_SQL,
+        "gie_select_path": _GIE_SELECT_PATH_SQL,
+        "gie_subgraph_wcc": _GIE_SUBGRAPH_WCC_SQL,
+        "apsp_exact": _multi_bfs_sql(80, "TRUE", _APSP_FINAL),
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,
@@ -2730,7 +2839,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "sampling_path": _sampling_path_sql(5, "vid % 97 = 0"),
         "msf": _MSF_GOLDEN_SQL,
         "all_simple_paths": _simple_paths_sql(0, 20, 5),
-        "pagerank_csv": _pagerank_sql(20, 0.85),
+        "pagerank_csv": _pagerank_sql(10, 0.85),
         "sssp_path": _sssp_path_sql(200, 0, _SSSP_PATH_TARGET),
         "apsp_sampled": _multi_bfs_sql(
             80,

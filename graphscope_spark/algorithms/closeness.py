@@ -60,6 +60,16 @@ def multi_source_bfs(
     return settled
 
 
+def apsp(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
+    """Exact all-pairs shortest path lengths (root, vid, dist), directed —
+    reference `apps/apsp/all_pairs_shortest_path_length.h` (NetworkX
+    ``all_pairs_shortest_path_length``). Roots = ALL vertices; the pair
+    state is the O(V·reach) distance table, advanced one superstep per
+    hop for every root at once (the same multi-source frontier machinery
+    the exact closeness/harmonic modes run on)."""
+    return multi_source_bfs(graph, graph.vertices.select("vid"), max_rounds)
+
+
 def closeness_centrality(
     graph: LinkGraph, roots: DataFrame | None = None, wf_improved: bool = True
 ) -> DataFrame:
