@@ -57,7 +57,9 @@ def k_core_search(graph: LinkGraph, k: int, max_rounds: int = 500) -> DataFrame:
     return members.agg(F.count("*").cast("long").alias("core_size"))
 
 
-def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
+def coreness(
+    graph: LinkGraph, max_rounds: int = 200, fused_rounds: int = 4
+) -> DataFrame:
     """(vid, core) — largest k such that vid is in the k-core (k-shell
     index), via the distributed **h-index iteration** (Lü et al.): start
     ``core(v) = deg(v)``; each round set ``core(v)`` to the H-index of its
@@ -67,7 +69,12 @@ def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
     neighbor arrays — a (vid, core-value) histogram, a cumulative count
     window ordered by value descending, then ``max(min(value, cum))`` per
     vertex. Two shuffles per round, both partial-aggregated; a mega-degree
-    hub costs a histogram of distinct values, not a 10^8-element array."""
+    hub costs a histogram of distinct values, not a 10^8-element array.
+
+    ``fused_rounds=k`` runs k h-index rounds per Spark job (lazy plan-cut
+    chain, changed-count checked once per block) — the H-operator is a
+    monotone non-increasing fixpoint, so rounds past convergence are no-ops
+    and the block check is exact; at most k-1 redundant rounds of work."""
     from pyspark.sql.window import Window
 
     und = graph.undirected_edges(drop_self_loops=True).persist()
@@ -79,7 +86,7 @@ def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
         .select("vid", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
         .transform(truncate_plan_lazy)
     )
-    for _ in range(max_rounds):
+    for rnd in range(1, max_rounds + 1):
         nbr = und.join(
             cores.select(F.col("vid").alias("src"), "core"), "src"
         ).select(F.col("dst").alias("vid"), "core")
@@ -106,9 +113,9 @@ def coreness(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
             )
             .transform(truncate_plan_lazy)
         )
-        changed = nxt.where("chg").count()
         cores = nxt.select("vid", "core")
-        if changed == 0:
-            break
+        if rnd % max(1, fused_rounds) == 0 or rnd == max_rounds:
+            if nxt.where("chg").count() == 0:
+                break
     und.unpersist()
     return cores

@@ -44,9 +44,21 @@ from graphscope_spark.bsp import truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
-def degeneracy_order(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
+def degeneracy_order(
+    graph: LinkGraph, max_rounds: int = 500, fused_rounds: int = 8
+) -> DataFrame:
     """(vid, rank) — 1-based parallel-peel round at which v leaves when
-    peeling at the global degeneracy."""
+    peeling at the global degeneracy.
+
+    ``fused_rounds=k`` stacks k peel rounds into ONE Spark job: inner
+    rounds only *construct* the next lazily-checkpointed state (plan cut,
+    RDD lineage shared — no tree blowup), and the remaining-vertex stopping
+    count runs once per block. Peel semantics are unaffected — a round past
+    completion has an empty frontier and decrements nothing, and ranks are
+    stamped with the true inner round number. Peel depth is the inherent
+    round count of the parallel peel, so at web-graph depths (hundreds of
+    cascades) this divides driver round-trips by k, the same lever as
+    pagerank's ``fused_rounds`` (pagerank.py:22)."""
     from graphscope_spark.algorithms.kcore import coreness
 
     und = graph.undirected_edges(drop_self_loops=True).persist()
@@ -88,23 +100,28 @@ def degeneracy_order(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
             )
             .transform(truncate_plan_lazy)
         )
-        # the ONE action of the round: materializes the checkpointed state
-        # AND yields the stopping condition
-        if state.where(F.col("rank").isNull()).count() == 0:
-            break
+        # the ONE action per BLOCK: materializes the k chained lazy
+        # checkpoints AND yields the stopping condition
+        if rnd % max(1, fused_rounds) == 0 or rnd == max_rounds:
+            if state.where(F.col("rank").isNull()).count() == 0:
+                break
     und.unpersist()
     return state.where(F.col("rank").isNotNull()).select("vid", "rank")
 
 
-def onion_layers(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
+def onion_layers(
+    graph: LinkGraph, max_rounds: int = 500, fused_rounds: int = 8
+) -> DataFrame:
     """(vid, layer) — 1-based onion layer: round at which v is removed when
     each round removes v iff #{remaining nbrs w : core(w) ≥ core(v)} ≤
     core(v).
 
-    Same incremental shape as ``degeneracy_order``; the static edge table is
-    annotated ONCE with both endpoints' coreness so the per-round decrement
-    (remove w → decrement v iff core(w) ≥ core(v)) is a frontier join with
-    an in-row predicate, never a rejoin against vertex state."""
+    Same incremental shape as ``degeneracy_order`` (including the
+    ``fused_rounds`` block fusion — one stopping action per k lazily-chained
+    rounds); the static edge table is annotated ONCE with both endpoints'
+    coreness so the per-round decrement (remove w → decrement v iff
+    core(w) ≥ core(v)) is a frontier join with an in-row predicate, never a
+    rejoin against vertex state."""
     from graphscope_spark.algorithms.kcore import coreness
 
     und = graph.undirected_edges(drop_self_loops=True).persist()
@@ -154,8 +171,9 @@ def onion_layers(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
             )
             .transform(truncate_plan_lazy)
         )
-        if state.where(F.col("layer").isNull()).count() == 0:
-            break
+        if rnd % max(1, fused_rounds) == 0 or rnd == max_rounds:
+            if state.where(F.col("layer").isNull()).count() == 0:
+                break
     ecore.unpersist()
     und.unpersist()
     return state.where(F.col("layer").isNotNull()).select("vid", "layer")
