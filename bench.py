@@ -135,6 +135,10 @@ def wcc_convergence(spark, n_vertices: int, n_edges: int, P: int):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # shared-box hygiene: external load corrupts timings (round 3's
+    # pagerank-throughput "regression" re-measured flat on an idle box) —
+    # record the 1/5/15-min load alongside every benchmark artifact
+    load_before = os.getloadavg()
     scale_edges = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "5000000"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
@@ -175,6 +179,15 @@ def main():
         # fwd/bwd min-labels (O(log diameter) rounds; the ~500-hop directed
         # diameter of this graph made BFS-reach pivots cost 142 s here)
         "scc",
+        # round 4: the families the gate's sf0.01 times under-reported
+        # (barrier-dominated there) — measured at sf0.1 so peel-depth and
+        # motif fan-out costs are visible. The peel pair is inherently
+        # round-sequential (rounds = peel-cascade depth); see BENCH/PLANS.md.
+        "bcc",
+        "min_vertex_cover",
+        "coreness",
+        "degeneracy_order",
+        "kclique4",
     ]
     timings: dict[str, float] = {}
     for name in headline:
@@ -204,6 +217,8 @@ def main():
         "cpus": cpus,
         "pagerank_scale": thr,
         "wcc_scale": wcc_thr,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
     spark.stop()

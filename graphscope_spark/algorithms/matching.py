@@ -187,16 +187,32 @@ def min_dominating_set(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
     return chosen
 
 
-def min_vertex_cover(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
+def min_vertex_cover(
+    graph: LinkGraph, max_rounds: int = 200, max_driver_edges: int = 2_000_000
+) -> DataFrame:
     """(vid) — greedy minimum vertex cover, reference `min-cover.h`
     semantics (threshold-halving greedy + id-max redundancy pruning).
 
     Phase 1 runs ≤ ⌈log₂ n⌉ + 1 rounds (the threshold halves every round
     and at threshold 0 every remaining vertex with a live edge joins);
-    each round is one filter + one edge-join partial aggregate. Phase 2's
-    id-max rule mirrors the reference exactly (deterministic; adjacent
-    candidate chains serialize it, which is acceptable because redundant
-    cover vertices are rare after the greedy phase)."""
+    each round is one filter + one edge-join partial aggregate.
+
+    Phase 2 (redundancy pruning, reference min-cover.h:79-101) removes, each
+    round, the candidates (cover vertices all of whose neighbours are
+    covered) that are id-maxima among adjacent candidates, to fixpoint. That
+    fixpoint is UNIQUE and equals the sequential decreasing-id greedy over
+    the candidate-induced subgraph: candidacy is monotone non-increasing
+    (the cover only shrinks, so "has an uncovered neighbour" only spreads
+    and never retracts), hence v is removed iff v is an initial candidate
+    and no higher-id candidate neighbour of v is removed — a recursion on
+    strictly-decreasing ids, which is exactly what the sequential greedy
+    resolves. The round-parallel process can serialize into Θ(longest
+    monotone-id candidate chain) driver rounds (measured 380 rounds / 330 s
+    at sf0.1, where phase 1 covers every vertex so the candidate subgraph is
+    the whole graph), so when the candidate subgraph fits
+    ``max_driver_edges`` we resolve it in ONE pass driver-side (the same
+    bounded-driver-path contract as dfs_preorder); above the bound the
+    distributed round loop runs — the reference's own cost shape."""
     und = graph.undirected_edges(drop_self_loops=True).persist()
     und.count()
     n = graph.vertices.count()
@@ -228,14 +244,44 @@ def min_vertex_cover(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
         )
         nowd = nowd // 2
     # phase 2: drop redundant cover vertices (all neighbours covered),
-    # id-maxima among adjacent candidates only, until fixpoint
+    # id-maxima among adjacent candidates each round, until fixpoint
+    uncovered_nbr = (
+        und.join(cover.withColumnRenamed("vid", "dst"), "dst", "anti")
+        .select(F.col("src").alias("vid"))
+        .distinct()
+    )
+    cand0 = cover.join(uncovered_nbr, "vid", "anti").transform(truncate_plan)
+    ec = (
+        und.join(cand0.withColumnRenamed("vid", "src"), "src")
+        .join(cand0.withColumnRenamed("vid", "dst"), "dst")
+        .select("src", "dst")
+    )
+    n_cand, n_ec = (
+        cand0.agg(F.count("*")).collect()[0][0],
+        ec.agg(F.count("*")).collect()[0][0],
+    )
+    if n_cand + n_ec <= max_driver_edges:
+        # driver fast-path: the unique fixpoint, resolved sequentially in
+        # decreasing id order (see docstring for the equivalence argument)
+        removed: set = set()
+        adj: dict = {}
+        for r in ec.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        for v in sorted((r["vid"] for r in cand0.collect()), reverse=True):
+            if all(w not in removed for w in adj.get(v, ())):
+                removed.add(v)
+        if removed:
+            spark = graph.vertices.sparkSession
+            rm_df = spark.createDataFrame(
+                [(int(v),) for v in removed], "vid long"
+            )
+            cover = cover.join(F.broadcast(rm_df), "vid", "anti").transform(
+                truncate_plan
+            )
+        und.unpersist()
+        return cover
+    cand = cand0
     for _ in range(max_rounds):
-        uncovered_nbr = (
-            und.join(cover.withColumnRenamed("vid", "dst"), "dst", "anti")
-            .select(F.col("src").alias("vid"))
-            .distinct()
-        )
-        cand = cover.join(uncovered_nbr, "vid", "anti").transform(truncate_plan)
         if cand.isEmpty():
             break
         higher_adj_cand = (
@@ -249,5 +295,14 @@ def min_vertex_cover(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
         if removable.isEmpty():
             break
         cover = cover.join(removable, "vid", "anti").transform(truncate_plan)
+        # candidacy is monotone: drop this round's removals and their
+        # (now-uncovered-adjacent) neighbours — never a full recompute
+        touched = (
+            und.join(removable.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("dst").alias("vid"))
+            .unionByName(removable)
+            .distinct()
+        )
+        cand = cand.join(touched, "vid", "anti").transform(truncate_plan)
     und.unpersist()
     return cover

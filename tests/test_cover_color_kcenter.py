@@ -92,6 +92,16 @@ def test_min_vertex_cover_rand(rand_graph):
     assert got == _py_min_cover(edges, set(range(60)))
 
 
+def test_min_vertex_cover_distributed_path_matches_fast_path(rand_graph):
+    """max_driver_edges=0 forces the round-parallel distributed prune; its
+    fixpoint must equal the driver fast-path's sequential greedy."""
+    edges, g = rand_graph
+    dist = {r["vid"] for r in min_vertex_cover(g, max_driver_edges=0).collect()}
+    fast = {r["vid"] for r in min_vertex_cover(g).collect()}
+    assert dist == fast
+    _check_cover(edges, dist)
+
+
 # -- color --------------------------------------------------------------------
 
 def _py_color(edges, vertices):
