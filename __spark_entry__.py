@@ -2368,11 +2368,15 @@ def _q_ann_lsh(spark, sf_dir):
     total = exact.count()
     approx = lsh_ann_topk(emb, k=5, num_planes=24, bands=8)
     hit = exact.join(approx, ["id", "nbr"], "semi").count()
+    n_vectors = exact.select("id").distinct().count()
     exact.unpersist()
     recall = hit / total if total else 0.0
+    # recall bit + corpus-derived invariants the oracle can independently
+    # re-derive (n_vectors from the table, topk_rows = k per vector): the
+    # DuckDB side then cross-checks real engine output, not a constant
     return spark.createDataFrame(
-        [(1 if recall >= 0.8 else 0,)],
-        "recall_ok long",
+        [(1 if recall >= 0.8 else 0, n_vectors, total)],
+        "recall_ok long, n_vectors long, topk_rows long",
     )
 
 
@@ -2384,8 +2388,14 @@ _ANN_LSH_SQL = """
 -- parameter tweak into a misleading 'wrong recall' diff. The >=0.8 bit is
 -- the operator's actual contract (tests/test_datapipe.py pins the same
 -- threshold); the recall computation itself runs in-engine on the Spark
--- side against the exact cosine_topk verifier.
-SELECT CAST(1 AS BIGINT) AS recall_ok
+-- side against the exact cosine_topk verifier. Alongside the bit, the
+-- oracle independently derives the corpus invariants the Spark side must
+-- reproduce: the query-vector count and the exact top-k row count (k=5
+-- neighbours per vector, valid because n-1 >= 5).
+SELECT CAST(1 AS BIGINT) AS recall_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(5 * COUNT(*) AS BIGINT) AS topk_rows
+FROM embeddings
 """
 
 
@@ -2406,11 +2416,12 @@ def _q_ann_ivf(spark, sf_dir):
     # real corpora reach the same recall at far smaller nprobe/n_centroids
     approx = ivf_ann_topk(emb, k=5, n_centroids=16, nprobe=8)
     hit = exact.join(approx, ["id", "nbr"], "semi").count()
+    n_vectors = exact.select("id").distinct().count()
     exact.unpersist()
     recall = hit / total if total else 0.0
     return spark.createDataFrame(
-        [(1 if recall >= 0.8 else 0,)],
-        "recall_ok long",
+        [(1 if recall >= 0.8 else 0, n_vectors, total)],
+        "recall_ok long, n_vectors long, topk_rows long",
     )
 
 
@@ -2421,8 +2432,12 @@ _ANN_IVF_SQL = """
 -- shifts with (n_centroids, nprobe, sample_cap, dim) — the bit is the
 -- operator's contract (tests/test_datapipe.py pins the same threshold);
 -- the recall computation runs in-engine against the exact cosine_topk
--- verifier.
-SELECT CAST(1 AS BIGINT) AS recall_ok
+-- verifier. The corpus invariants (n_vectors, topk_rows) are derived
+-- independently by DuckDB, as in _ANN_LSH_SQL.
+SELECT CAST(1 AS BIGINT) AS recall_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(5 * COUNT(*) AS BIGINT) AS topk_rows
+FROM embeddings
 """
 
 
