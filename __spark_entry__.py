@@ -2600,6 +2600,52 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_nx_mutate_report(spark, sf_dir):
+    """NetworkX mutation layer (reference nx/classes/graph.py:629-1042):
+    scripted add/remove sequence over the doc graph, then REPORT_GRAPH-style
+    counts. The DuckDB oracle replays the identical sequence relationally."""
+    from graphscope_spark.nx import Graph
+
+    docs = _docs(spark, sf_dir)
+    g = Graph.from_dataframes(
+        vertices=docs.select(F.col("doc_id").cast("long").alias("vid")),
+        edges=edges_from_documents(spark, sf_dir),
+        num_partitions=NUM_PARTITIONS,
+    )
+    g.remove_nodes_from(range(10))
+    g.add_edges_from([(1000000 + i, 1000000 + i + 1) for i in range(4)])
+    g.add_node(2000000)
+    g.remove_edges_from([(10, 11), (11, 12), (12, 13)])  # lenient bulk
+    deg_max = g.degree().agg(F.max("degree")).collect()[0][0]
+    return spark.createDataFrame(
+        [(g.number_of_nodes(), g.number_of_edges(), int(deg_max))],
+        "n_nodes long, n_edges long, max_degree long",
+    )
+
+
+_NX_MUTATE_SQL = f"""
+WITH {_SQL_BASE},
+ce AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+v0 AS (SELECT vid FROM verts UNION SELECT a FROM ce UNION SELECT b FROM ce),
+v1 AS (SELECT vid FROM v0 WHERE vid >= 10
+       UNION SELECT * FROM (VALUES (1000000), (1000001), (1000002), (1000003),
+                                   (1000004), (2000000)) t(vid)),
+e1 AS (SELECT a, b FROM ce
+       WHERE a >= 10 AND b >= 10
+         AND NOT (a = 10 AND b = 11)
+         AND NOT (a = 11 AND b = 12)
+         AND NOT (a = 12 AND b = 13)
+       UNION SELECT * FROM (VALUES (1000000, 1000001), (1000001, 1000002),
+                                   (1000002, 1000003), (1000003, 1000004)) t(a, b)),
+deg AS (SELECT vid, COUNT(*) AS d
+        FROM (SELECT a AS vid FROM e1 UNION ALL SELECT b AS vid FROM e1)
+        GROUP BY vid)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges,
+       (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree
+"""
+
+
 def _q_docs_by_lang(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -2654,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_select_path": _q_gie_select_path,
         "gie_subgraph_wcc": _q_gie_subgraph_wcc,
         "apsp_exact": _q_apsp_exact,
+        "nx_mutate_report": _q_nx_mutate_report,
         "cut_points": _q_cut_points,
         "bcc": _q_bcc,
         "maximal_matching": _q_maximal_matching,
@@ -2817,6 +2864,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_select_path": _GIE_SELECT_PATH_SQL,
         "gie_subgraph_wcc": _GIE_SUBGRAPH_WCC_SQL,
         "apsp_exact": _multi_bfs_sql(80, "TRUE", _APSP_FINAL),
+        "nx_mutate_report": _NX_MUTATE_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,
