@@ -1244,16 +1244,31 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 _MM_FEATURES_SQL = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-       md5(text) AS digest,
-       -- mirror of multimodal._sniff: jpeg/png magics are invalid UTF-8 and
-       -- can never prefix a text-derived payload, so only the ASCII magics
-       -- are reachable here
-       CASE WHEN text LIKE 'RIFF%' THEN 'riff'
-            WHEN text LIKE 'OggS%' THEN 'ogg'
-            ELSE 'unknown' END AS kind
-FROM documents
+-- Mirrors _q_mm_features' payload generator, then derives the features from
+-- the FORMULAS (not by parsing) — an independent route to the same values
+-- the Spark side obtains by actually decoding the constructed bytes.
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                  CAST(doc_id AS BIGINT) % 7 + 1 AS w,
+                  CAST(doc_id AS BIGINT) % 5 + 1 AS h,
+                  CAST(doc_id AS BIGINT) % 3 AS m
+           FROM documents),
+p AS (SELECT doc_id, m, w, h,
+             CASE WHEN m = 0 THEN 3 ELSE 1 END AS ch,
+             CASE WHEN m = 2 THEN 'T:' || text
+                  ELSE 'P' || (CASE WHEN m = 0 THEN '6' ELSE '5' END) || chr(10)
+                       || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+                       || chr(10) || '255' || chr(10)
+                       || repeat('x', CAST(w * h * (CASE WHEN m = 0 THEN 3 ELSE 1 END) AS INT))
+             END AS payload
+      FROM d)
+SELECT doc_id,
+       CAST(octet_length(CAST(payload AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(payload) AS digest,
+       CASE WHEN m = 0 THEN 'ppm' WHEN m = 1 THEN 'pgm' ELSE 'unknown' END AS kind,
+       CASE WHEN m = 2 THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+       CASE WHEN m = 2 THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+       CASE WHEN m = 2 THEN NULL ELSE CAST(ch AS BIGINT) END AS channels
+FROM p
 """
 
 _FRAME_SAMPLE_SQL = """
@@ -2492,11 +2507,25 @@ def _q_fingerprints(spark, sf_dir):
 
 
 def _q_mm_features(spark, sf_dir):
+    """Synthesizes REAL image payloads (P6 ppm for doc_id%3==0, P5 pgm for
+    %3==1, never-an-image text for %3==2) so the dependency-free decode in
+    multimodal.parse_image_header is genuinely exercised: Spark derives
+    width/height/channels by PARSING the constructed bytes; the oracle
+    re-derives them from the generator formulas — two independent routes to
+    the same values, plus md5 over the identical byte stream."""
     from graphscope_spark.datapipe.multimodal import extract_features
 
+    d = F.col("doc_id")
+    w, h = (d % 7 + 1).cast("int"), (d % 5 + 1).cast("int")
+    is_p6 = (d % 3) == 0
+    ch = F.when(is_p6, F.lit(3)).otherwise(F.lit(1))
+    header = F.format_string(
+        "P%d\n%d %d\n255\n", F.when(is_p6, F.lit(6)).otherwise(F.lit(5)), w, h
+    )
+    img = F.concat(header, F.repeat(F.lit("x"), (w * h * ch).cast("int")))
+    payload = F.when((d % 3) == 2, F.concat(F.lit("T:"), F.col("text"))).otherwise(img)
     docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("text").cast("binary").alias("payload"),
+        d.cast("long").alias("doc_id"), payload.cast("binary").alias("payload")
     )
     return extract_features(docs)
 

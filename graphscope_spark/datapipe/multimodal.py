@@ -1,12 +1,14 @@
 """Multimodal binary-column plumbing: decode / feature-extract over opaque
 ``binary`` payloads (image/audio/video) via Arrow-batched ``mapInPandas``.
 
-The decode libraries (PIL/ffmpeg/...) are NOT in this container, so the
-actual codec step is stubbed behind ``NotImplementedError`` with a
-deterministic fallback — but the Spark-side plumbing is real and tested:
-schema contracts, Arrow batch iteration, partition-preserving mapInPandas,
-and typed metadata extraction (byte length, digest, magic-byte sniff) that a
-production pipeline runs before/after decode.
+Decode is dependency-free for the formats a header/raster parse can handle
+(PPM/PGM ``P6``/``P5``, uncompressed 8/24/32-bit BMP, PCM WAV headers);
+compressed codecs (jpeg/png/ogg/...) need libraries NOT in this container
+and stay behind ``NotImplementedError``. The Spark-side plumbing is real
+and tested either way: schema contracts, Arrow batch iteration,
+partition-preserving mapInPandas, and typed metadata extraction (byte
+length, digest, magic-byte sniff, decoded dimensions) that a production
+pipeline runs before/after decode.
 
 At 100 TB the pattern matters more than the stub: binary columns stream
 through executors in Arrow batches (``maxRecordsPerBatch`` bounds memory for
@@ -31,6 +33,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("digest", T.StringType()),
         T.StructField("kind", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
     ]
 )
 
@@ -39,6 +44,9 @@ _MAGIC = [
     (b"\x89PNG", "png"),
     (b"RIFF", "riff"),
     (b"OggS", "ogg"),
+    (b"P6", "ppm"),
+    (b"P5", "pgm"),
+    (b"BM", "bmp"),
 ]
 
 
@@ -49,22 +57,118 @@ def _sniff(b: bytes) -> str:
     return "unknown"
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode requires an imaging library not present in this container.
-    Stubbed; the pipeline shape around it is fully exercised."""
-    raise NotImplementedError("image codec not available in this environment")
+def _pnm_header(b: bytes):
+    """Parse a P5/P6 netpbm header: magic, whitespace/comment-separated
+    width height maxval, single whitespace, then the raster. Returns
+    (width, height, channels, maxval, raster_offset) or None."""
+    if not (b.startswith(b"P6") or b.startswith(b"P5")):
+        return None
+    channels = 3 if b[:2] == b"P6" else 1
+    fields, i, n = [], 2, len(b)
+    while len(fields) < 3 and i < n:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if i < n and b[i : i + 1] == b"#":  # comment to end of line
+            while i < n and b[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            return None
+        fields.append(b[i:j])
+        i = j
+    if len(fields) < 3 or i >= n:
+        return None
+    i += 1  # exactly one whitespace byte before the raster
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError:
+        return None
+    return (w, h, channels, maxval, i)
+
+
+def _bmp_header(b: bytes):
+    """Parse a BITMAPINFOHEADER BMP. Returns (width, height, channels,
+    maxval, raster_offset) or None; only uncompressed 8/24/32 bpp."""
+    if not b.startswith(b"BM") or len(b) < 54:
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (8, 24, 32):
+        return None
+    return (w, abs(h), bpp // 8, 255, off)
+
+
+def parse_image_header(payload: bytes):
+    """Dependency-free header parse → dict(kind, width, height, channels,
+    maxval) for PPM/PGM/BMP; None for anything else (incl. formats that
+    need a codec library)."""
+    b = payload or b""
+    for parser in (_pnm_header, _bmp_header):
+        got = parser(b)
+        if got is not None:
+            w, h, ch, maxval, _ = got
+            return {
+                "kind": _sniff(b),
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "maxval": maxval,
+            }
+    return None
+
+
+def decode_image(payload: bytes):
+    """Decode PPM/PGM/BMP rasters to an (h, w, channels) uint8 numpy array
+    without any imaging library. Compressed codecs (jpeg/png/...) raise
+    ``NotImplementedError`` — those libraries are absent in this container;
+    a production image column swaps this one function for PIL/turbojpeg
+    while every Spark-side contract around it stays identical."""
+    import numpy as np
+
+    b = payload or b""
+    got = _pnm_header(b)
+    if got is not None:
+        w, h, ch, maxval, off = got
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm rasters not supported")
+        need = w * h * ch
+        raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+        return raster.reshape(h, w, ch)
+    got = _bmp_header(b)
+    if got is not None:
+        w, h, ch, _, off = got
+        stride = (w * ch + 3) // 4 * 4  # rows padded to 4 bytes
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        img = rows.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+        return img[::-1].copy()  # BMP stores rows bottom-up
+    kind = _sniff(b)
+    raise NotImplementedError(
+        f"no dependency-free decoder for {kind!r} payloads in this environment"
+    )
 
 
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """(doc_id, n_bytes, digest, kind) via mapInPandas. Digest is md5 hex —
-    chosen because DuckDB reproduces it, making even the UDF path
-    oracle-checkable."""
+    """(doc_id, n_bytes, digest, kind, width, height, channels) via
+    mapInPandas. Digest is md5 hex — chosen because DuckDB reproduces it,
+    making even the UDF path oracle-checkable. width/height/channels come
+    from the dependency-free header decode (``parse_image_header``) and are
+    NULL for payloads only a codec library could open."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
+            hdrs = payloads.map(parse_image_header)
+            dim = lambda k: hdrs.map(  # noqa: E731
+                lambda d: d[k] if d is not None else None
+            ).astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -73,6 +177,9 @@ def extract_features(
                         lambda b: hashlib.md5(b if b is not None else b"").hexdigest()
                     ),
                     "kind": payloads.map(lambda b: _sniff(b or b"")),
+                    "width": dim("width"),
+                    "height": dim("height"),
+                    "channels": dim("channels"),
                 }
             )
 

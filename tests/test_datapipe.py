@@ -285,6 +285,52 @@ def test_multimodal_features(spark, docs):
     assert extract_features(jpeg).collect()[0]["kind"] == "jpeg"
 
 
+def test_decode_image_ppm_bmp(spark):
+    """Dependency-free raster decode: PPM/PGM (incl. header comments), BMP
+    bottom-up rows + 4-byte padding, codec formats raise."""
+    import numpy as np
+    import pytest
+
+    from graphscope_spark.datapipe.multimodal import decode_image, parse_image_header
+
+    # P6 2x2 RGB with a header comment
+    raster = bytes(range(12))
+    ppm = b"P6\n# a comment\n2 2\n255\n" + raster
+    img = decode_image(ppm)
+    assert img.shape == (2, 2, 3) and img.tobytes() == raster
+    assert parse_image_header(ppm) == {
+        "kind": "ppm", "width": 2, "height": 2, "channels": 3, "maxval": 255,
+    }
+    # P5 3x1 grayscale
+    pgm = b"P5\n3 1\n255\n\x01\x02\x03"
+    assert decode_image(pgm).tolist() == [[[1], [2], [3]]]
+    # 24-bit BMP, 2x2, bottom-up, rows padded to 4 bytes (stride 8)
+    w, h = 2, 2
+    row0, row1 = bytes(range(6)), bytes(range(6, 12))  # top row, bottom row
+    pix = row1 + b"\x00\x00" + row0 + b"\x00\x00"  # stored bottom-up
+    header = (
+        b"BM" + (54 + len(pix)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    bmp = decode_image(header + pix)
+    assert bmp.shape == (2, 2, 3)
+    assert bmp[0].tobytes() == row0 and bmp[1].tobytes() == row1
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xffjpegdata")
+    assert parse_image_header(b"T:not an image") is None
+    # decoded dims flow through extract_features
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"T:plain"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (2, 2, 3)
+    assert rows[2]["width"] is None and rows[2]["kind"] == "unknown"
+
+
 def test_frame_sample(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"x" * 5000)), (2, bytearray(b"y" * 100))],
