@@ -1773,6 +1773,30 @@ def _q_gie_subgraph_wcc(spark, sf_dir):
     return wcc(sub).state
 
 
+def _q_gie_match(spark, sf_dir):
+    """Gremlin match step (supported_gremlin_steps.md:531): the directed
+    3-cycle pattern match(a-links->b, b-links->c, c-links->a) as a
+    conjunctive multi-way join, checked against the relational triple
+    self-join."""
+    from graphscope_spark.traversal import match_patterns, traversal
+
+    pg = _gie_pg(spark, sf_dir)
+    p1 = traversal(pg, "page").as_("a").out("links").as_("b")
+    p2 = traversal(pg, "page").as_("b").out("links").as_("c")
+    p3 = traversal(pg, "page").as_("c").out("links").as_("a")
+    return match_patterns(p1, p2, p3).select("a", "b", "c")
+
+
+_GIE_MATCH_SQL = f"""
+WITH edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
+de AS (SELECT DISTINCT src, dst FROM edges)
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM de e1
+JOIN de e2 ON e2.src = e1.dst
+JOIN de e3 ON e3.src = e2.dst AND e3.dst = e1.src
+"""
+
+
 def _q_apsp_exact(spark, sf_dir):
     """Exact all-pairs shortest path lengths (reference
     apps/apsp/all_pairs_shortest_path_length.h) — all-sources
@@ -2730,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_subgraph_wcc": _q_gie_subgraph_wcc,
         "apsp_exact": _q_apsp_exact,
         "nx_mutate_report": _q_nx_mutate_report,
+        "gie_match": _q_gie_match,
         "cut_points": _q_cut_points,
         "bcc": _q_bcc,
         "maximal_matching": _q_maximal_matching,
@@ -2894,6 +2919,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_subgraph_wcc": _GIE_SUBGRAPH_WCC_SQL,
         "apsp_exact": _multi_bfs_sql(80, "TRUE", _APSP_FINAL),
         "nx_mutate_report": _NX_MUTATE_SQL,
+        "gie_match": _GIE_MATCH_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,

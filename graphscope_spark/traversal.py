@@ -303,6 +303,51 @@ class Traversal:
         return self.frame
 
 
+def match_patterns(*patterns: Traversal) -> Traversal:
+    """Gremlin ``match(p1, p2, ...)`` (reference
+    docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:531):
+    conjunctive pattern matching — every pattern is itself a Traversal whose
+    ``as_`` aliases name the pattern variables, and the match result is the
+    set of alias bindings satisfying ALL patterns simultaneously.
+
+    Spark shape: each pattern's traverser frame is projected to its alias
+    columns (set semantics per binding tuple, the conjunctive-query model
+    GIE compiles match to) and the frames are inner-joined on shared
+    aliases — a multi-way relational join Catalyst/AQE is free to reorder,
+    which IS the scale story: pattern matching over 10^11 edges degenerates
+    to the same shuffle-join plans as any analytical query, no backtracking
+    engine needed. The head re-focuses on the first pattern's first alias;
+    ``select``/``where``/further hops compose as usual."""
+    if not patterns:
+        raise ValueError("match needs at least one pattern")
+    alias_labels: dict[str, str | None] = {}
+    frames = []
+    for p in patterns:
+        cols = [c for c in p.frame.columns if c.startswith("p_")]
+        if not cols:
+            raise ValueError("every match pattern must bind >= 1 alias (as_)")
+        frames.append(p.frame.select(*cols).distinct())
+        for n, lbl in p.aliases:
+            alias_labels.setdefault(n, lbl)
+    out, bound = frames[0], set(frames[0].columns)
+    for f in frames[1:]:
+        shared = sorted(bound & set(f.columns))
+        if not shared:
+            raise ValueError(
+                "match pattern shares no alias with the preceding patterns "
+                f"(bound: {sorted(c[2:] for c in bound)})"
+            )
+        out = out.join(f, shared)
+        bound |= set(f.columns)
+    lead = patterns[0].aliases[0][0]
+    return Traversal(
+        pg=patterns[0].pg,
+        frame=out.withColumn("v", F.col(f"p_{lead}")),
+        head_label=alias_labels[lead],
+        aliases=tuple(alias_labels.items()),
+    )
+
+
 def traversal(pg: PropertyGraph, vertex_label: str | None = None) -> Traversal:
     """``g.V()`` / ``g.V().hasLabel(l)`` source step."""
     if vertex_label is None:

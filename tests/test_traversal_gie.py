@@ -191,3 +191,37 @@ def test_to_subgraph_feeds_algorithms(pg):
     assert sub.edges.count() == 5
     comps = {r["vid"]: r["comp"] for r in wcc(sub).state.collect()}
     assert len(set(comps.values())) == 1  # all connected
+
+
+def test_match_triangle_and_cross_label(pg):
+    """match(): the directed 3-cycle pattern must find exactly the rotations
+    of the knows-triangle 1->2->3->1; a cross-label pattern (person wrote
+    post) composes with it through the shared alias."""
+    from graphscope_spark.traversal import match_patterns, traversal as trav
+
+    p1 = trav(pg, "person").as_("a").out("knows").as_("b")
+    p2 = trav(pg, "person").as_("b").out("knows").as_("c")
+    p3 = trav(pg, "person").as_("c").out("knows").as_("a")
+    tri = match_patterns(p1, p2, p3)
+    got = sorted(
+        (r["a"], r["b"], r["c"]) for r in tri.select("a", "b", "c").collect()
+    )
+    assert got == [(1, 2, 3), (2, 3, 1), (3, 1, 2)]
+    # conjunctive composition across labels: cycle members who wrote a post
+    p4 = trav(pg, "person").as_("a").out("wrote").as_("p")
+    both = match_patterns(p1, p2, p3, p4)
+    rows = sorted(
+        (r["a"], r["p"]) for r in both.select("a", "p").collect()
+    )
+    assert rows == [(1, 10), (2, 11), (2, 12)]
+
+
+def test_match_requires_shared_alias(pg):
+    from graphscope_spark.traversal import match_patterns, traversal as trav
+
+    import pytest as _pytest
+
+    p1 = trav(pg, "person").as_("a").out("knows").as_("b")
+    p2 = trav(pg, "person").as_("x").out("knows").as_("y")
+    with _pytest.raises(ValueError):
+        match_patterns(p1, p2)
