@@ -299,6 +299,36 @@ class Traversal:
             .agg(F.count("*").alias("count"))
         )
 
+    def _values_agg(self, prop: str, agg) -> DataFrame:
+        p = self._props().select(F.col("vid").alias("v"), F.col(prop))
+        return self.frame.join(p, "v").agg(agg(F.col(prop)).alias(agg.__name__))
+
+    def sum_(self, prop: str) -> DataFrame:
+        """Gremlin ``values(p).sum()`` — bag semantics (each traverser
+        contributes; supported_gremlin_steps.md aggregate section)."""
+        return self._values_agg(prop, F.sum)
+
+    def min_(self, prop: str) -> DataFrame:
+        return self._values_agg(prop, F.min)
+
+    def max_(self, prop: str) -> DataFrame:
+        return self._values_agg(prop, F.max)
+
+    def mean_(self, prop: str) -> DataFrame:
+        return self._values_agg(prop, F.mean)
+
+    def group(self, key_prop: str, value_prop: str | None = None) -> DataFrame:
+        """Gremlin ``group().by(key).by(values(v).fold())`` — keyed
+        collection; the fold lands as a sorted array column (deterministic
+        for oracle comparison)."""
+        cols = [key_prop] + ([value_prop] if value_prop else [])
+        p = self._props().select(F.col("vid").alias("v"), *cols)
+        j = self.frame.join(p, "v")
+        val = F.col(value_prop) if value_prop else F.col("v")
+        return j.groupBy(F.col(key_prop).alias("key")).agg(
+            F.sort_array(F.collect_list(val)).alias("values")
+        )
+
     def to_df(self) -> DataFrame:
         return self.frame
 

@@ -225,3 +225,19 @@ def test_match_requires_shared_alias(pg):
     p2 = trav(pg, "person").as_("x").out("knows").as_("y")
     with _pytest.raises(ValueError):
         match_patterns(p1, p2)
+
+
+def test_aggregate_steps(pg):
+    """sum/min/max/mean over values (bag semantics) and group().by(key)."""
+    from graphscope_spark.traversal import traversal as trav
+
+    t = trav(pg, "person").out("knows")  # heads: 2,3,1,3,1 (bag)
+    assert t.sum_("age").collect()[0]["sum"] == 27 + 45 + 31 + 45 + 31
+    assert t.min_("age").collect()[0]["min"] == 27
+    assert t.max_("age").collect()[0]["max"] == 45
+    assert t.mean_("age").collect()[0]["mean"] == (27 + 45 + 31 + 45 + 31) / 5
+    grouped = {r["key"]: r["values"] for r in
+               trav(pg, "person").group("age", "name").collect()}
+    assert grouped == {31: ["ann"], 27: ["bob", "dan"], 45: ["cat"]}
+    by_id = {r["key"]: r["values"] for r in t.group("age").collect()}
+    assert by_id == {27: [2], 31: [1, 1], 45: [3, 3]}
