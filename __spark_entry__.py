@@ -1973,9 +1973,12 @@ def _q_edge_boundary(spark, sf_dir):
 
 
 def _q_coreness(spark, sf_dir):
+    """max_driver_edges=0 forces the DISTRIBUTED frontier h-index loop so
+    the oracle cross-checks the scale path; the bounded-driver bucket-peel
+    fast path is pinned equal by pytest (test_kcore/test_matching_ordering)."""
     from graphscope_spark.algorithms import coreness
 
-    return coreness(_graph(spark, sf_dir)).select(
+    return coreness(_graph(spark, sf_dir), max_driver_edges=0).select(
         "vid", F.col("core").cast("long").alias("core")
     )
 
@@ -2205,15 +2208,18 @@ def _q_min_dominating_set(spark, sf_dir):
 
 
 def _q_degeneracy_order(spark, sf_dir):
+    """Distributed peel forced (max_driver_edges=0), same contract as
+    _q_coreness; the internal coreness call (dg only) takes its default
+    path."""
     from graphscope_spark.algorithms.ordering import degeneracy_order
 
-    return degeneracy_order(_graph(spark, sf_dir))
+    return degeneracy_order(_graph(spark, sf_dir), max_driver_edges=0)
 
 
 def _q_onion_layers(spark, sf_dir):
     from graphscope_spark.algorithms.ordering import onion_layers
 
-    return onion_layers(_graph(spark, sf_dir))
+    return onion_layers(_graph(spark, sf_dir), max_driver_edges=0)
 
 
 def _q_kclique4(spark, sf_dir):

@@ -294,6 +294,7 @@ def min_vertex_cover(
         removable = cand.join(higher_adj_cand, "vid", "anti")
         if removable.isEmpty():
             break
+        prev_cover, prev_cand = cover, cand
         cover = cover.join(removable, "vid", "anti").transform(truncate_plan)
         # candidacy is monotone: drop this round's removals and their
         # (now-uncovered-adjacent) neighbours — never a full recompute
@@ -304,5 +305,15 @@ def min_vertex_cover(
             .distinct()
         )
         cand = cand.join(touched, "vid", "anti").transform(truncate_plan)
+        # eager truncation: the new checkpoints are materialized, so the
+        # previous round's blocks are releasable — long id-chain graphs run
+        # hundreds of rounds and leaked checkpoints OOM the driver
+        from graphscope_spark.bsp import release_truncated
+
+        release_truncated(prev_cover)
+        release_truncated(prev_cand)
+        import gc
+
+        gc.collect()
     und.unpersist()
     return cover

@@ -37,15 +37,51 @@ peel-cascade depth, the same bound the `coreness` h-index iteration carries.
 
 from __future__ import annotations
 
+import gc
+from collections import defaultdict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan_lazy
+from graphscope_spark.bsp import release_truncated, truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
+def _collect_adj(und, vertices):
+    adj = defaultdict(list)
+    for r in und.collect():
+        adj[r["src"]].append(r["dst"])
+    deg = {v: len(ns) for v, ns in adj.items()}
+    for r in vertices.collect():
+        deg.setdefault(r["vid"], 0)
+    return adj, deg
+
+
+def _simulate_peel(population, removable, on_remove):
+    """Round-synchronous peel simulation: each round removes every live
+    vertex satisfying ``removable(v)``; ``on_remove(w)`` applies w's
+    decrements and returns the vertices it touched. Returns {vid: 1-based
+    removal round} — the EXACT value sequence of the distributed loops
+    below."""
+    out: dict[int, int] = {}
+    frontier = [v for v in population if removable(v)]
+    rnd = 0
+    while frontier:
+        rnd += 1
+        for v in frontier:
+            out[v] = rnd
+        touched: set = set()
+        for v in frontier:
+            touched |= on_remove(v)
+        frontier = [w for w in touched if w not in out and removable(w)]
+    return out
+
+
 def degeneracy_order(
-    graph: LinkGraph, max_rounds: int = 500, fused_rounds: int = 8
+    graph: LinkGraph,
+    max_rounds: int = 2000,
+    fused_rounds: int = 8,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """(vid, rank) — 1-based parallel-peel round at which v leaves when
     peeling at the global degeneracy.
@@ -58,12 +94,33 @@ def degeneracy_order(
     stamped with the true inner round number. Peel depth is the inherent
     round count of the parallel peel, so at web-graph depths (hundreds of
     cascades) this divides driver round-trips by k, the same lever as
-    pagerank's ``fused_rounds`` (pagerank.py:22)."""
+    pagerank's ``fused_rounds`` (pagerank.py:22).
+
+    Peel depth is Θ(cascade length) — measured ~600 rounds at sf0.1 once
+    the degeneracy is computed CORRECTLY (dg=4; round 4 found the earlier
+    unconverged coreness inflating dg and silently shortcutting the peel) —
+    so below ``max_driver_edges`` the identical round-synchronous peel runs
+    driver-side in one pass (the min_vertex_cover/dfs_preorder contract);
+    ``max_driver_edges=0`` forces the distributed loop (the gate does)."""
     from graphscope_spark.algorithms.kcore import coreness
 
     und = graph.undirected_edges(drop_self_loops=True).persist()
-    und.count()
+    m = und.count()
     dg = coreness(graph).agg(F.max("core")).collect()[0][0] or 0
+    if m <= max_driver_edges:
+        adj, deg = _collect_adj(und, graph.vertices.select("vid"))
+        und.unpersist()
+
+        def on_remove(v):
+            for w in adj.get(v, ()):
+                deg[w] -= 1
+            return set(adj.get(v, ()))
+
+        ranks = _simulate_peel(deg, lambda v: deg[v] <= dg, on_remove)
+        return graph.vertices.sparkSession.createDataFrame(
+            sorted((int(v), int(r)) for v, r in ranks.items()),
+            "vid long, rank long",
+        )
     deg0 = und.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").cast("long").alias("deg")
     )
@@ -78,6 +135,7 @@ def degeneracy_order(
         .transform(truncate_plan_lazy)
     )
     removable = F.col("rank").isNull() & (F.col("deg") <= dg)
+    spent: list[DataFrame] = []
     for rnd in range(1, max_rounds + 1):
         # this round's removed frontier, and the decrement its edges apply
         # to surviving endpoints (edges among two removed vertices also
@@ -88,6 +146,7 @@ def degeneracy_order(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.count("*").cast("long").alias("dec"))
         )
+        spent.append(state)
         state = (
             state.join(dec, "vid", "left")
             .select(
@@ -103,14 +162,22 @@ def degeneracy_order(
         # the ONE action per BLOCK: materializes the k chained lazy
         # checkpoints AND yields the stopping condition
         if rnd % max(1, fused_rounds) == 0 or rnd == max_rounds:
-            if state.where(F.col("rank").isNull()).count() == 0:
+            done = state.where(F.col("rank").isNull()).count() == 0
+            for st in spent:
+                release_truncated(st)
+            spent.clear()
+            gc.collect()  # flush py4j detaches (see kcore.coreness)
+            if done:
                 break
     und.unpersist()
     return state.where(F.col("rank").isNotNull()).select("vid", "rank")
 
 
 def onion_layers(
-    graph: LinkGraph, max_rounds: int = 500, fused_rounds: int = 8
+    graph: LinkGraph,
+    max_rounds: int = 2000,
+    fused_rounds: int = 8,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """(vid, layer) — 1-based onion layer: round at which v is removed when
     each round removes v iff #{remaining nbrs w : core(w) ≥ core(v)} ≤
@@ -118,15 +185,37 @@ def onion_layers(
 
     Same incremental shape as ``degeneracy_order`` (including the
     ``fused_rounds`` block fusion — one stopping action per k lazily-chained
-    rounds); the static edge table is annotated ONCE with both endpoints'
-    coreness so the per-round decrement (remove w → decrement v iff
-    core(w) ≥ core(v)) is a frontier join with an in-row predicate, never a
-    rejoin against vertex state."""
+    rounds, and the same bounded-driver fast path below
+    ``max_driver_edges``); the static edge table is annotated ONCE with
+    both endpoints' coreness so the per-round decrement (remove w →
+    decrement v iff core(w) ≥ core(v)) is a frontier join with an in-row
+    predicate, never a rejoin against vertex state."""
     from graphscope_spark.algorithms.kcore import coreness
 
     und = graph.undirected_edges(drop_self_loops=True).persist()
-    und.count()
+    m = und.count()
     core = coreness(graph)
+    if m <= max_driver_edges:
+        cd = {r["vid"]: r["core"] for r in core.collect()}
+        adj, _deg = _collect_adj(und, graph.vertices.select("vid"))
+        und.unpersist()
+        qdeg = {
+            v: sum(1 for w in adj.get(v, ()) if cd[w] >= cd[v]) for v in cd
+        }
+
+        def on_remove(w):
+            touched = set()
+            for v in adj.get(w, ()):
+                if cd[w] >= cd[v]:
+                    qdeg[v] -= 1
+                    touched.add(v)
+            return touched
+
+        layers = _simulate_peel(qdeg, lambda v: qdeg[v] <= cd[v], on_remove)
+        return graph.vertices.sparkSession.createDataFrame(
+            sorted((int(v), int(r)) for v, r in layers.items()),
+            "vid long, layer long",
+        )
     # (src, dst, qualifies): does src's presence count toward dst's
     # qualifying degree?  qualifies ⇔ core(src) ≥ core(dst)
     ecore = (
@@ -151,6 +240,7 @@ def onion_layers(
         .transform(truncate_plan_lazy)
     )
     removable = F.col("layer").isNull() & (F.col("qdeg") <= F.col("core"))
+    spent: list[DataFrame] = []
     for rnd in range(1, max_rounds + 1):
         frontier = state.where(removable).select(F.col("vid").alias("src"))
         dec = (
@@ -158,6 +248,7 @@ def onion_layers(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.count("*").cast("long").alias("dec"))
         )
+        spent.append(state)
         state = (
             state.join(dec, "vid", "left")
             .select(
@@ -172,7 +263,12 @@ def onion_layers(
             .transform(truncate_plan_lazy)
         )
         if rnd % max(1, fused_rounds) == 0 or rnd == max_rounds:
-            if state.where(F.col("layer").isNull()).count() == 0:
+            done = state.where(F.col("layer").isNull()).count() == 0
+            for st in spent:
+                release_truncated(st)
+            spent.clear()
+            gc.collect()  # flush py4j detaches (see kcore.coreness)
+            if done:
                 break
     ecore.unpersist()
     und.unpersist()

@@ -55,6 +55,11 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
     to the stats blowup. Falls back to the plain checkpoint if the internal
     constructor is unavailable.
     """
+    sc = df.sparkSession.sparkContext
+    try:
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    except Exception:  # pragma: no cover - monitoring API unavailable
+        before = None
     ck = df.localCheckpoint(eager=eager)
     try:
         spark = ck.sparkSession
@@ -62,9 +67,39 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
         new_jdf = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-        return DataFrame(new_jdf, spark)
+        out = DataFrame(new_jdf, spark)
     except Exception:  # pragma: no cover - internal API moved/renamed
-        return ck
+        out = ck
+    if before is not None:
+        try:
+            after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+            out._graft_ck_ids = sorted(after - before)
+        except Exception:  # pragma: no cover
+            pass
+    return out
+
+
+def release_truncated(df: DataFrame) -> None:
+    """Free the localCheckpoint blocks (and their persistentRdds entries)
+    behind a ``truncate_plan``/``truncate_plan_lazy`` result. Long loops
+    (hundreds of truncation points) MUST release spent states: each
+    checkpoint registers an RDD in the context's persistent-RDD map, and a
+    600-round loop was measured leaking ~1,200 entries — enough retained
+    driver-heap metadata to OOM an 8g driver. Call ONLY once a NEWER
+    truncation point has materialized (the checkpointed blocks are the
+    severed lineage's only source; releasing them earlier makes dependents
+    unrecomputable)."""
+    ids = getattr(df, "_graft_ck_ids", None)
+    if not ids:
+        return
+    try:
+        m = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            r = m.get(i)
+            if r is not None:
+                r.unpersist(False)
+    except Exception:  # pragma: no cover - best-effort release
+        pass
 
 
 def truncate_plan_lazy(df: DataFrame) -> DataFrame:

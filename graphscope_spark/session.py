@@ -76,7 +76,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 24g: multi-hundred-round loops (the coreness correction wave runs
+        # ~600 rounds at sf0.1) accumulate per-round plan/RDD metadata the
+        # JVM retains even after explicit checkpoint release + gc (measured
+        # OOM at 8g, stable at 24g) — a long-running driver on a real
+        # cluster is provisioned the same way. Override: SPARK_DRIVER_MEMORY.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for k, v in _SCALE_CONF.items():
         builder = builder.config(k, v)

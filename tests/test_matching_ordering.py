@@ -168,3 +168,19 @@ def test_subgraph_counts_on_dense_graph(spark):
     assert c4 == 5
     assert kclique4_count(g).collect()[0]["cliques4"] == c4
     assert rectangle_count(g).collect()[0]["rectangles"] == rect
+
+
+def test_bounded_driver_paths_match_distributed(tiny_graph):
+    """coreness / degeneracy_order / onion_layers: the bounded-driver fast
+    path (default) and the distributed loop (max_driver_edges=0) must
+    produce identical tables — the same two-path contract as
+    min_vertex_cover."""
+    from graphscope_spark.algorithms.kcore import coreness
+    from graphscope_spark.algorithms.ordering import degeneracy_order, onion_layers
+
+    for fn, col in ((coreness, "core"), (degeneracy_order, "rank"),
+                    (onion_layers, "layer")):
+        fast = {r["vid"]: r[col] for r in fn(tiny_graph).collect()}
+        dist = {r["vid"]: r[col] for r in
+                fn(tiny_graph, max_driver_edges=0).collect()}
+        assert fast == dist, fn.__name__

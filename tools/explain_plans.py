@@ -101,11 +101,31 @@ directly (tools/check_gate timings + controlled warm-process A/Bs):
   the distributed loop runs with incremental candidate maintenance
   (monotone candidacy — removals and their neighbours leave, nobody
   re-enters), never a full O(m) recompute per round.
-* **coreness (h-index fixpoint)** — two partial-aggregated shuffles per
-  round (neighbour-core histogram + cumulative-count window); rounds =
-  h-index convergence depth. fused_rounds=4 checks the changed-count once
-  per block (the H-operator is monotone non-increasing, so overshooting
-  the fixpoint is a no-op).
+* **coreness (h-index fixpoint)** — frontier-incremental: only neighbours
+  of last round's changed vertices recompute their H (work per round ∝
+  frontier-incident edges, not O(m)); the H-index itself is a histogram +
+  cumulative-count window, never a gathered neighbour array. Round count
+  is the correction-wave depth — measured ~600 rounds at sf0.1 (a 1-unit
+  wave crossing a ~4,900-vertex sliding-window chain at ~8 ids/round;
+  true fixpoint: every core = 4). Round 4 found TWO defects here: the old
+  loop silently returned UNCONVERGED cores when max_rounds ran out (now
+  raises, mirroring coloring), and ~600 rounds of un-released
+  localCheckpoints leaked ~1,200 persistentRdds entries and OOM'd an 8g
+  driver. Mitigations shipped: per-block checkpoint release
+  (bsp.release_truncated) + gc, and the default driver heap raised to 24g
+  (the JVM additionally retains per-round plan metadata that survives both
+  — measured OOM at 8g, stable at 24g; a long-running cluster driver is
+  provisioned the same way). Validated: the full ~600-round distributed
+  run converges (434.8 s, sum(core)=20000, max=4).
+* **Bounded-driver fast paths (coreness / degeneracy_order /
+  onion_layers / min_vertex_cover / dfs_preorder)** — when the (candidate)
+  subproblem fits max_driver_edges, the round-synchronous process is
+  resolved driver-side in one pass with IDENTICAL output (pytest pins
+  two-path equality; the driver gate forces max_driver_edges=0 so the
+  oracle always checks the distributed path). On one machine the
+  correction-wave/peel depth is pure barrier floor for a graph that fits
+  in memory; at cluster scale the distributed loop is the only path and
+  its per-round work is frontier-sized.
 """
 
 
