@@ -1723,7 +1723,7 @@ def _gie_pg(spark, sf_dir):
     from graphscope_spark.property_graph import PropertyGraph
 
     docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("long").alias("vid"), "lang"
+        F.col("doc_id").cast("long").alias("vid"), "lang", "source", "n_chars"
     )
     links = edges_from_documents(spark, sf_dir)
     return (
@@ -1785,6 +1785,67 @@ def _q_gie_match(spark, sf_dir):
     p2 = traversal(pg, "page").as_("b").out("links").as_("c")
     p3 = traversal(pg, "page").as_("c").out("links").as_("a")
     return match_patterns(p1, p2, p3).select("a", "b", "c")
+
+
+def _q_gie_predicates(spark, sf_dir):
+    """Gremlin predicate vocabulary (reference
+    docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:147-199):
+    g.V().has('n_chars', P.inside(100,400)).has('lang', P.within(['en','de']))
+    .has('source', TextP.endingWith('3')).out().groupCount() by head lang —
+    every P/TextP form compiles to one pushed Catalyst filter."""
+    from graphscope_spark.traversal import P, TextP, traversal
+
+    t = (
+        traversal(_gie_pg(spark, sf_dir), "page")
+        .has("n_chars", P.inside(100, 400))
+        .has("lang", P.within(["en", "de"]))
+        .has("source", TextP.ending_with("3"))
+        .out("links")
+        .group_count("lang")
+    )
+    return t.select(
+        F.col("key").alias("lang"), F.col("count").cast("long").alias("n")
+    )
+
+
+def _q_gie_element_map(spark, sf_dir):
+    """Gremlin projection steps (supported_gremlin_steps.md:281):
+    g.V().has('lang', P.eq('fr')).has('n_chars', P.gt(300))
+    .elementMap('lang','n_chars') — id + label + named properties per
+    traverser, the relational rendering of GIE's per-traverser map."""
+    from graphscope_spark.traversal import P, traversal
+
+    t = (
+        traversal(_gie_pg(spark, sf_dir), "page")
+        .has("lang", P.eq("fr"))
+        .has("n_chars", P.gt(300))
+    )
+    return t.element_map("lang", "n_chars").select(
+        "id", "label", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+_GIE_PREDICATES_SQL = f"""
+WITH edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
+keep AS (
+  SELECT CAST(doc_id AS BIGINT) AS vid FROM documents
+  WHERE n_chars > 100 AND n_chars < 400
+    AND lang IN ('en', 'de') AND source LIKE '%3'
+),
+docs AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents)
+SELECT d2.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM edges e
+JOIN keep k ON k.vid = e.src
+JOIN docs d2 ON d2.vid = e.dst
+GROUP BY d2.lang
+"""
+
+_GIE_ELEMENT_MAP_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS id, 'page' AS label, lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE lang = 'fr' AND n_chars > 300
+"""
 
 
 _GIE_MATCH_SQL = f"""
@@ -2757,6 +2818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp_exact": _q_apsp_exact,
         "nx_mutate_report": _q_nx_mutate_report,
         "gie_match": _q_gie_match,
+        "gie_predicates": _q_gie_predicates,
+        "gie_element_map": _q_gie_element_map,
         "pagerank_dangling": _q_pagerank_dangling,
         "min_vertex_cover": _q_min_vertex_cover,
         "degeneracy_order": _q_degeneracy_order,
@@ -2929,6 +2992,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "apsp_exact": _multi_bfs_sql(80, "TRUE", _APSP_FINAL),
         "nx_mutate_report": _NX_MUTATE_SQL,
         "gie_match": _GIE_MATCH_SQL,
+        "gie_predicates": _GIE_PREDICATES_SQL,
+        "gie_element_map": _GIE_ELEMENT_MAP_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,

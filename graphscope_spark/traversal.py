@@ -32,6 +32,100 @@ from pyspark.sql import functions as F
 from graphscope_spark.property_graph import PropertyGraph
 
 
+@dataclass(frozen=True)
+class _Pred:
+    """A deferred predicate: a function Column -> boolean Column, applied by
+    ``has``/``is_`` to whichever property column the step resolves."""
+
+    fn: object
+
+    def __call__(self, col: Column) -> Column:
+        return self.fn(col)
+
+
+class P:
+    """Gremlin's predicate vocabulary for ``has(key, P.xxx(...))`` — the
+    reference documents the full set at
+    docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:147-170.
+    Every predicate compiles to a single Catalyst expression, so it pushes
+    into the vertex-property scan like any native filter."""
+
+    @staticmethod
+    def eq(v) -> _Pred:
+        return _Pred(lambda c: c == F.lit(v))
+
+    @staticmethod
+    def neq(v) -> _Pred:
+        return _Pred(lambda c: c != F.lit(v))
+
+    @staticmethod
+    def gt(v) -> _Pred:
+        return _Pred(lambda c: c > F.lit(v))
+
+    @staticmethod
+    def lt(v) -> _Pred:
+        return _Pred(lambda c: c < F.lit(v))
+
+    @staticmethod
+    def gte(v) -> _Pred:
+        return _Pred(lambda c: c >= F.lit(v))
+
+    @staticmethod
+    def lte(v) -> _Pred:
+        return _Pred(lambda c: c <= F.lit(v))
+
+    @staticmethod
+    def within(vals) -> _Pred:
+        vals = list(vals)
+        return _Pred(lambda c: c.isin(vals))
+
+    @staticmethod
+    def without(vals) -> _Pred:
+        vals = list(vals)
+        return _Pred(lambda c: ~c.isin(vals))
+
+    @staticmethod
+    def inside(lo, hi) -> _Pred:
+        """Exclusive on both ends (TinkerPop: lo < x < hi)."""
+        return _Pred(lambda c: (c > F.lit(lo)) & (c < F.lit(hi)))
+
+    @staticmethod
+    def outside(lo, hi) -> _Pred:
+        return _Pred(lambda c: (c < F.lit(lo)) | (c > F.lit(hi)))
+
+    @staticmethod
+    def not_(p: "_Pred") -> _Pred:
+        return _Pred(lambda c: ~p(c))
+
+
+class TextP:
+    """Gremlin's text predicates (supported_gremlin_steps.md:166-171)."""
+
+    @staticmethod
+    def starting_with(s: str) -> _Pred:
+        return _Pred(lambda c: c.startswith(s))
+
+    @staticmethod
+    def ending_with(s: str) -> _Pred:
+        return _Pred(lambda c: c.endswith(s))
+
+    @staticmethod
+    def containing(s: str) -> _Pred:
+        return _Pred(lambda c: c.contains(s))
+
+    @staticmethod
+    def not_starting_with(s: str) -> _Pred:
+        return _Pred(lambda c: ~c.startswith(s))
+
+    @staticmethod
+    def not_ending_with(s: str) -> _Pred:
+        return _Pred(lambda c: ~c.endswith(s))
+
+    @staticmethod
+    def not_containing(s: str) -> _Pred:
+        return _Pred(lambda c: ~c.contains(s))
+
+
 def _resolve_triple(
     pg: PropertyGraph, edge_label: str | None, head: str | None, end: int = 0
 ):
@@ -160,17 +254,100 @@ class Traversal:
             raise ValueError("head label unknown — property steps unavailable")
         return self.pg.vertices[self.head_label]
 
-    def has(self, prop: str, value) -> "Traversal":
-        """``has('lang', 'en')`` or ``has('n', Column predicate)``."""
+    _HAS_MISSING = object()
+
+    def has(self, prop: str, value=_HAS_MISSING) -> "Traversal":
+        """``has('name')`` (existence) / ``has('lang', 'en')`` (equality) /
+        ``has('age', P.gt(10))`` / ``has('name', TextP.containing('ar'))`` /
+        ``has('n', Column predicate)`` — the reference's has() forms
+        (supported_gremlin_steps.md:140-199)."""
         p = self._props().select(F.col("vid").alias("v"), F.col(prop))
-        pred = value if isinstance(value, Column) else (F.col(prop) == F.lit(value))
+        if value is Traversal._HAS_MISSING:
+            pred = F.col(prop).isNotNull()
+        elif isinstance(value, _Pred):
+            pred = value(F.col(prop))
+        elif isinstance(value, Column):
+            pred = value
+        else:
+            pred = F.col(prop) == F.lit(value)
         keep = p.where(pred).select("v")
         return replace(self, frame=self.frame.join(keep, "v"))
+
+    def has_not(self, prop: str) -> "Traversal":
+        """``hasNot('age')`` — keep traversers whose head lacks the property
+        (null in the label frame)."""
+        p = self._props().select(F.col("vid").alias("v"), F.col(prop))
+        keep = p.where(F.col(prop).isNull()).select("v")
+        return replace(self, frame=self.frame.join(keep, "v"))
+
+    def has_id(self, *ids) -> "Traversal":
+        """``hasId(1, 2, 3)`` = ``g.V(1, 2, 3)``."""
+        return replace(self, frame=self.frame.where(F.col("v").isin(list(ids))))
+
+    def has_label(self, *labels: str) -> "Traversal":
+        """``hasLabel('person')``: with one vertex frame per label, this is
+        a set test on the (known) head label — identity if it matches, the
+        empty bag otherwise."""
+        if self.head_label is None:
+            raise ValueError("head label unknown — hasLabel unavailable")
+        if self.head_label in labels:
+            return self
+        return replace(self, frame=self.frame.where(F.lit(False)))
+
+    def is_(self, value) -> "Traversal":
+        """``is(P.gt(10))`` / ``is(5)`` — filter on the head id itself."""
+        pred = (
+            value(F.col("v"))
+            if isinstance(value, _Pred)
+            else (F.col("v") == F.lit(value))
+        )
+        return replace(self, frame=self.frame.where(pred))
 
     def values(self, prop: str) -> DataFrame:
         """Project the head's property — one row per traverser (bag)."""
         p = self._props().select(F.col("vid").alias("v"), F.col(prop))
         return self.frame.join(p, "v").select(prop)
+
+    def id_(self) -> DataFrame:
+        """``id()`` projection — the head's vertex id, bag semantics."""
+        return self.frame.select(F.col("v").alias("id"))
+
+    def label_(self) -> DataFrame:
+        """``label()`` projection — the head's vertex label."""
+        if self.head_label is None:
+            raise ValueError("head label unknown — label() unavailable")
+        return self.frame.select(F.lit(self.head_label).alias("label"))
+
+    def constant(self, value) -> DataFrame:
+        """``constant(x)`` projection — x once per traverser."""
+        return self.frame.select(F.lit(value).alias("constant"))
+
+    def value_map(self, *props: str) -> DataFrame:
+        """``valueMap('a','b')`` — one row per traverser with the named
+        head properties as columns (all properties if none named).
+        Relational shape: GIE returns a map per traverser; columns are the
+        Spark-native equivalent and what select()/oracles compare."""
+        frame_props = [c for c in self._props().columns if c != "vid"]
+        cols = list(props) if props else frame_props
+        missing = [c for c in cols if c not in frame_props]
+        if missing:
+            raise ValueError(f"unknown properties {missing}; have {frame_props}")
+        p = self._props().select(F.col("vid").alias("v"), *cols)
+        return self.frame.join(p, "v").select(*cols)
+
+    def element_map(self, *props: str) -> DataFrame:
+        """``elementMap(...)`` — id + label + the named properties."""
+        if self.head_label is None:
+            raise ValueError("head label unknown — elementMap unavailable")
+        vm_cols = (
+            list(props)
+            if props
+            else [c for c in self._props().columns if c != "vid"]
+        )
+        p = self._props().select(F.col("vid").alias("v"), *vm_cols)
+        return self.frame.join(p, "v").select(
+            F.col("v").alias("id"), F.lit(self.head_label).alias("label"), *vm_cols
+        )
 
     def dedup(self) -> "Traversal":
         return replace(self, frame=self.frame.distinct())
@@ -277,7 +454,43 @@ class Traversal:
     def limit(self, n: int) -> "Traversal":
         return replace(self, frame=self.frame.limit(n))
 
-    def order_by(self, col: str = "v", desc: bool = False) -> "Traversal":
+    def identity(self) -> "Traversal":
+        """``identity()`` — maps each traverser to itself
+        (supported_gremlin_steps.md:558)."""
+        return self
+
+    def coin(self, probability: float, seed: int = 42) -> "Traversal":
+        """``coin(p)`` — biased coin-toss filter
+        (supported_gremlin_steps.md:493). Spark rendering: a deterministic
+        per-traverser hash in [0,1) compared to p, so the same seed yields
+        the same sample at any parallelism (Gremlin's coin is nondeterministic;
+        determinism is what makes the step testable and resumable)."""
+        if not 0.0 <= probability <= 1.0:
+            raise ValueError("probability must be in [0, 1]")
+        u = (
+            F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(1_000_000_007))
+            / F.lit(1_000_000_007.0)
+        )
+        return replace(self, frame=self.frame.where(u < F.lit(probability)))
+
+    def sample(self, n: int, seed: int = 42) -> "Traversal":
+        """``sample(n)`` — n deterministic pseudo-random traversers: order
+        by a per-row hash, take n (one global top-n, no full sort — Spark
+        plans orderBy+limit as TakeOrderedAndProject)."""
+        h = F.xxhash64(F.col("v"), F.lit(seed))
+        return replace(self, frame=self.frame.orderBy(h).limit(n))
+
+    def order_by(
+        self, col: str = "v", desc: bool = False, prop: str | None = None
+    ) -> "Traversal":
+        """``order().by()`` / ``order().by('name', desc)`` — order by a
+        frame column or by a head property (supported_gremlin_steps.md:462)."""
+        if prop is not None:
+            p = self._props().select(F.col("vid").alias("v"), F.col(prop))
+            joined = self.frame.join(p, "v")
+            c = F.col(prop).desc() if desc else F.col(prop).asc()
+            ordered = joined.orderBy(c).drop(prop)
+            return replace(self, frame=ordered)
         c = F.col(col).desc() if desc else F.col(col).asc()
         return replace(self, frame=self.frame.orderBy(c))
 
@@ -333,12 +546,15 @@ class Traversal:
         return self.frame
 
 
-def match_patterns(*patterns: Traversal) -> Traversal:
+def match_patterns(*patterns: Traversal, anti: tuple = ()) -> Traversal:
     """Gremlin ``match(p1, p2, ...)`` (reference
     docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:531):
     conjunctive pattern matching — every pattern is itself a Traversal whose
     ``as_`` aliases name the pattern variables, and the match result is the
     set of alias bindings satisfying ALL patterns simultaneously.
+    ``anti`` patterns are Gremlin's ``match(..., not(pattern))`` form
+    (supported_gremlin_steps.md:544): bindings matching ANY anti pattern are
+    excluded — an anti-join on the shared aliases.
 
     Spark shape: each pattern's traverser frame is projected to its alias
     columns (set semantics per binding tuple, the conjunctive-query model
@@ -369,6 +585,12 @@ def match_patterns(*patterns: Traversal) -> Traversal:
             )
         out = out.join(f, shared)
         bound |= set(f.columns)
+    for a in anti:
+        cols = [c for c in a.frame.columns if c.startswith("p_")]
+        shared = sorted(bound & set(cols))
+        if not shared:
+            raise ValueError("anti pattern shares no alias with the match")
+        out = out.join(a.frame.select(*shared).distinct(), shared, "anti")
     lead = patterns[0].aliases[0][0]
     return Traversal(
         pg=patterns[0].pg,

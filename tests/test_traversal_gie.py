@@ -241,3 +241,142 @@ def test_aggregate_steps(pg):
     assert grouped == {31: ["ann"], 27: ["bob", "dan"], 45: ["cat"]}
     by_id = {r["key"]: r["values"] for r in t.group("age").collect()}
     assert by_id == {27: [2], 31: [1, 1], 45: [3, 3]}
+
+
+def test_p_predicates(pg):
+    """P.xxx predicate forms of has() (supported_gremlin_steps.md:147-170)."""
+    from graphscope_spark.traversal import P
+
+    def names(t):
+        return sorted(r["name"] for r in t.values("name").collect())
+
+    t0 = traversal(pg, "person")
+    assert names(t0.has("age", P.eq(27))) == ["bob", "dan"]
+    assert names(t0.has("age", P.neq(27))) == ["ann", "cat"]
+    assert names(t0.has("age", P.gt(31))) == ["cat"]
+    assert names(t0.has("age", P.gte(31))) == ["ann", "cat"]
+    assert names(t0.has("age", P.lt(31))) == ["bob", "dan"]
+    assert names(t0.has("age", P.lte(27))) == ["bob", "dan"]
+    assert names(t0.has("age", P.within([27, 45]))) == ["bob", "cat", "dan"]
+    assert names(t0.has("age", P.without([27, 45]))) == ["ann"]
+    assert names(t0.has("age", P.inside(27, 45))) == ["ann"]  # exclusive
+    assert names(t0.has("age", P.outside(27, 45))) == []
+    assert names(t0.has("age", P.not_(P.eq(27)))) == ["ann", "cat"]
+
+
+def test_textp_predicates(pg):
+    from graphscope_spark.traversal import TextP
+
+    def names(pred):
+        return sorted(
+            r["name"]
+            for r in traversal(pg, "person").has("name", pred).values("name").collect()
+        )
+
+    assert names(TextP.starting_with("a")) == ["ann"]
+    assert names(TextP.ending_with("n")) == ["ann", "dan"]
+    assert names(TextP.containing("a")) == ["ann", "cat", "dan"]
+    assert names(TextP.not_starting_with("a")) == ["bob", "cat", "dan"]
+    assert names(TextP.not_ending_with("n")) == ["bob", "cat"]
+    assert names(TextP.not_containing("a")) == ["bob"]
+
+
+def test_has_existence_and_has_not(pg, spark):
+    """has('p') keeps traversers with the property; hasNot('p') the rest."""
+    from graphscope_spark.property_graph import PropertyGraph
+
+    people = spark.createDataFrame(
+        [(1, "ann", 31), (2, "bob", None), (3, None, 45)],
+        "vid long, name string, age long",
+    )
+    g = PropertyGraph(num_partitions=2).add_vertices("person", people)
+    t0 = traversal(g, "person")
+    assert sorted(r["v"] for r in t0.has("age").to_df().collect()) == [1, 3]
+    assert sorted(r["v"] for r in t0.has_not("age").to_df().collect()) == [2]
+    assert sorted(r["v"] for r in t0.has("name").to_df().collect()) == [1, 2]
+
+
+def test_has_id_has_label_is(pg):
+    t0 = traversal(pg, "person")
+    assert sorted(r["v"] for r in t0.has_id(1, 3).to_df().collect()) == [1, 3]
+    assert t0.has_label("person").count().collect()[0]["count"] == 4
+    assert t0.has_label("post").count().collect()[0]["count"] == 0
+    assert t0.has_label("post", "person").count().collect()[0]["count"] == 4
+    from graphscope_spark.traversal import P
+
+    assert sorted(r["v"] for r in t0.is_(P.gt(2)).to_df().collect()) == [3, 4]
+    assert sorted(r["v"] for r in t0.is_(2).to_df().collect()) == [2]
+
+
+def test_projection_steps(pg):
+    """id()/label()/constant()/valueMap()/elementMap() projections."""
+    t = traversal(pg, "person").has("age", 27)
+    assert sorted(r["id"] for r in t.id_().collect()) == [2, 4]
+    assert [r["label"] for r in t.label_().collect()] == ["person", "person"]
+    assert [r["constant"] for r in t.constant(7).collect()] == [7, 7]
+    vm = sorted(
+        (r["name"], r["age"]) for r in t.value_map("name", "age").collect()
+    )
+    assert vm == [("bob", 27), ("dan", 27)]
+    # all-props form
+    assert sorted(t.value_map().columns) == ["age", "name"]
+    em = sorted(
+        (r["id"], r["label"], r["name"]) for r in t.element_map("name").collect()
+    )
+    assert em == [(2, "person", "bob"), (4, "person", "dan")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.value_map("nope")
+
+
+def test_identity_coin_sample(pg):
+    t0 = traversal(pg, "person")
+    assert t0.identity() is t0
+    # coin(1.0) keeps everything, coin(0.0) nothing; deterministic per seed
+    assert t0.coin(1.0).count().collect()[0]["count"] == 4
+    assert t0.coin(0.0).count().collect()[0]["count"] == 0
+    a = sorted(r["v"] for r in t0.coin(0.5, seed=7).to_df().collect())
+    b = sorted(r["v"] for r in t0.coin(0.5, seed=7).to_df().collect())
+    assert a == b  # same seed, same sample
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t0.coin(1.5)
+    # sample(n): exactly n, deterministic, a subset of the bag
+    s = sorted(r["v"] for r in t0.sample(2, seed=3).to_df().collect())
+    assert len(s) == 2 and set(s) <= {1, 2, 3, 4}
+    assert s == sorted(r["v"] for r in t0.sample(2, seed=3).to_df().collect())
+
+
+def test_order_by_property(pg):
+    got = [
+        r["v"]
+        for r in traversal(pg, "person").order_by(prop="name", desc=True).to_df().collect()
+    ]
+    assert got == [4, 3, 2, 1]  # dan, cat, bob, ann
+    got_asc = [
+        r["v"] for r in traversal(pg, "person").order_by(prop="age").to_df().collect()
+    ]
+    assert got_asc[-1] == 3  # cat(45) last; 27-ties first in some order
+    assert set(got_asc[:2]) == {2, 4}
+
+
+def test_match_not_pattern(pg):
+    """match(..., not(pattern)): 1-hop pairs with no edge back (the
+    reference's negation binder, supported_gremlin_steps.md:544)."""
+    from graphscope_spark.traversal import match_patterns, traversal as trav
+
+    p1 = trav(pg, "person").as_("a").out("knows").as_("b")
+    p_back = trav(pg, "person").as_("b").out("knows").as_("a")
+    got = sorted(
+        (r["a"], r["b"])
+        for r in match_patterns(p1, anti=(p_back,)).select("a", "b").collect()
+    )
+    # knows: 1->2, 2->3, 3->1, 1->3, 4->1; mutual pairs: (1,3)/(3,1). Non-mutual:
+    assert got == [(1, 2), (2, 3), (4, 1)]
+    import pytest as _pytest
+
+    p_far = trav(pg, "person").as_("x").out("knows").as_("y")
+    with _pytest.raises(ValueError):
+        match_patterns(p1, anti=(p_far,))

@@ -5,7 +5,9 @@ graph; reports throughput at both and efficiency = speedup / 4.
 Each level runs in a fresh subprocess (a JVM's master is fixed at startup).
 
 Usage: python tools/bench_scaling.py [--low 8] [--high 32] [--edges 5000000]
-Writes BENCH/BASELINE.md and prints the JSON result.
+Writes BENCH/SCALING_LATEST.md (raw result; BENCH/BASELINE.md is the curated
+evidence document — merge headline numbers there by hand) and prints the
+JSON result.
 """
 
 from __future__ import annotations
@@ -103,7 +105,7 @@ def main():
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    md = f"""# BENCH/BASELINE.md — scaling + throughput evidence
+    md = f"""# BENCH/SCALING_LATEST.md — raw scaling-run output
 
 North rule: "throughput scaling efficiency ≥ 0.8 between N and 4N
 executors". No real cluster exists in this sandbox, so the evidence is the
@@ -138,8 +140,8 @@ Generated by tools/bench_scaling.py; raw JSON below.
 {json.dumps(result, indent=2)}
 ```
 """
-    (bench_dir / "BASELINE.md").write_text(md)
-    print(f"wrote {bench_dir / 'BASELINE.md'}")
+    (bench_dir / "SCALING_LATEST.md").write_text(md)
+    print(f"wrote {bench_dir / 'SCALING_LATEST.md'}")
 
 
 if __name__ == "__main__":
