@@ -1092,6 +1092,25 @@ SELECT a, b, ROUND(jac, 6) AS jac FROM jac WHERE jac >= {threshold}
 """
 
 
+def _dedup_clusters_sql(num_perm: int, bands: int, threshold: float) -> str:
+    """Connected components (recursive closure, the _WCC_SQL pattern) over
+    the minhash near-dup pairs, independently re-derived in SQL."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(num_perm, bands, threshold)}),
+docs_all AS (SELECT CAST(doc_id AS BIGINT) AS vid FROM documents),
+psym AS (SELECT a AS s, b AS t FROM pairs UNION ALL SELECT b AS s, a AS t FROM pairs),
+reach(v, w) AS (
+  SELECT vid, vid FROM docs_all
+  UNION
+  SELECT r.v, p.t FROM reach r JOIN psym p ON p.s = r.w
+),
+comp AS (SELECT v AS doc_id, MIN(w) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
 def _ngram_jaccard_sql(threshold: float) -> str:
     return f"""
 WITH {_SQL_SHINGLES},
@@ -2432,6 +2451,23 @@ def _q_minhash(spark, sf_dir):
     ).select("a", "b", F.round("jac", 6).alias("jac"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: transitive closure over the MinHash-LSH pair
+    graph (datapipe.dedup_clusters) — cluster_id = min doc id of the
+    component, cluster_size re-attached from the component table. The
+    composite a dedup pipeline ships: pairs alone can't drop docs; the
+    canonical election needs components."""
+    from graphscope_spark.datapipe import dedup_clusters
+
+    return dedup_clusters(
+        _docs(spark, sf_dir), k=5, num_perm=16, bands=4, threshold=0.25
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from graphscope_spark.datapipe import ngram_jaccard_pairs
 
@@ -2840,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": _q_mis,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash_pairs,
         "simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -3091,6 +3128,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "louvain": _LOUVAIN_GOLDEN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _minhash_sql(16, 4, 0.25),
+        "dedup_clusters": _dedup_clusters_sql(16, 4, 0.25),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.26),
         "simhash": _simhash_sql(),
         "dedup_simhash": _simhash_pairs_sql(7),

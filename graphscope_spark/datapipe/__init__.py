@@ -19,6 +19,7 @@ from graphscope_spark.datapipe.dedup import (
     minhash_signatures,
     lsh_candidate_pairs,
     minhash_dedup_pairs,
+    dedup_clusters,
     simhash,
     simhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -40,6 +41,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
+    "dedup_clusters",
     "simhash",
     "simhash_dedup_pairs",
     "ngram_jaccard_pairs",

@@ -322,3 +322,69 @@ def simhash_dedup_pairs(
     out = out.localCheckpoint(eager=True)
     fps.unpersist()
     return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    k: int = 5,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "auto",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) — near-duplicate CLUSTERS, the
+    canonical-election step a dedup pipeline actually ships: transitive
+    closure over the MinHash-LSH near-dup pair graph. ``cluster_id`` is the
+    min doc id of the connected component, so ``cluster_id == doc_id``
+    marks the elected canonical; keeping one row per cluster_id dedups the
+    corpus. Reference analog: GraphScope's dedup recipes run WCC over the
+    similarity graph (apps/flash/connectivity/cc-log.h semantics).
+
+    Scale shape: the iterative component loop runs ONLY on vertices
+    incident to >= 1 near-dup pair (at web scale a small fraction of the
+    corpus); the singleton majority never enters the loop and is
+    re-attached with one left join, and cluster sizes are aggregated on
+    the (small) component table — no full-corpus groupBy anywhere.
+    """
+    from graphscope_spark.algorithms.wcc import wcc_log
+    from graphscope_spark.graph import LinkGraph
+
+    pairs = minhash_dedup_pairs(
+        docs, k=k, num_perm=num_perm, bands=bands, threshold=threshold,
+        id_col=id_col, text_col=text_col, mode=mode,
+    )
+    spark = docs.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    touched = (
+        pairs.select(F.col("a").alias("vid"))
+        .unionByName(pairs.select(F.col("b").alias("vid")))
+        .distinct()
+    )
+    g = LinkGraph(
+        vertices=touched,
+        edges=pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        num_partitions=P,
+    )
+    comp = wcc_log(g)  # (vid, comp) — only the paired minority
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("sz"))
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    clustered = (
+        ids.join(comp, ids["doc_id"] == comp["vid"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return (
+        clustered.join(
+            sizes, clustered["cluster_id"] == sizes["comp"], "left"
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias("cluster_size"),
+        )
+    )
