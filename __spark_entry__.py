@@ -1844,6 +1844,58 @@ def _q_gie_element_map(spark, sf_dir):
     )
 
 
+def _q_gie_edge_expand(spark, sf_dir):
+    """Gremlin Expand edge steps (reference
+    docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95):
+    g.V().has('lang','en').bothE('links').has('w', P.gte(50)).otherV()
+    .groupCount('lang') — outE/inE/bothE materialize the incident edges
+    WITH their properties, has() filters on the edge property, otherV()
+    moves to the endpoint not traversed from (path history), checked
+    against the two-direction relational union."""
+    from graphscope_spark.graph import edges_from_documents
+    from graphscope_spark.property_graph import PropertyGraph
+    from graphscope_spark.traversal import P, traversal
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("vid"), "lang"
+    )
+    links = edges_from_documents(spark, sf_dir).withColumn(
+        "w", (F.col("src") * 7 + F.col("dst")) % 100
+    )
+    pg = (
+        PropertyGraph(num_partitions=NUM_PARTITIONS)
+        .add_vertices("page", docs)
+        .add_edges("page", "links", "page", links)
+    )
+    t = (
+        traversal(pg, "page")
+        .has("lang", "en")
+        .both_e("links")
+        .has("w", P.gte(50))
+        .other_v()
+        .group_count("lang")
+    )
+    return t.select(
+        F.col("key").alias("lang"), F.col("count").cast("long").alias("n")
+    )
+
+
+_GIE_EDGE_EXPAND_SQL = f"""
+WITH edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
+we AS (SELECT src, dst, (src * 7 + dst) % 100 AS w FROM edges),
+en AS (SELECT CAST(doc_id AS BIGINT) AS vid FROM documents WHERE lang = 'en'),
+docs AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents),
+trav AS (
+  SELECT e.dst AS v FROM we e JOIN en ON en.vid = e.src WHERE e.w >= 50
+  UNION ALL
+  SELECT e.src AS v FROM we e JOIN en ON en.vid = e.dst WHERE e.w >= 50
+)
+SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM trav JOIN docs d ON d.vid = trav.v
+GROUP BY d.lang
+"""
+
+
 _GIE_PREDICATES_SQL = f"""
 WITH edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
 keep AS (
@@ -2856,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_match": _q_gie_match,
         "gie_predicates": _q_gie_predicates,
         "gie_element_map": _q_gie_element_map,
+        "gie_edge_expand": _q_gie_edge_expand,
         "pagerank_dangling": _q_pagerank_dangling,
         "min_vertex_cover": _q_min_vertex_cover,
         "degeneracy_order": _q_degeneracy_order,
@@ -3031,6 +3084,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_match": _GIE_MATCH_SQL,
         "gie_predicates": _GIE_PREDICATES_SQL,
         "gie_element_map": _GIE_ELEMENT_MAP_SQL,
+        "gie_edge_expand": _GIE_EDGE_EXPAND_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,

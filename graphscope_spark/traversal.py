@@ -228,6 +228,85 @@ class Traversal:
     def both(self, edge_label: str | None = None) -> "Traversal":
         return self._hop(edge_label, "both")
 
+    def _edge_hop(self, edge_label: str | None, direction: str) -> "MidEdgeTraversal":
+        """Shared body of outE/inE/bothE (reference Expand inventory,
+        docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95):
+        traversers become INCIDENT EDGES, carrying every edge property
+        column plus the path (``p_*``) columns, so edge-property filters
+        (``has``) and endpoint moves (``outV/inV/otherV/bothV``) compose.
+        ``_dir`` records which endpoint we arrived from — what otherV needs."""
+        carried = [c for c in self.frame.columns if c != "v"]
+
+        def _cands(end: int):
+            return [
+                k
+                for k in self.pg.edges
+                if (edge_label is None or k[1] == edge_label)
+                and (self.head_label is None or k[end] == self.head_label)
+            ]
+
+        want_out = direction in ("out", "both")
+        want_in = direction in ("in", "both")
+        out_c = _cands(0) if want_out else []
+        in_c = _cands(2) if want_in else []
+        if not out_c and not in_c:
+            raise ValueError(
+                f"no edge triple matches label={edge_label!r} from "
+                f"{self.head_label!r} ({direction})"
+            )
+        if len(out_c) > 1 or len(in_c) > 1:
+            raise ValueError(
+                f"ambiguous edge label {edge_label!r}: {out_c + in_c} — name it"
+            )
+        frames, trips = [], []
+        if out_c:
+            e = self.pg.edges[out_c[0]]
+            props = [c for c in e.columns if c not in ("src", "dst")]
+            frames.append(
+                self.frame.join(e, self.frame["v"] == e["src"]).select(
+                    "src", "dst", *props, F.lit("out").alias("_dir"), *carried
+                )
+            )
+            trips.append(out_c[0])
+        if in_c:
+            e = self.pg.edges[in_c[0]]
+            props = [c for c in e.columns if c not in ("src", "dst")]
+            frames.append(
+                self.frame.join(e, self.frame["v"] == e["dst"]).select(
+                    "src", "dst", *props, F.lit("in").alias("_dir"), *carried
+                )
+            )
+            trips.append(in_c[0])
+        if len(frames) == 2 and set(frames[0].columns) != set(frames[1].columns):
+            # label-asymmetric bothE over triples with different prop sets:
+            # keep the shared columns (src/dst/_dir/path always survive)
+            shared = [c for c in frames[0].columns if c in set(frames[1].columns)]
+            frames = [f.select(*shared) for f in frames]
+        frame = frames[0]
+        for f in frames[1:]:
+            frame = frame.unionByName(f)
+        out_trip = trips[0] if out_c else None
+        in_trip = trips[-1] if in_c else None
+        return MidEdgeTraversal(
+            pg=self.pg,
+            frame=frame,
+            out_trip=out_trip,
+            in_trip=in_trip,
+            aliases=self.aliases,
+        )
+
+    def out_e(self, edge_label: str | None = None) -> "MidEdgeTraversal":
+        """``outE('links')`` — map each head to its outgoing incident edges."""
+        return self._edge_hop(edge_label, "out")
+
+    def in_e(self, edge_label: str | None = None) -> "MidEdgeTraversal":
+        """``inE('links')`` — map each head to its incoming incident edges."""
+        return self._edge_hop(edge_label, "in")
+
+    def both_e(self, edge_label: str | None = None) -> "MidEdgeTraversal":
+        """``bothE('links')`` — incident edges in either direction."""
+        return self._edge_hop(edge_label, "both")
+
     def path_expand(
         self, lo: int, hi: int, edge_label: str | None = None
     ) -> "Traversal":
@@ -611,6 +690,112 @@ def traversal(pg: PropertyGraph, vertex_label: str | None = None) -> Traversal:
 
 
 @dataclass(frozen=True)
+class MidEdgeTraversal:
+    """Mid-chain edge traversers produced by ``outE``/``inE``/``bothE``
+    (reference docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95).
+    ``frame`` carries (src, dst, <edge props…>, _dir, <p_* path columns>);
+    ``_dir`` ∈ {'out','in'} marks which endpoint the traverser arrived from,
+    which is exactly the path history ``otherV()`` consults. Endpoint moves
+    return vertex Traversals that keep the path columns, so ``as_``/``select``
+    compose across the edge detour."""
+
+    pg: PropertyGraph
+    frame: DataFrame
+    out_trip: tuple | None  # triple matched in the out direction
+    in_trip: tuple | None  # triple matched in the in direction
+    aliases: tuple = ()
+
+    def _prop_col(self, prop: str) -> str:
+        props = [
+            c
+            for c in self.frame.columns
+            if c not in ("src", "dst", "_dir") and not c.startswith("p_")
+        ]
+        if prop not in props:
+            raise ValueError(f"unknown edge property {prop!r}; have {props}")
+        return prop
+
+    def has(self, prop: str, value=Traversal._HAS_MISSING) -> "MidEdgeTraversal":
+        """``outE().has('weight', P.gt(10))`` — edge-property filter; the
+        full has() predicate vocabulary (existence / literal / P / TextP /
+        raw Column), one pushed Catalyst filter."""
+        c = F.col(self._prop_col(prop))
+        if value is Traversal._HAS_MISSING:
+            pred = c.isNotNull()
+        elif isinstance(value, _Pred):
+            pred = value(c)
+        elif isinstance(value, Column):
+            pred = value
+        else:
+            pred = c == F.lit(value)
+        return replace(self, frame=self.frame.where(pred))
+
+    def values(self, prop: str) -> DataFrame:
+        """Project an edge property — one row per edge traverser (bag)."""
+        return self.frame.select(self._prop_col(prop))
+
+    def _to_vertex(self, v_col: Column, label: str | None) -> Traversal:
+        carried = [c for c in self.frame.columns if c.startswith("p_")]
+        return Traversal(
+            pg=self.pg,
+            frame=self.frame.select(v_col.alias("v"), *carried),
+            head_label=label,
+            aliases=self.aliases,
+        )
+
+    def _endpoint_label(self, end: int) -> str | None:
+        lbls = {t[end] for t in (self.out_trip, self.in_trip) if t is not None}
+        return next(iter(lbls)) if len(lbls) == 1 else None
+
+    def out_v(self) -> Traversal:
+        """``outV()`` — the tail (source) endpoint of each edge traverser."""
+        return self._to_vertex(F.col("src"), self._endpoint_label(0))
+
+    def in_v(self) -> Traversal:
+        """``inV()`` — the head (destination) endpoint."""
+        return self._to_vertex(F.col("dst"), self._endpoint_label(2))
+
+    def other_v(self) -> Traversal:
+        """``otherV()`` — the endpoint NOT traversed from (path history);
+        ``bothE().otherV()`` ≡ ``both()``."""
+        if self.out_trip is not None and self.in_trip is not None:
+            lbl = (
+                self.out_trip[2]
+                if self.out_trip[2] == self.in_trip[0]
+                else None
+            )
+        elif self.out_trip is not None:
+            lbl = self.out_trip[2]
+        else:
+            lbl = self.in_trip[0]
+        v = F.when(F.col("_dir") == "out", F.col("dst")).otherwise(F.col("src"))
+        return self._to_vertex(v, lbl)
+
+    def both_v(self) -> Traversal:
+        """``bothV()`` — both endpoints (two vertex traversers per edge)."""
+        a, b = self.out_v(), self.in_v()
+        lbl = a.head_label if a.head_label == b.head_label else None
+        return Traversal(
+            pg=self.pg,
+            frame=a.frame.unionByName(b.frame),
+            head_label=lbl,
+            aliases=self.aliases,
+        )
+
+    def dedup(self) -> "MidEdgeTraversal":
+        return replace(self, frame=self.frame.distinct())
+
+    def limit(self, n: int) -> "MidEdgeTraversal":
+        return replace(self, frame=self.frame.limit(n))
+
+    def count(self) -> DataFrame:
+        return self.frame.agg(F.count("*").alias("count"))
+
+    def to_df(self) -> DataFrame:
+        return self.frame.drop("_dir")
+
+
+@dataclass(frozen=True)
 class EdgeTraversal:
     """``g.E()`` source (supported_gremlin_steps.md:25): traversers are
     edges — ``frame`` carries (src, dst, <edge props…>). ``out_v``/``in_v``
@@ -620,8 +805,18 @@ class EdgeTraversal:
     frame: DataFrame
     trip: tuple  # the (src_label, edge_label, dst_label) triple
 
-    def has(self, prop: str, value) -> "EdgeTraversal":
-        pred = value if isinstance(value, Column) else (F.col(prop) == F.lit(value))
+    def has(self, prop: str, value=Traversal._HAS_MISSING) -> "EdgeTraversal":
+        """Edge-property filter — same predicate vocabulary as the vertex
+        ``has`` (existence / literal / P / TextP / raw Column)."""
+        c = F.col(prop)
+        if value is Traversal._HAS_MISSING:
+            pred = c.isNotNull()
+        elif isinstance(value, _Pred):
+            pred = value(c)
+        elif isinstance(value, Column):
+            pred = value
+        else:
+            pred = c == F.lit(value)
         return replace(self, frame=self.frame.where(pred))
 
     def out_v(self) -> Traversal:

@@ -21,7 +21,8 @@ def pg(spark):
         [(10, "x"), (11, "y"), (12, "z")], "vid long, topic string"
     )
     knows = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src long, dst long"
+        [(1, 2, 2020), (2, 3, 2021), (3, 1, 2019), (1, 3, 2022), (4, 1, 2020)],
+        "src long, dst long, since long",
     )
     wrote = spark.createDataFrame(
         [(1, 10), (2, 11), (2, 12)], "src long, dst long"
@@ -150,6 +151,76 @@ def test_edge_source(pg):
         for (r,) in edge_traversal(pg, "wrote").in_v().dedup().to_df().collect()
     )
     assert writers == [10, 11, 12]
+
+
+def test_out_e_has_other_v(pg):
+    """outE().has(prop, P).otherV(): edge-property filter mid-chain, then
+    the not-traversed-from endpoint (== inV for outE)."""
+    from graphscope_spark.traversal import P
+
+    t = (
+        traversal(pg, "person")
+        .has("name", "ann")
+        .out_e("knows")
+        .has("since", P.gte(2021))
+        .other_v()
+    )
+    assert t.head_label == "person"
+    assert sorted(r["v"] for r in t.to_df().collect()) == [3]  # only 1→3 (2022)
+    # existence form and values projection
+    ys = sorted(
+        r["since"]
+        for r in traversal(pg, "person").out_e("knows").has("since").values("since").collect()
+    )
+    assert ys == [2019, 2020, 2020, 2021, 2022]
+
+
+def test_both_e_other_v_equals_both(pg):
+    """bothE().otherV() ≡ both() — same bag of heads (reference
+    supported_gremlin_steps.md otherV example)."""
+    via_edges = sorted(
+        r["v"] for r in traversal(pg, "person").both_e("knows").other_v().to_df().collect()
+    )
+    direct = sorted(
+        r["v"] for r in traversal(pg, "person").both("knows").to_df().collect()
+    )
+    assert via_edges == direct
+
+
+def test_in_e_out_v_and_both_v(pg):
+    """inE().outV() ≡ in_(); bothV() emits both endpoints per edge."""
+    via_edges = sorted(
+        r["v"] for r in traversal(pg, "post").in_e("wrote").out_v().to_df().collect()
+    )
+    direct = sorted(r["v"] for r in traversal(pg, "post").in_("wrote").to_df().collect())
+    assert via_edges == direct == [1, 2, 2]
+    bv = sorted(
+        r["v"]
+        for r in traversal(pg, "person")
+        .has("name", "ann")
+        .out_e("wrote")
+        .both_v()
+        .to_df()
+        .collect()
+    )
+    assert bv == [1, 10]  # ann -wrote-> post 10: both endpoints
+
+
+def test_edge_hop_carries_path(pg):
+    """as_('a') before an edge detour survives to the endpoint traversal."""
+    t = (
+        traversal(pg, "person")
+        .as_("a")
+        .out_e("knows")
+        .other_v()
+        .as_("b")
+    )
+    rows = sorted((r["a"], r["b"]) for r in t.select("a", "b").collect())
+    assert rows == [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1)]
+    # cross-label labels resolve: person -wrote-> post flips endpoint labels
+    te = traversal(pg, "person").out_e("wrote")
+    assert te.in_v().head_label == "post"
+    assert te.out_v().head_label == "person"
 
 
 def test_union_step(pg):
