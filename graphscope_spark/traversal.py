@@ -621,6 +621,91 @@ class Traversal:
             F.sort_array(F.collect_list(val)).alias("values")
         )
 
+    def fold(self) -> "FoldedTraversal":
+        """``fold()`` (reference supported_gremlin_steps.md Aggregate
+        section): barrier — collect the traverser bag into ONE list
+        traverser. Spark rendering: a single-row sorted array (sorted so
+        the fold is deterministic at any parallelism)."""
+        return FoldedTraversal(
+            pg=self.pg,
+            frame=self.frame.agg(F.sort_array(F.collect_list("v")).alias("folded")),
+            head_label=self.head_label,
+        )
+
+    def path(self) -> DataFrame:
+        """``path()`` (reference lists it under To-be-Supported,
+        supported_gremlin_steps.md:934): the traverser's path history as an
+        array column over the LABELED steps (``as_`` aliases, in binding
+        order) plus the current head — the relational rendering of GIE's
+        path, which materializes the same alias columns."""
+        cols = [F.col(f"p_{n}") for n, _ in self.aliases] + [F.col("v")]
+        return self.frame.select(F.array(*cols).alias("path"))
+
+    def coalesce_(self, *branches) -> "Traversal":
+        """``coalesce(b1, b2, ...)`` — per start traverser, the first branch
+        that yields any traverser wins; later branches only fire for
+        traversers every earlier branch missed. Each branch is a function
+        Traversal -> Traversal. Spark shape: tag each start traverser with a
+        row id, run every branch from the tagged frame, anti-join branch k's
+        starts against branches 1..k-1's matched tags, union — set algebra,
+        no per-traverser control flow."""
+        if not branches:
+            raise ValueError("coalesce needs at least one branch")
+        tagged = replace(
+            self, frame=self.frame.withColumn("_tid", F.monotonically_increasing_id())
+        )
+        outs = []
+        matched: DataFrame | None = None
+        lbls = set()
+        for fn in branches:
+            src = tagged
+            if matched is not None:
+                src = replace(
+                    tagged,
+                    frame=tagged.frame.join(matched, "_tid", "anti"),
+                )
+            res = fn(src)
+            outs.append(res.frame)
+            lbls.add(res.head_label)
+            got = res.frame.select("_tid").distinct()
+            matched = got if matched is None else matched.unionByName(got).distinct()
+        out = outs[0]
+        for f in outs[1:]:
+            if set(f.columns) != set(out.columns):
+                raise ValueError("coalesce branches carry different columns")
+            out = out.unionByName(f)
+        return replace(
+            self,
+            frame=out.drop("_tid"),
+            head_label=next(iter(lbls)) if len(lbls) == 1 else None,
+        )
+
+    def optional(self, branch) -> "Traversal":
+        """``optional(step)`` = coalesce(step, identity): traversers the
+        branch misses pass through unchanged."""
+        return self.coalesce_(branch, lambda t: t)
+
+    def to_df(self) -> DataFrame:
+        return self.frame
+
+
+@dataclass(frozen=True)
+class FoldedTraversal:
+    """The list traverser ``fold()`` produces: one row, one array column."""
+
+    pg: PropertyGraph
+    frame: DataFrame
+    head_label: str | None
+
+    def unfold(self) -> Traversal:
+        """``unfold()`` — explode the list back into a linear bag
+        (reference To-be-Supported, supported_gremlin_steps.md:941)."""
+        return Traversal(
+            pg=self.pg,
+            frame=self.frame.select(F.explode("folded").alias("v")),
+            head_label=self.head_label,
+        )
+
     def to_df(self) -> DataFrame:
         return self.frame
 

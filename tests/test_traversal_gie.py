@@ -223,6 +223,44 @@ def test_edge_hop_carries_path(pg):
     assert te.out_v().head_label == "person"
 
 
+def test_fold_unfold_path(pg):
+    """fold() barriers the bag into one list; unfold() restores it;
+    path() projects the labeled history + head."""
+    folded = traversal(pg, "person").fold().to_df().collect()
+    assert folded[0]["folded"] == [1, 2, 3, 4]
+    back = sorted(
+        r["v"] for r in traversal(pg, "person").fold().unfold().to_df().collect()
+    )
+    assert back == [1, 2, 3, 4]
+    paths = sorted(
+        tuple(r["path"])
+        for r in traversal(pg, "person").as_("a").out("knows").as_("b").path().collect()
+    )
+    assert paths == [(1, 2, 2), (1, 3, 3), (2, 3, 3), (3, 1, 1), (4, 1, 1)]
+
+
+def test_coalesce_optional(pg):
+    """coalesce: first branch with results wins per start traverser;
+    optional passes misses through unchanged."""
+    # person-wrote: only ann(1), bob(2) wrote; cat/dan fall to branch 2
+    t = traversal(pg, "person").coalesce_(
+        lambda s: s.out("wrote"), lambda s: s.identity()
+    )
+    got = sorted(r["v"] for r in t.to_df().collect())
+    assert got == [3, 4, 10, 11, 12]  # writers' posts + non-writers themselves
+    # optional == coalesce(branch, identity)
+    opt = sorted(
+        r["v"] for r in traversal(pg, "person").optional(lambda s: s.out("wrote")).to_df().collect()
+    )
+    assert opt == got
+    # single-branch coalesce == the branch itself
+    one = sorted(
+        r["v"]
+        for r in traversal(pg, "person").coalesce_(lambda s: s.out("wrote")).to_df().collect()
+    )
+    assert one == [10, 11, 12]
+
+
 def test_union_step(pg):
     a = traversal(pg, "person").has("name", "ann").out("knows")
     b = traversal(pg, "person").has("name", "dan").out("knows")
