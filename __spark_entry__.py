@@ -2652,6 +2652,44 @@ def _q_lang_id(spark, sf_dir):
     )
 
 
+def _q_tfidf(spark, sf_dir):
+    """tf-idf keyword extraction (datapipe.tfidf_top_terms): top-3 terms
+    per document by tf·ln(N/df), ties by term asc — the canonical
+    explode→aggregate→dictionary-join→window plan, zero Python."""
+    from graphscope_spark.datapipe import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), top_k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        "tf",
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * ln(CAST(n.n AS DOUBLE) / d.df) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * ln(CAST(n.n AS DOUBLE) / d.df) DESC, t.term ASC
+         ) AS rnk
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def _q_token_counts(spark, sf_dir):
     from graphscope_spark.datapipe import token_counts
 
@@ -2983,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
+        "tfidf_top_terms": _q_tfidf,
         "quality_scores": _q_quality,
         "fingerprints": _q_fingerprints,
         "curation_pipeline": _q_curation_pipeline,
@@ -3192,6 +3231,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _emb_neardup_sql(0.4),
         "lang_id": _lang_id_sql(),
         "token_counts": _TOKEN_COUNTS_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
         "quality_scores": _QUALITY_SQL,
         "fingerprints": _FINGERPRINT_SQL,
         "multimodal_features": _MM_FEATURES_SQL,

@@ -34,6 +34,7 @@ from graphscope_spark.datapipe.textstats import (
     quality_scores,
     lang_id,
     fingerprints,
+    tfidf_top_terms,
 )
 
 __all__ = [
@@ -52,4 +53,5 @@ __all__ = [
     "quality_scores",
     "lang_id",
     "fingerprints",
+    "tfidf_top_terms",
 ]

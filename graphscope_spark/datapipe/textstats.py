@@ -113,6 +113,46 @@ def quality_scores(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, score, rank) — the ``top_k`` characteristic terms
+    per document by tf·idf, idf = ln(N / df), ties broken by term asc.
+
+    Scale shape (the canonical 100-TB keyword-extraction plan):
+    one token explode → (doc, term) count with map-side partial aggregation,
+    term document frequencies from the SAME aggregate (no second pass over
+    text), idf joined back on the term dictionary — orders of magnitude
+    smaller than the corpus, so AQE broadcasts it — and the per-doc top-k is
+    a window over doc_id, which co-partitions with the tf aggregate's
+    shuffle. Zero Python; everything whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def fingerprints(
     docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
