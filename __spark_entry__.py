@@ -1676,6 +1676,58 @@ def _q_graph_report(spark, sf_dir):
     )
 
 
+def _q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (pagerank(weight_col=...), NetworkX
+    pagerank(weight=...) semantics as the reference's nx layer exposes):
+    rank distributes proportionally to the positive edge weight
+    (src*7+dst)%100+1; 10 rounds, tol=0, vs the unrolled weighted-power-
+    iteration SQL."""
+    from graphscope_spark.algorithms import pagerank
+
+    docs = _docs(spark, sf_dir)
+    vertices = docs.select(F.col("doc_id").cast("long").alias("vid"))
+    edges = (
+        edges_from_documents(spark, sf_dir)
+        .withColumn(
+            "ew", ((F.col("src") * 7 + F.col("dst")) % 100 + 1).cast("double")
+        )
+        .repartition(NUM_PARTITIONS, F.pmod(F.col("src"), F.lit(NUM_PARTITIONS)))
+    )
+    g = LinkGraph(vertices=vertices, edges=edges, num_partitions=NUM_PARTITIONS)
+    res = pagerank(g, alpha=0.85, max_rounds=10, tol=0.0, weight_col="ew")
+    return res.state.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_weighted_sql(rounds: int, alpha: float) -> str:
+    """Unrolled WEIGHTED power iteration mirroring pagerank(weight_col=...):
+    contribution r*w/Σw(src), same dangling redistribution."""
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "pe AS (SELECT src, dst, CAST((src * 7 + dst) % 100 + 1 AS DOUBLE) AS w FROM edges),",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM verts),",
+        "osum AS (SELECT src, SUM(w) AS d FROM pe GROUP BY src),",
+        "r0 AS (SELECT vid, 1.0 / (SELECT c FROM n) AS r FROM verts),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""m{k} AS (
+  SELECT e.dst AS vid, SUM(p.r * e.w / o.d) AS s
+  FROM r{k} p JOIN osum o ON o.src = p.vid JOIN pe e ON e.src = p.vid
+  GROUP BY e.dst),
+dm{k} AS (
+  SELECT COALESCE(SUM(p.r), 0.0) AS mass
+  FROM r{k} p LEFT JOIN osum o ON o.src = p.vid WHERE o.src IS NULL),
+r{k + 1} AS (
+  SELECT v.vid,
+         (1.0 - {alpha}) / (SELECT c FROM n)
+         + {alpha} * COALESCE(m.s, 0.0)
+         + {alpha} * (SELECT mass FROM dm{k}) / (SELECT c FROM n) AS r
+  FROM verts v LEFT JOIN m{k} m ON m.vid = v.vid),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT vid, ROUND(r, 6) AS rank FROM r{rounds}"
+
+
 def _q_pagerank(spark, sf_dir):
     from graphscope_spark.algorithms import pagerank
 
@@ -1842,6 +1894,47 @@ def _q_gie_element_map(spark, sf_dir):
     return t.element_map("lang", "n_chars").select(
         "id", "label", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+def _q_host_graph(spark, sf_dir):
+    """Host-graph rollup (extract.host_graph): the url→url edge graph
+    collapsed to host→host with link counts — the Common-Crawl host-graph
+    artifact. Urls synthesized deterministically from the documents edge
+    table (site id = doc_id² mod 40, mirroring the corpus's quadratic
+    host map) so the DuckDB oracle derives the identical graph."""
+    from graphscope_spark.extract import host_graph
+    from graphscope_spark.graph import edges_from_documents
+
+    def u(c):
+        return F.concat(
+            F.lit("http://site"),
+            ((c * c) % 40).cast("string"),
+            F.lit(".test/p"),
+            c.cast("string"),
+        )
+
+    e = edges_from_documents(spark, sf_dir)
+    edges = e.select(u(F.col("src")).alias("src_url"), u(F.col("dst")).alias("dst_url"))
+    return host_graph(edges).select(
+        "src_host", "dst_host", F.col("n_links").cast("long").alias("n_links")
+    )
+
+
+_HOST_GRAPH_SQL = f"""
+WITH edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
+u AS (
+  SELECT 'http://site' || CAST((src * src) % 40 AS VARCHAR) || '.test/p' || CAST(src AS VARCHAR) AS src_url,
+         'http://site' || CAST((dst * dst) % 40 AS VARCHAR) || '.test/p' || CAST(dst AS VARCHAR) AS dst_url
+  FROM edges
+),
+h AS (
+  SELECT lower(regexp_extract(src_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
+         lower(regexp_extract(dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host
+  FROM u
+)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM h GROUP BY src_host, dst_host
+"""
 
 
 def _q_gie_edge_expand(spark, sf_dir):
@@ -2936,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- bench-headline first. Slots 51+ are all r2/r3-green and
         # ---- re-checked by the full local matrix (BENCH/GATE_FULL_r4.json).
         "pagerank": _q_pagerank,
+        "pagerank_weighted": _q_pagerank_weighted,
         "wcc": _q_wcc,
         "cdlp": _q_cdlp,
         "triangles": _q_triangles,
@@ -2947,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_predicates": _q_gie_predicates,
         "gie_element_map": _q_gie_element_map,
         "gie_edge_expand": _q_gie_edge_expand,
+        "host_graph": _q_host_graph,
         "pagerank_dangling": _q_pagerank_dangling,
         "min_vertex_cover": _q_min_vertex_cover,
         "degeneracy_order": _q_degeneracy_order,
@@ -3111,6 +3206,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "graph_degrees": _DEGREES_SQL,
         "graph_report": _GRAPH_REPORT_SQL,
         "pagerank": _pagerank_sql(10, 0.85),
+        "pagerank_weighted": _pagerank_weighted_sql(10, 0.85),
         "pagerank_dangling": _pagerank_sql(12, 0.85, "WHERE src % 13 <> 12"),
         "wcc": _WCC_SQL,
         "wcc_log": _WCC_SQL,
@@ -3124,6 +3220,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_predicates": _GIE_PREDICATES_SQL,
         "gie_element_map": _GIE_ELEMENT_MAP_SQL,
         "gie_edge_expand": _GIE_EDGE_EXPAND_SQL,
+        "host_graph": _HOST_GRAPH_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,

@@ -48,12 +48,19 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     fused_rounds: int = 1,
+    weight_col: str | None = None,
 ) -> BSPResult:
     """Returns BSPResult whose state is (vid, rank).
 
     ``fused_rounds=k`` runs k power-iteration rounds per Spark job (see
     module docstring); ``max_rounds`` is still counted in supersteps and is
-    rounded UP to a multiple of k."""
+    rounded UP to a multiple of k.
+
+    ``weight_col``: name of a POSITIVE edge-weight column on ``graph.edges``
+    — rank then distributes proportionally to weight (NetworkX
+    ``pagerank(weight=...)`` semantics; the reference's nx layer exposes the
+    same knob). Dangling detection is unchanged (a vertex with any out-edge
+    is non-dangling), which is exact for positive weights."""
     spark = graph.vertices.sparkSession
     P = graph.num_partitions
     verts = graph.vertices.select("vid")
@@ -67,12 +74,16 @@ def pagerank(
     # broadcast, Catalyst shuffles only the small state — never the edges.
     # (When the state fits the broadcast threshold, AQE picks a broadcast
     # join and the edges are streamed from cache with no exchange at all.)
-    ew = (
-        graph.edges.join(out_deg.withColumnRenamed("vid", "src"), "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .repartition(F.col("src"))
-        .persist()
-    )
+    if weight_col is None:
+        ew = graph.edges.join(
+            out_deg.withColumnRenamed("vid", "src"), "src"
+        ).select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+    else:
+        wsum = graph.edges.groupBy("src").agg(F.sum(weight_col).alias("_wsum"))
+        ew = graph.edges.join(wsum, "src").select(
+            "src", "dst", (F.col(weight_col) / F.col("_wsum")).alias("w")
+        )
+    ew = ew.repartition(F.col("src")).persist()
     ew.count()
 
     state0 = (

@@ -117,6 +117,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ]
+)
+
+_DEDUP_STATE = T.StructType([T.StructField("keeper", T.LongType())])
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming EXACT DEDUP: emit each distinct content hash once — on
+    first arrival — and silently drop every later duplicate, across
+    microbatches. The streaming twin of ``datapipe.exact_dedup``: a crawl
+    pipeline dedups continuously as pages land, not in a nightly batch.
+
+    State = one long per distinct hash (the keeper's doc id), keyed and
+    sharded by content_hash exactly like a keyed aggregation — at 10^10
+    distinct documents the state store is ~80 GB across the cluster, the
+    same order as the batch job's shuffle. Within the first microbatch that
+    contains a hash, the min doc id wins (deterministic); later batches
+    find state set and emit nothing.
+
+    On a BATCH DataFrame it degrades to groupBy(hash).min(id) — the same
+    batch/stream parity contract as the other streaming ops."""
+    hashed = docs.select(
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    if not docs.isStreaming:
+        return hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            return  # hash already emitted in an earlier microbatch — drop
+        best = None
+        for pdf in pdfs:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        state.update((best,))
+        yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [best]})
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint: str, mode: str = "complete"
 ):

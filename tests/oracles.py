@@ -125,3 +125,34 @@ def triangles_oracle(
                 tri[v] += 1
                 tri[w] += 1
     return dict(tri)
+
+
+def pagerank_weighted_oracle(
+    edges_w: list[tuple[int, int, float]],
+    vertices: set[int],
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_rounds: int = 100,
+) -> dict[int, float]:
+    """Weighted power iteration: contribution r(u)*w(u,v)/Σw(u,·); dangling
+    = no out-edges (positive weights). NetworkX pagerank(weight=...)
+    semantics, as the reference's nx layer exposes."""
+    n = len(vertices)
+    wsum = Counter()
+    in_nbrs = defaultdict(list)
+    for s, d, w in edges_w:
+        wsum[s] += w
+        in_nbrs[d].append((s, w))
+    r = {v: 1.0 / n for v in vertices}
+    for _ in range(max_rounds):
+        dangling = sum(r[v] for v in vertices if wsum[v] == 0)
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        nr = {}
+        for v in vertices:
+            s = sum(r[u] * w / wsum[u] for u, w in in_nbrs[v])
+            nr[v] = base + alpha * s
+        delta = sum(abs(nr[v] - r[v]) for v in vertices)
+        r = nr
+        if delta < n * tol:
+            break
+    return r

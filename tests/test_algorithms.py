@@ -142,3 +142,43 @@ def test_corpus_wcc_and_triangles(spark, corpus_graph):
     assert got_wcc == wcc_oracle(edges, verts)
     got_tri = _collect_map(triangles(corpus_graph), "vid", "tri")
     assert got_tri == triangles_oracle(edges, verts)
+
+
+def test_pagerank_weighted(tiny_graph):
+    """weight_col: rank distributes proportional to edge weight; uniform
+    weights reproduce the unweighted result."""
+    from graphscope_spark.graph import LinkGraph
+    from pyspark.sql import functions as F
+    from tests.oracles import pagerank_weighted_oracle
+
+    w_expr = (((F.col("src") + 2 * F.col("dst")) % 5) + 1).cast("double")
+    g_w = LinkGraph(
+        tiny_graph.vertices,
+        tiny_graph.edges.withColumn("ew", w_expr),
+        tiny_graph.num_partitions,
+    )
+    res = pagerank(g_w, alpha=0.85, tol=1e-10, max_rounds=100, weight_col="ew")
+    got = _collect_map(res.state, "vid", "rank")
+    want = pagerank_weighted_oracle(
+        [(s, d, float((s + 2 * d) % 5 + 1)) for s, d in TINY_EDGES],
+        TINY_VERTICES,
+        alpha=0.85,
+        tol=1e-10,
+    )
+    for v in want:
+        assert np.isclose(got[v], want[v], atol=1e-6), (v, got[v], want[v])
+    assert np.isclose(sum(got.values()), 1.0, atol=1e-9)
+    # uniform weights == unweighted
+    g_u = LinkGraph(
+        tiny_graph.vertices,
+        tiny_graph.edges.withColumn("ew", F.lit(3.0)),
+        tiny_graph.num_partitions,
+    )
+    a = _collect_map(
+        pagerank(g_u, alpha=0.85, tol=0.0, max_rounds=8, weight_col="ew").state,
+        "vid", "rank",
+    )
+    b = _collect_map(
+        pagerank(tiny_graph, alpha=0.85, tol=0.0, max_rounds=8).state, "vid", "rank"
+    )
+    assert all(np.isclose(a[v], b[v], atol=1e-12) for v in b)

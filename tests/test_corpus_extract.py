@@ -102,3 +102,49 @@ def test_corpus_graph_has_required_structure(corpus_graph):
     assert hot >= 1
     # self-loops exist
     assert edges.where("src = dst").count() > 0
+
+
+def test_host_graph_rollup(pages_small):
+    """host_graph: url→url edges collapse to host→host with conserved link
+    counts; hosts match the corpus's quadratic host map."""
+    from graphscope_spark.extract import host_graph
+
+    edges = edges_from_pages(pages_small)
+    hg = host_graph(edges).collect()
+    # link mass conserved: sum of n_links == number of url edges
+    assert sum(r["n_links"] for r in hg) == edges.count()
+    hosts = {r["src_host"] for r in hg} | {r["dst_host"] for r in hg}
+    # every host is siteK.test (K < H) or externalK.test (dangling targets)
+    for h in hosts:
+        assert h.endswith(".test")
+        assert h.startswith("site") or h.startswith("external")
+    site_ids = {int(h[4:-5]) for h in hosts if h.startswith("site")}
+    assert site_ids <= set(range(H))
+    # the quadratic host map only produces quadratic-residue host ids
+    assert site_ids == {(i * i) % H for i in range(N)}
+
+
+def test_extract_anchors_and_index(pages_small, spark):
+    """Anchor extraction: (normalized href, tag-stripped text) pairs match
+    the corpus construction; anchor_text_index aggregates inbound texts."""
+    from graphscope_spark.extract import anchor_text_index, extract_anchors_udf
+
+    row = (
+        pages_small.where(F.col("url").endswith("/p5"))
+        .select(extract_anchors_udf(F.col("url"), F.col("html")).alias("a"))
+        .collect()[0]
+    )
+    pairs = sorted((x["href"], x["text"]) for x in row["a"])
+    exp = sorted(
+        [
+            (corpus.url_of(1, N, H), "to 1"),  # parent+hub collapse (same pair)
+            (corpus.url_of(9, N, H), "to 9"),
+            (corpus.url_of(13, N, H), "to 13"),
+            (corpus.external_url(5), "ext"),  # 5 % 17 == 5
+        ]
+    )
+    assert pairs == exp
+    idx = anchor_text_index(pages_small)
+    hub = idx.where(F.col("url") == corpus.url_of(1, N, H)).collect()[0]
+    assert "to 1" in hub["anchor_texts"]
+    assert hub["n_refs"] > 10  # every group-1 page carries the hub anchor

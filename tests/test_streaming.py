@@ -111,3 +111,46 @@ def test_streaming_stateful_running_totals_parity(spark, tmp_path):
     ).collect()
     assert max(r["c"] for r in per_user_rows) >= 2
     q.stop()
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """streaming_exact_dedup: each content hash is emitted exactly ONCE
+    across microbatches (first arrival wins); duplicates in later batches
+    are dropped by the per-hash state. Batch mode degrades to
+    groupBy(hash).min(id)."""
+    from graphscope_spark.streaming import streaming_exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    d = tmp_path / "docs_split"
+    # batch 0: the even half; batch 1: odd half PLUS a re-emission of the
+    # even half under shifted doc ids → every batch-1 duplicate must drop
+    docs.where("doc_id % 2 = 0").coalesce(1).write.parquet(str(d / "b0"))
+    dup = docs.where("doc_id % 2 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    docs.where("doc_id % 2 = 1").unionByName(dup).coalesce(1).write.parquet(str(d / "b1"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*/"))
+    )
+    q = run_available_now(
+        streaming_exact_dedup(stream),
+        "dedup_stream_test",
+        str(tmp_path / "ck_dedup"),
+        mode="update",
+    )
+    got = spark.sql("SELECT content_hash, doc_id FROM dedup_stream_test").collect()
+    # exactly once per distinct hash
+    n_distinct = docs.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    assert len(got) == n_distinct
+    assert len({r["content_hash"] for r in got}) == n_distinct
+    # no re-emitted duplicate (shifted ids) may win a hash that batch 0 saw:
+    # every emitted keeper must be an ORIGINAL doc id
+    assert all(r["doc_id"] < 1_000_000 for r in got)
+    # batch degradation equals the exact_dedup keep-min contract
+    b = streaming_exact_dedup(docs)
+    assert b.count() == n_distinct
+    assert b.agg(F.min("doc_id")).collect()[0][0] == 0
+    q.stop()
