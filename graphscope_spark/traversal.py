@@ -646,14 +646,17 @@ class Traversal:
         that yields any traverser wins; later branches only fire for
         traversers every earlier branch missed. Each branch is a function
         Traversal -> Traversal. Spark shape: tag each start traverser with a
-        row id, run every branch from the tagged frame, anti-join branch k's
-        starts against branches 1..k-1's matched tags, union — set algebra,
-        no per-traverser control flow."""
+        content hash of its record, run every branch from the tagged frame,
+        anti-join branch k's starts against branches 1..k-1's matched tags,
+        union — set algebra, no per-traverser control flow. The tag is a
+        CONTENT hash (not monotonically_increasing_id, whose values can
+        shift between re-evaluations of the same plan): identical traverser
+        records always take identical branches, so collapsing them onto one
+        tag for the anti-join preserves bag semantics exactly."""
         if not branches:
             raise ValueError("coalesce needs at least one branch")
-        tagged = replace(
-            self, frame=self.frame.withColumn("_tid", F.monotonically_increasing_id())
-        )
+        tag = F.xxhash64(*[F.col(c) for c in self.frame.columns])
+        tagged = replace(self, frame=self.frame.withColumn("_tid", tag))
         outs = []
         matched: DataFrame | None = None
         lbls = set()
