@@ -36,6 +36,9 @@ PICKS = {
     "gie_traversal": "GIE-lite has→out→groupCount — the lang filter pushes into the vertex-side scan; hops are plain equi-joins",
     "gie_match": "Gremlin match — conjunctive 3-pattern = one multi-way equi-join chain Catalyst/AQE reorders freely",
     "multimodal_features": "image decode — ONE Arrow-batched mapInPandas over the scan, no shuffle",
+    "tfidf_top_terms": "tf-idf top-k — explode → partial-agg tf, df from the same aggregate, idf dictionary join, window co-partitioned with the tf shuffle",
+    "host_graph": "host-graph rollup — codegen regexp host extraction + map-side partial counts; the rollup itself adds one groupBy exchange over the shared edge-table derivation (graph_edges alone shows 2)",
+    "gie_edge_expand": "Gremlin bothE/otherV — edge-property filter pushed into both direction scans, union of two equi-joins",
 }
 
 MAX_TREE_LINES = 90  # subgraph-census trees run to ~800 nodes; keep the head
@@ -126,6 +129,17 @@ directly (tools/check_gate timings + controlled warm-process A/Bs):
   correction-wave/peel depth is pure barrier floor for a graph that fits
   in memory; at cluster scale the distributed loop is the only path and
   its per-round work is frontier-sized.
+* **bcc** (12.6 s in BENCH_r04's suite at sf0.1) — three chained
+  iterative phases, each one-job-per-round: BFS forest (rounds = forest
+  depth), level-synchronous LCA climb of every non-tree edge (rounds =
+  forest depth; emits (non-tree, tree) cover pairs), then alternating
+  min-label propagation over the bipartite cover graph (rounds = cycle-
+  chain diameter). ~3x a single BSP kernel's round count is inherent to
+  the block-decomposition semantics, not a plan defect: every round is a
+  keyed join + partial-aggregated min with the same truncate-fusion as
+  wcc, and the emitted cover volume (O(m*depth), depth O(log n) on web
+  graphs) is the dominant distributed cost — which scales, unlike a
+  driver-side Tarjan low-link pass, which doesn't exist at 10^11 edges.
 """
 
 
