@@ -2453,6 +2453,54 @@ def _q_kclique4(spark, sf_dir):
     return kclique4_count(_graph(spark, sf_dir))
 
 
+def _q_kclique5(spark, sf_dir):
+    """General-k clique counter at k=5 (subgraph.kclique_count — the
+    reference's k-clique.h general recursion), on the doc link graph
+    enriched with per-bucket cliques (all pairs within doc_id DIV 8) so
+    the count is non-trivial; oracle = independent 10-way canonical edge
+    self-join in DuckDB."""
+    from graphscope_spark.algorithms.subgraph import kclique_count
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("vid"))
+    links = edges_from_documents(spark, sf_dir)
+    b1 = docs.select(F.col("vid").alias("src"), F.expr("vid DIV 8").alias("bk"))
+    b2 = docs.select(F.col("vid").alias("dst"), F.expr("vid DIV 8").alias("bk"))
+    bucket = b1.join(b2, "bk").where(F.col("src") < F.col("dst")).select("src", "dst")
+    edges = (
+        links.select("src", "dst")
+        .unionByName(bucket)
+        .distinct()
+        .repartition(NUM_PARTITIONS, F.pmod(F.col("src"), F.lit(NUM_PARTITIONS)))
+    )
+    g = LinkGraph(vertices=docs, edges=edges, num_partitions=NUM_PARTITIONS)
+    return kclique_count(g, k=5)
+
+
+_KCLIQUE5_SQL = f"""
+WITH edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
+bucket AS (
+  SELECT CAST(d1.doc_id AS BIGINT) AS src, CAST(d2.doc_id AS BIGINT) AS dst
+  FROM documents d1 JOIN documents d2
+    ON CAST(d1.doc_id AS BIGINT) // 8 = CAST(d2.doc_id AS BIGINT) // 8
+   AND CAST(d1.doc_id AS BIGINT) < CAST(d2.doc_id AS BIGINT)
+),
+alle AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM bucket),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM alle WHERE src <> dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS cliques5
+FROM e e1
+JOIN e e2  ON e2.a  = e1.a AND e2.b > e1.b
+JOIN e e3  ON e3.a  = e1.b AND e3.b = e2.b
+JOIN e e4  ON e4.a  = e1.a AND e4.b > e2.b
+JOIN e e5  ON e5.a  = e1.b AND e5.b = e4.b
+JOIN e e6  ON e6.a  = e2.b AND e6.b = e4.b
+JOIN e e7  ON e7.a  = e1.a AND e7.b > e4.b
+JOIN e e8  ON e8.a  = e1.b AND e8.b = e7.b
+JOIN e e9  ON e9.a  = e2.b AND e9.b = e7.b
+JOIN e e10 ON e10.a = e4.b AND e10.b = e7.b
+"""
+
+
 def _q_rectangles(spark, sf_dir):
     from graphscope_spark.algorithms.subgraph import rectangle_count
 
@@ -3096,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_edge_cover": _q_min_edge_cover,
         "min_dominating_set": _q_min_dominating_set,
         "kclique4": _q_kclique4,
+        "kclique5": _q_kclique5,
         "rectangles": _q_rectangles,
         "diamonds": _q_diamonds,
         "tailed_triangles": _q_tailed_triangles,
@@ -3280,6 +3329,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "degeneracy_order": _degeneracy_order_sql(130),
         "onion_layers": _onion_layers_sql(130),
         "kclique4": _KCLIQUE4_SQL,
+        "kclique5": _KCLIQUE5_SQL,
         "rectangles": _RECTANGLE_SQL,
         "min_vertex_cover": _min_cover_sql(10, 80),
         "diamonds": _DIAMOND_SQL,

@@ -82,6 +82,50 @@ def kclique4_count(graph: LinkGraph) -> DataFrame:
     return cnt
 
 
+def kclique_count(graph: LinkGraph, k: int = 4) -> DataFrame:
+    """One row (cliques<k> bigint) — the number of k-cliques, any k ≥ 3.
+
+    Reference semantics: `apps/flash/subgraph/k-clique.h:50-95` (the
+    GENERAL-k recursion; `kclique4_count` is the unrolled k=4 special
+    case). Iterative oriented extension: level j carries ``cands`` = the
+    sorted intersection of the oriented out-neighbourhoods of the j
+    members chosen so far; every next member comes from ``cands``, and
+    because the (deg,id) orientation is a DAG order, members enumerate in
+    strictly increasing orientation order — each clique is counted exactly
+    once from its orientation-minimal edge, no canonicalization join
+    needed. Fan-out per level is bounded by the O(√m) oriented out-degree
+    (the same hub-skew bound as the triangle kernel); the level-j frame
+    holds one row per (j+1)-clique candidate prefix, pruned by
+    ``|cands| ≥ k-j`` so dead branches die early."""
+    if k < 3:
+        raise ValueError("k-clique needs k >= 3")
+    from graphscope_spark.algorithms.triangles import _sorted_intersect
+
+    col = f"cliques{k}"
+    closed, oriented = _closed_triangles(graph, min_ws=k - 2)
+    P = graph.num_partitions
+    adj = sorted_adjacency(
+        oriented.select(F.col("u").alias("src"), F.col("v").alias("dst")), P
+    )
+    cur = closed.select(F.col("ws").alias("cands"))  # 2 members chosen
+    for j in range(2, k - 1):
+        need = k - (j + 1)  # members still missing after this extension
+        cur = (
+            cur.select("cands", F.explode("cands").alias("w"))
+            .join(
+                adj.select(F.col("src").alias("w"), F.col("nbrs").alias("nbrs_w")),
+                "w",
+            )
+            .select(_sorted_intersect("cands", "nbrs_w").alias("cands"))
+            .where(F.size("cands") >= need)
+        )
+    out = cur.agg(
+        F.coalesce(F.sum(F.size("cands")), F.lit(0)).cast("long").alias(col)
+    )
+    oriented.unpersist()
+    return out
+
+
 def rectangle_count(graph: LinkGraph) -> DataFrame:
     """One row (rectangles bigint) — the number of 4-cycles (C4)."""
     deg = graph.degrees()

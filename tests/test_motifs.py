@@ -125,3 +125,50 @@ def test_motifs_dense_directed(dense_directed):
     edges, g = dense_directed
     got, exp = _engine(g), _brute(edges)
     assert got == exp
+
+
+def test_kclique_general(spark, tiny_graph):
+    """kclique_count: K6 gives C(6,k); k=3 equals the triangle total;
+    k=4 equals the unrolled kclique4 kernel; random-graph brute check."""
+    from itertools import combinations
+    from math import comb
+
+    from graphscope_spark.algorithms import total_triangles
+    from graphscope_spark.algorithms.subgraph import kclique4_count, kclique_count
+
+    k6 = from_edge_df(
+        spark.createDataFrame(
+            [(u, v) for u in range(6) for v in range(6) if u < v],
+            "src long, dst long",
+        ),
+        num_partitions=4,
+    )
+    for k in (3, 4, 5, 6):
+        got = kclique_count(k6, k).collect()[0][f"cliques{k}"]
+        assert got == comb(6, k), (k, got)
+
+    assert (
+        kclique_count(tiny_graph, 3).collect()[0]["cliques3"]
+        == total_triangles(tiny_graph)
+    )
+    assert (
+        kclique_count(tiny_graph, 4).collect()[0]["cliques4"]
+        == kclique4_count(tiny_graph).collect()[0]["cliques4"]
+    )
+
+    rng = random.Random(7)
+    n = 24
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n) if rng.random() < 0.3]
+    g = from_edge_df(
+        spark.createDataFrame(edges, "src long, dst long"), num_partitions=4
+    )
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want5 = sum(
+        1
+        for c in combinations(range(n), 5)
+        if all(b in adj[a] for a, b in combinations(c, 2))
+    )
+    assert kclique_count(g, 5).collect()[0]["cliques5"] == want5
