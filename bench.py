@@ -106,6 +106,34 @@ def synthetic_web_graph(spark, n_vertices: int, n_edges: int, P: int) -> LinkGra
     return LinkGraph(vertices=vertices, edges=edges, num_partitions=P)
 
 
+def pagerank_convergence(spark, n_vertices: int, n_edges: int, P: int, tol=1e-6):
+    """The north metric's other half: PageRank WALL TIME TO CONVERGENCE at
+    tol (L1 delta < tol·N — the reference's stopping rule, which is what
+    'allclose 1e-6 per-vertex scores at convergence' is checked against).
+    Same web-like synthetic graph as wcc_convergence."""
+    from graphscope_spark.algorithms import pagerank
+
+    g = synthetic_web_graph(spark, n_vertices, n_edges, P)
+    g.edges = g.edges.persist()
+    e_count = g.edges.count()
+    g.vertices = g.vertices.persist()
+    g.vertices.count()
+    t0 = time.time()
+    res = pagerank(g, alpha=0.85, tol=tol, max_rounds=200)
+    res.state.count()
+    wall = time.time() - t0
+    g.edges.unpersist()
+    g.vertices.unpersist()
+    return {
+        "edges": e_count,
+        "tol": tol,
+        "supersteps": res.supersteps,
+        "converged": res.converged,
+        "wall_to_convergence_s": round(wall, 3),
+        "edges_per_sec_per_superstep": int(e_count * res.supersteps / wall),
+    }
+
+
 def wcc_convergence(spark, n_vertices: int, n_edges: int, P: int):
     """Time-to-convergence for WCC (min-label propagation with frontier) on
     the web-like synthetic graph — the north rule's second headline metric."""
@@ -219,6 +247,10 @@ def main():
         spark, n_vertices=scale_edges // 5, n_edges=scale_edges, P=2 * cpus
     )
     print(f"# pagerank_throughput: {thr}", file=sys.stderr)
+    pr_conv = pagerank_convergence(
+        spark, n_vertices=scale_edges // 5, n_edges=scale_edges, P=2 * cpus
+    )
+    print(f"# pagerank_convergence: {pr_conv}", file=sys.stderr)
     wcc_thr = wcc_convergence(
         spark, n_vertices=scale_edges // 5, n_edges=scale_edges, P=2 * cpus
     )
@@ -233,6 +265,7 @@ def main():
         "sf": sf,
         "cpus": cpus,
         "pagerank_scale": thr,
+        "pagerank_convergence": pr_conv,
         "wcc_scale": wcc_thr,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
