@@ -1054,10 +1054,18 @@ toks AS (
 
 
 def _minhash_sql(num_perm: int, bands: int, threshold: float) -> str:
-    from graphscope_spark.datapipe.hashing import base_hash32_sql, universal_hash_sql
+    from graphscope_spark.datapipe.hashing import (
+        base_hash32_sql,
+        portable_hash60_sql,
+        universal_hash_sql,
+    )
 
     rows = num_perm // bands
-    h0 = base_hash32_sql("shingle")
+    # shingles HASHED to 60-bit md5 longs (portable across engines); the
+    # signature base hash = the shingle hash's low 32 bits; the same
+    # distinct set feeds signatures AND the exact verify — mirrors
+    # datapipe.minhash_dedup_pairs exactly (both its modes produce this)
+    h0 = "(shingle % 4294967296)"
     sig_cols = ",\n    ".join(
         f"MIN({universal_hash_sql(h0, p)}) AS sig_{p}" for p in range(num_perm)
     )
@@ -1070,8 +1078,15 @@ def _minhash_sql(num_perm: int, bands: int, threshold: float) -> str:
             f"SELECT doc_id, {b} AS band, md5(CONCAT({key})) AS key FROM sig"
         )
     banded = " UNION ALL ".join(band_rows)
+    sh60 = portable_hash60_sql("substr(t, pos, 5)")
     return f"""
-WITH {_SQL_SHINGLES},
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t FROM documents),
+shpos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, GREATEST(length(t) - 4, 0))) AS pos
+  FROM d),
+shraw AS (SELECT doc_id, t, pos FROM shpos WHERE length(substr(t, pos, 5)) = 5),
+sh AS (SELECT DISTINCT doc_id, {sh60} AS shingle FROM shraw),
 sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
 banded AS ({banded}),
 cand AS (

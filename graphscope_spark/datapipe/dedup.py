@@ -49,43 +49,68 @@ def char_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     distinct: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """Lowercase character k-grams per doc: (doc_id, shingle), distinct by
-    default (set semantics, what Jaccard needs). Pure codegen:
-    explode(sequence(1, len-k+1)) → substring. ``distinct=False`` skips the
-    dedup EXCHANGE — a full shuffle of every shingle string — for consumers
+    default (set semantics, what Jaccard needs). ``distinct=False`` skips
+    the dedup EXCHANGE — a full shuffle of every shingle — for consumers
     that are duplicate-insensitive (MinHash: min over a multiset == min
-    over its set)."""
-    t = F.lower(F.col(text_col))
-    out = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            t.alias("t"),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(0)))
-            ).alias("pos"),
-        )
-        .select("doc_id", F.substring(F.col("t"), F.col("pos"), k).alias("shingle"))
-        .where(F.length("shingle") == k)
+    over its set). ``hashed=True`` emits the 60-bit md5 hash of each
+    shingle instead of the gram string: the distinct/set-intersection
+    exchanges then move 8-byte longs instead of k-char strings, with
+    the SAME values on the DuckDB side (portable md5 hash), so set sizes
+    and intersections stay bit-identical between the engines.
+
+    Shape note (measured): the obvious explode(positions)→substring plan
+    is QUADRATIC per document — Catalyst inlines the lower(text) alias
+    past the Generate, re-evaluating it per generated row, and Spark's
+    UTF8 substring itself walks O(pos) to the codepoint boundary (9.56 s
+    for 2,000×4,000-char docs vs 1.03 s for 20,000×400-char docs at EQUAL
+    total gram count; real web pages are 10–40 KB, so quadratic is a
+    scale-killer). Instead the whole overlapping gram array is built by
+    ONE expression evaluation per row — ``regexp_extract_all`` with a
+    lookahead capture ``(?s)(?=(.{k})).`` — and exploded: 2.32 s / 0.55 s
+    on the same two layouts, linear in document length, character-exact
+    vs the SQL oracle on any text."""
+    grams = F.regexp_extract_all(
+        F.lower(F.col(text_col)),
+        F.lit(rf"(?s)(?=(.{{{k}}}))."),
+        F.lit(1),
     )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    )
+    if hashed:
+        out = out.select("doc_id", portable_hash60(F.col("shingle")).alias("shingle"))
     return out.distinct() if distinct else out
 
 
 # -- MinHash + LSH ---------------------------------------------------------------
 
 
-def minhash_signatures(shingles: DataFrame, num_perm: int = 16) -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, num_perm: int = 16, hashed: bool = False
+) -> DataFrame:
     """(doc_id, sig_0..sig_{P-1}): per-permutation min of a universal-hash
-    family over ONE md5 base hash per shingle (P md5 calls per shingle were
+    family over ONE base hash per shingle (P md5 calls per shingle were
     the dominant signature cost — measured 16× ≈ 40 s at sf0.1). One
     groupBy, P partial-aggregated mins — shuffle is docs × P longs
-    regardless of shingle volume."""
-    hashed = shingles.select("doc_id", base_hash32(F.col("shingle")).alias("h0"))
+    regardless of shingle volume.
+
+    ``hashed=True``: the input carries 60-bit shingle hashes
+    (``char_shingles(hashed=True)``); the base hash is their low 32 bits —
+    no second md5, and the SAME distinct-hashed frame can feed both the
+    signature aggregate and the exact verify."""
+    if hashed:
+        h0 = (F.col("shingle") % F.lit(4294967296)).alias("h0")
+    else:
+        h0 = base_hash32(F.col("shingle")).alias("h0")
+    base = shingles.select("doc_id", h0)
     aggs = [
         F.min(universal_hash(F.col("h0"), p)).alias(f"sig_{p}")
         for p in range(num_perm)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -161,33 +186,41 @@ def minhash_dedup_pairs(
 
     Two physical strategies, identical results (``mode``):
 
-    * ``shared`` — distinct shingles computed ONCE (one full string
-      shuffle), cached, feeding both the signature aggregate and the exact
-      verify. Optimal while the shingle set fits comfortably in cluster
-      memory/shuffle: the work-sharing beats everything at small scale.
-    * ``scan``  — signatures from NON-distinct shingles (MinHash is
-      duplicate-insensitive: min over a multiset == min over its set), so
-      the only full-corpus shuffle is the partial-aggregated docs ×
-      num_perm LONGS; distinct set-shingles are then built only for the
-      docs the exact verify touches (semi-join on candidate ids). At 100 TB
-      this is the only viable plan — ``shared``'s distinct would exchange
-      every shingle STRING (≈ the corpus's text bytes) across the network.
+    Shingles are HASHED (60-bit md5 longs, mirrored exactly in the DuckDB
+    oracle) everywhere: distinct/set-intersection exchanges move 8-byte
+    longs, never shingle strings, and the signature base hash is the
+    shingle hash's low 32 bits — one md5 per shingle total.
+
+    Two physical strategies, identical results (``mode``):
+
+    * ``shared`` — ONE hashed-distinct pass feeds both the signature
+      aggregate and the exact verify (min over a set == min over the
+      multiset, so distinct-first loses nothing). Optimal while the hashed
+      shingle set fits cluster memory comfortably.
+    * ``scan``  — signatures from the NON-distinct hashed stream (no
+      full-corpus distinct anywhere: the only full-corpus shuffle is the
+      partial-aggregated docs × num_perm longs), then hashed-distinct
+      shingles built only for the docs the exact verify touches
+      (semi-join on candidate ids). The 100 TB plan — verify work is
+      proportional to candidates, not the corpus.
     * ``auto`` (default) — ``shared`` below 1M docs, ``scan`` above.
     """
     mode = mode if mode != "auto" else (
         "shared" if docs.count() <= 1_000_000 else "scan"
     )
     if mode == "shared":
-        sh = char_shingles(docs, k, id_col, text_col).persist()
+        sh = char_shingles(docs, k, id_col, text_col, hashed=True).persist()
         sh.count()
-        sig = minhash_signatures(sh, num_perm)
+        sig = minhash_signatures(sh, num_perm, hashed=True)
         cand = lsh_candidate_pairs(sig, num_perm, bands)
     else:
         # persist the (docs × num_perm longs) signature table: the band
         # bucket join references it on BOTH sides — uncached it would
         # re-run the shingle scan + hash twice
         sig = minhash_signatures(
-            char_shingles(docs, k, id_col, text_col, distinct=False), num_perm
+            char_shingles(docs, k, id_col, text_col, distinct=False, hashed=True),
+            num_perm,
+            hashed=True,
         ).persist()
         cand = lsh_candidate_pairs(sig, num_perm, bands).persist()
         cand.count()
@@ -198,7 +231,7 @@ def minhash_dedup_pairs(
             .distinct()
         )
         sh = char_shingles(
-            docs.join(cand_ids, id_col, "semi"), k, id_col, text_col
+            docs.join(cand_ids, id_col, "semi"), k, id_col, text_col, hashed=True
         ).persist()
         sh.count()
     out = jaccard_of_pairs(cand, sh).where(F.col("jac") >= threshold)
@@ -207,8 +240,7 @@ def minhash_dedup_pairs(
     # session and repeated calls accumulate storage pressure.
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
-    if mode == "scan":
-        cand.unpersist()
+    cand.unpersist()
     return out
 
 
