@@ -160,21 +160,17 @@ def fingerprints(
     summary (min/max of the 60-bit gram hashes + gram count). ``fp_min`` is
     a 1-permutation MinHash — equal fp_min is a strong near-dup signal;
     the pair (min,max) is the winnowing-style fingerprint."""
-    t = F.lower(F.col(text_col))
-    # NB: Spark sequence(1, 0) is DESCENDING [1, 0] — the length filter below
-    # drops the bogus positions emitted for texts shorter than k.
-    grams = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            t.alias("t"),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(0)))
-            ).alias("pos"),
-        )
-        .select("doc_id", F.substring(F.col("t"), F.col("pos"), k).alias("gram"))
-        .where(F.length("gram") == k)
-        .select("doc_id", portable_hash60(F.col("gram")).alias("g"))
+    # One regexp_extract_all lookahead evaluation per row builds the whole
+    # overlapping gram array — the explode(positions)+substring alternative
+    # is quadratic per document (Catalyst re-evaluates the lower(text)
+    # alias past the Generate, and UTF8 substring walks O(pos); measured in
+    # datapipe.char_shingles, same fix).
+    gram_arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(rf"(?s)(?=(.{{{k}}}))."), F.lit(1)
     )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(gram_arr).alias("gram")
+    ).select("doc_id", portable_hash60(F.col("gram")).alias("g"))
     agg = grams.groupBy("doc_id").agg(
         F.min("g").alias("fp_min"),
         F.max("g").alias("fp_max"),
