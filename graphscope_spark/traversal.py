@@ -258,7 +258,7 @@ class Traversal:
             raise ValueError(
                 f"ambiguous edge label {edge_label!r}: {out_c + in_c} — name it"
             )
-        frames, trips = [], []
+        frames, trips, prop_sets = [], [], []
         if out_c:
             e = self.pg.edges[out_c[0]]
             props = [c for c in e.columns if c not in ("src", "dst")]
@@ -268,6 +268,7 @@ class Traversal:
                 )
             )
             trips.append(out_c[0])
+            prop_sets.append(props)
         if in_c:
             e = self.pg.edges[in_c[0]]
             props = [c for c in e.columns if c not in ("src", "dst")]
@@ -277,6 +278,8 @@ class Traversal:
                 )
             )
             trips.append(in_c[0])
+            prop_sets.append(props)
+        props = [p for p in prop_sets[0] if all(p in s for s in prop_sets)]
         if len(frames) == 2 and set(frames[0].columns) != set(frames[1].columns):
             # label-asymmetric bothE over triples with different prop sets:
             # keep the shared columns (src/dst/_dir/path always survive)
@@ -293,6 +296,7 @@ class Traversal:
             out_trip=out_trip,
             in_trip=in_trip,
             aliases=self.aliases,
+            props=tuple(props),
         )
 
     def out_e(self, edge_label: str | None = None) -> "MidEdgeTraversal":
@@ -792,15 +796,12 @@ class MidEdgeTraversal:
     out_trip: tuple | None  # triple matched in the out direction
     in_trip: tuple | None  # triple matched in the in direction
     aliases: tuple = ()
+    props: tuple = ()  # edge property column names (explicit — a property
+    # named like a path column must still resolve)
 
     def _prop_col(self, prop: str) -> str:
-        props = [
-            c
-            for c in self.frame.columns
-            if c not in ("src", "dst", "_dir") and not c.startswith("p_")
-        ]
-        if prop not in props:
-            raise ValueError(f"unknown edge property {prop!r}; have {props}")
+        if prop not in self.props:
+            raise ValueError(f"unknown edge property {prop!r}; have {list(self.props)}")
         return prop
 
     def has(self, prop: str, value=Traversal._HAS_MISSING) -> "MidEdgeTraversal":
