@@ -3138,6 +3138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_report": _q_graph_report,
         "graph_edges": _q_edges,
         "graph_degrees": _q_degrees,
+        "kclique5": _q_kclique5,
+        "tfidf_top_terms": _q_tfidf,
+        "fingerprints": _q_fingerprints,
         "degree_centrality": _q_degree_centrality,
         "katz": _q_katz,
         "eigenvector": _q_eigenvector,
@@ -3159,7 +3162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_edge_cover": _q_min_edge_cover,
         "min_dominating_set": _q_min_dominating_set,
         "kclique4": _q_kclique4,
-        "kclique5": _q_kclique5,
         "rectangles": _q_rectangles,
         "diamonds": _q_diamonds,
         "tailed_triangles": _q_tailed_triangles,
@@ -3180,9 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
-        "tfidf_top_terms": _q_tfidf,
         "quality_scores": _q_quality,
-        "fingerprints": _q_fingerprints,
         "curation_pipeline": _q_curation_pipeline,
         "events_hourly": _q_events_hourly,
         "avg_clustering": _q_avg_clustering,
