@@ -3002,6 +3002,50 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_events_sessions(spark, sf_dir):
+    """Gap-based session windows (streaming.user_sessions batch twin,
+    Spark session_window 30-minute gap) vs the relational gaps-and-islands
+    formulation: a new session starts when the inter-event gap >= 30 min
+    (Spark merges an event iff it lands strictly before the running
+    session's end = last_ts + gap). Epoch microseconds on both sides —
+    exact integers, no timezone/truncation hazards."""
+    from graphscope_spark.streaming import user_sessions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = user_sessions(events, gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("win.start").cast("timestamp")).alias("sess_start_us"),
+        F.unix_micros(F.col("win.end").cast("timestamp")).alias("sess_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+_EVENTS_SESSIONS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+o AS (
+  SELECT user_id, t, value,
+         CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                     >= 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, t, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id,
+       CAST(MIN(t) AS BIGINT) AS sess_start_us,
+       CAST(MAX(t) + 1800000000 AS BIGINT) AS sess_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sess
+"""
+
+
 def _q_nx_mutate_report(spark, sf_dir):
     """NetworkX mutation layer (reference nx/classes/graph.py:629-1042):
     scripted add/remove sequence over the doc graph, then REPORT_GRAPH-style
@@ -3132,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sampled": _q_betweenness,
         "closeness_sampled": _q_closeness,
         "harmonic_sampled": _q_harmonic,
+        "events_sessions": _q_events_sessions,
         "kcore": _q_kcore,
         "bridges": _q_bridges,
         "pagerank_csv": _q_pagerank_csv,
@@ -3400,5 +3445,6 @@ def _raw_oracle_sql() -> dict[str, str]:
         "frame_sample": _FRAME_SAMPLE_SQL,
         "curation_pipeline": _CURATION_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_sessions": _EVENTS_SESSIONS_SQL,
         "docs_by_lang": _DOCS_BY_LANG_SQL,
     }
