@@ -1034,17 +1034,6 @@ SELECT ROUND(CAST((SELECT ne FROM ee) AS DOUBLE) / (SELECT COUNT(*) FROM mem), 6
 
 # -- datapipe SQL mirrors -----------------------------------------------------
 
-_SQL_SHINGLES = """
-d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t FROM documents),
-shpos AS (
-  SELECT doc_id, t,
-         unnest(generate_series(1, GREATEST(length(t) - 4, 0))) AS pos
-  FROM d),
-sh AS (
-  SELECT DISTINCT doc_id, substr(t, pos, 5) AS shingle
-  FROM shpos WHERE length(substr(t, pos, 5)) = 5)
-"""
-
 _SQL_TOKENS = """
 d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t FROM documents),
 toks AS (
@@ -1127,8 +1116,18 @@ FROM comp
 
 
 def _ngram_jaccard_sql(threshold: float) -> str:
+    from graphscope_spark.datapipe.hashing import portable_hash60_sql
+
+    sh60 = portable_hash60_sql("substr(t, pos, 5)")
     return f"""
-WITH {_SQL_SHINGLES},
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t FROM documents),
+shpos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, GREATEST(length(t) - 4, 0))) AS pos
+  FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, {sh60} AS shingle
+  FROM shpos WHERE length(substr(t, pos, 5)) = 5),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT sa.doc_id AS a, sb.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS ninter

@@ -261,8 +261,13 @@ def ngram_jaccard_pairs(
     whose shared shingles are ALL high-frequency would be missed. Callers at
     100 TB pass e.g. ``max_df=1000`` knowingly; the default matches the
     exact-Jaccard contract (and the DuckDB gate oracle, which has no cap).
+
+    Shingles are hashed 60-bit longs (char_shingles(hashed=True)): the
+    inverted-index join — this operator's core shuffle — exchanges 8-byte
+    keys instead of k-char strings, with identical set cardinalities on
+    the DuckDB side (same portable md5 hash, same collisions).
     """
-    sh = char_shingles(docs, k, id_col, text_col).persist()
+    sh = char_shingles(docs, k, id_col, text_col, hashed=True).persist()
     sh.count()
     idx = sh
     if max_df is not None:
