@@ -1951,6 +1951,100 @@ FROM h GROUP BY src_host, dst_host
 """
 
 
+def _q_url_dedup(spark, sf_dir):
+    """URL-level dedup after canonicalization (extract.canonicalize_url →
+    dedup_by_canonical_url) — the CCNet/RefinedWeb pipeline's first pass.
+    URLs are synthesized deterministically from doc_id so every
+    canonicalization rule is exercised (scheme/host case, default :80
+    port, tracking params, param order, fragments) and the DuckDB oracle
+    rebuilds the identical raw strings: docs d and d+250 share group
+    g = d % 250 and collapse to one canonical
+    ``http://site{g%40}.test/p{g}?id={g}&q=1``."""
+    from graphscope_spark.extract import dedup_by_canonical_url
+
+    d = F.col("doc_id")
+    g = d % 250
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(
+            d % 4 < 2,
+            F.concat(F.lit("site"), (g % 40).cast("string"), F.lit(".test")),
+        ).otherwise(
+            F.concat(F.lit("SITE"), (g % 40).cast("string"), F.lit(".TEST"))
+        ),
+        F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p"),
+        g.cast("string"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("?id="), g.cast("string"), F.lit("&q=1")),
+        ).otherwise(F.concat(F.lit("?q=1&id="), g.cast("string"))),
+        F.when(
+            d % 5 == 0, F.concat(F.lit("&utm_source=x"), d.cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0, F.concat(F.lit("#sec"), d.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return dedup_by_canonical_url(pages, url_col="url", id_col="doc_id")
+
+
+_URL_DEDUP_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END) || '://' ||
+    (CASE WHEN doc_id % 4 < 2
+          THEN 'site' || CAST((doc_id % 250) % 40 AS VARCHAR) || '.test'
+          ELSE 'SITE' || CAST((doc_id % 250) % 40 AS VARCHAR) || '.TEST' END) ||
+    (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) ||
+    '/p' || CAST(doc_id % 250 AS VARCHAR) ||
+    (CASE WHEN doc_id % 2 = 0
+          THEN '?id=' || CAST(doc_id % 250 AS VARCHAR) || '&q=1'
+          ELSE '?q=1&id=' || CAST(doc_id % 250 AS VARCHAR) END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '&utm_source=x' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
+      AS url
+  FROM documents
+),
+-- canonicalization mirror of extract.canonicalize_url: fragment stripped
+-- first, scheme+host lowercased, default port dropped, empty path -> '/',
+-- tracking params filtered, survivors sorted (DuckDB's regexp_extract/
+-- string_split/list_* semantics verified identical to Spark's: no-match
+-- extract = '', split('') = [''])
+p AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+    regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(u, '^[^?]*\?(.*)$', 1) AS q
+  FROM p
+),
+withp AS (
+  SELECT *,
+    list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=&]*|gclid|fbclid|msclkid|ref)(=|$)'))) AS ps
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' ||
+    (CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+          ELSE hostport END) ||
+    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+    (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END)
+      AS canon_url
+  FROM withp
+)
+SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY canon_url
+"""
+
+
 def _q_gie_edge_expand(spark, sf_dir):
     """Gremlin Expand edge steps (reference
     docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95):
@@ -3148,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_element_map": _q_gie_element_map,
         "gie_edge_expand": _q_gie_edge_expand,
         "host_graph": _q_host_graph,
+        "url_dedup": _q_url_dedup,
         "pagerank_dangling": _q_pagerank_dangling,
         "min_vertex_cover": _q_min_vertex_cover,
         "degeneracy_order": _q_degeneracy_order,
@@ -3180,7 +3275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": _q_bridges,
         "pagerank_csv": _q_pagerank_csv,
         "graph_report": _q_graph_report,
-        "graph_edges": _q_edges,
         "graph_degrees": _q_degrees,
         "kclique5": _q_kclique5,
         "tfidf_top_terms": _q_tfidf,
@@ -3195,6 +3289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp_sampled": _q_apsp,
         "diameter_approx": _q_diameter,
         # ---- below this line: outside the driver window ----
+        # (graph_edges moved out round 4 to admit url_dedup: r1-driver-green
+        # since CORRECTNESS_r01 and a raw scan, the stablest row in the gate)
+        "graph_edges": _q_edges,
         "scc": _q_scc,
         "louvain": _q_louvain,
         "msf": _q_msf,
@@ -3329,6 +3426,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_element_map": _GIE_ELEMENT_MAP_SQL,
         "gie_edge_expand": _GIE_EDGE_EXPAND_SQL,
         "host_graph": _HOST_GRAPH_SQL,
+        "url_dedup": _URL_DEDUP_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,

@@ -261,6 +261,83 @@ def anchor_text_index(pages: DataFrame) -> DataFrame:
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
 
+# Tracking/session query parameters that never change page content — the
+# standard strip-list of web-crawl canonicalizers (utm_* campaign tags,
+# Google/Facebook/Microsoft click ids, bare ref). Anchored per-param.
+_TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|msclkid|ref)(=|$)"
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+
+
+def canonicalize_url(url) -> F.Column:
+    """Canonical form of a URL column — ONE Catalyst expression tree
+    (regexp_extract/replace + array ops), whole-stage codegen, no Python.
+
+    The canonicalization every training-data web pipeline applies before
+    URL-level dedup (CCNet / RefinedWeb / the reference's LDBC datagen all
+    key pages on a normalized URL; reference text normalization semantics:
+    `flex/interactive/examples/` page keys are pre-canonicalized):
+
+    * scheme and host lowercased;
+    * fragment (``#…``) stripped — never sent to the server;
+    * default ports stripped (``:80`` for http, ``:443`` for https);
+    * empty path → ``/``;
+    * tracking query params removed (``utm_*``, ``gclid``, ``fbclid``,
+      ``msclkid``, ``ref``) and the survivors SORTED — param order is
+      semantically irrelevant, so sorting maximizes dedup recall;
+    * an emptied query string drops its ``?``.
+
+    Scale shape: pure per-row projection — no shuffle, no UDF; at 10¹² rows
+    it pipelines inside whatever scan feeds it.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment first: may hide '?'
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def dedup_by_canonical_url(
+    pages: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(canon_url, keeper, n_docs) — URL-level exact dedup: group pages by
+    ``canonicalize_url(url)``, keep the smallest id per group (first-crawl
+    wins, deterministic), count the collapsed duplicates.
+
+    Scale shape: the canonical projection is codegen; the dedup is ONE
+    hash groupBy with map-side partial min/count — the same one-shuffle
+    contract as ``datapipe.dedup.exact_dedup`` (dedup.py:33), keyed on the
+    canonical string. Mega-duplicated URLs skew-collapse map-side.
+    """
+    return (
+        pages.select(
+            canonicalize_url(F.col(url_col)).alias("canon_url"),
+            F.col(id_col),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.min(id_col).cast("long").alias("keeper"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
 
 def host_of(url):
     """Authority (host) of a url as a Catalyst expression — one

@@ -148,3 +148,51 @@ def test_extract_anchors_and_index(pages_small, spark):
     hub = idx.where(F.col("url") == corpus.url_of(1, N, H)).collect()[0]
     assert "to 1" in hub["anchor_texts"]
     assert hub["n_refs"] > 10  # every group-1 page carries the hub anchor
+
+
+def test_canonicalize_url_rules(spark):
+    """canonicalize_url: each rule pinned — scheme/host case, fragment,
+    default ports (scheme-conditional), empty path, tracking params,
+    param sort, emptied-query '?' drop."""
+    from graphscope_spark.extract import canonicalize_url
+
+    cases = {
+        "HTTP://Site3.Test:80/p7?utm_source=x&id=7#frag": "http://site3.test/p7?id=7",
+        "https://A.B:443/": "https://a.b/",
+        "https://a.b": "https://a.b/",
+        "https://a.b:80/x": "https://a.b:80/x",  # :80 is NOT https default
+        "http://h.test:8080/x?b=2&a=1": "http://h.test:8080/x?a=1&b=2",
+        "http://h.test/x?utm_campaign=1&gclid=z&fbclid=y&msclkid=w&ref=r": "http://h.test/x",
+        "http://h.test/x?ref=abc&ref2=keep&refx=keep2": "http://h.test/x?ref2=keep&refx=keep2",
+        "http://h.test/p?id=1#a?fake=q": "http://h.test/p?id=1",  # frag may hide '?'
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select(
+            "url", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_dedup_by_canonical_url(spark):
+    """dedup_by_canonical_url: variant URLs of the same page collapse to
+    one canonical row with keeper = min id; distinct pages stay apart."""
+    from graphscope_spark.extract import dedup_by_canonical_url
+
+    rows = [
+        (1, "http://a.test/p?x=1&y=2"),
+        (2, "HTTP://A.Test:80/p?y=2&x=1&utm_source=s#frag"),  # same page
+        (3, "http://a.test/p?x=1"),  # different query -> different page
+        (4, "https://a.test/p?x=1&y=2"),  # different scheme -> different
+    ]
+    out = dedup_by_canonical_url(
+        spark.createDataFrame(rows, "doc_id long, url string")
+    ).collect()
+    by_url = {r["canon_url"]: (r["keeper"], r["n_docs"]) for r in out}
+    assert by_url == {
+        "http://a.test/p?x=1&y=2": (1, 2),
+        "http://a.test/p?x=1": (3, 1),
+        "https://a.test/p?x=1&y=2": (4, 1),
+    }
