@@ -2045,6 +2045,53 @@ FROM canon GROUP BY canon_url
 """
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (datapipe.dedup.paragraph_dedup) — the
+    CCNet/RefinedWeb boilerplate pass. The synthetic corpus has no
+    newlines, so paragraph structure is synthesized deterministically:
+    every doc gets a corpus-wide header (df=500, dropped), a 10-doc group
+    paragraph (df=10, kept at max_df=25), and a unique line — exercising
+    drop, keep, order preservation, and the distinct-doc df count."""
+    from graphscope_spark.datapipe.dedup import paragraph_dedup
+
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("the common header\npara "),
+        (d % 50).cast("string"),
+        F.lit("\nunique "),
+        d.cast("string"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return paragraph_dedup(docs, max_df=25)
+
+
+_PARAGRAPH_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    'the common header' || chr(10) || 'para ' || CAST(doc_id % 50 AS VARCHAR)
+      || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM t),
+idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM split),
+paras AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS para FROM idx WHERE l[i] <> ''
+),
+-- boilerplate = paragraph content in > max_df DISTINCT docs (exact string
+-- grouping here; the engine groups xxhash64(para) — same set, documented
+-- hash-for-string trade in paragraph_dedup)
+boiler AS (
+  SELECT para FROM paras GROUP BY para HAVING COUNT(DISTINCT doc_id) > 25
+),
+kept AS (
+  SELECT p.* FROM paras p
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.para = p.para)
+)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
 def _q_gie_edge_expand(spark, sf_dir):
     """Gremlin Expand edge steps (reference
     docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95):
@@ -3243,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_edge_expand": _q_gie_edge_expand,
         "host_graph": _q_host_graph,
         "url_dedup": _q_url_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
         "pagerank_dangling": _q_pagerank_dangling,
         "min_vertex_cover": _q_min_vertex_cover,
         "degeneracy_order": _q_degeneracy_order,
@@ -3275,7 +3323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": _q_bridges,
         "pagerank_csv": _q_pagerank_csv,
         "graph_report": _q_graph_report,
-        "graph_degrees": _q_degrees,
         "kclique5": _q_kclique5,
         "tfidf_top_terms": _q_tfidf,
         "fingerprints": _q_fingerprints,
@@ -3289,9 +3336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp_sampled": _q_apsp,
         "diameter_approx": _q_diameter,
         # ---- below this line: outside the driver window ----
-        # (graph_edges moved out round 4 to admit url_dedup: r1-driver-green
-        # since CORRECTNESS_r01 and a raw scan, the stablest row in the gate)
+        # (graph_edges/graph_degrees moved out round 4 to admit url_dedup +
+        # paragraph_dedup: both r1-driver-green since CORRECTNESS_r01 and
+        # raw scan/agg, the stablest rows in the gate)
         "graph_edges": _q_edges,
+        "graph_degrees": _q_degrees,
         "scc": _q_scc,
         "louvain": _q_louvain,
         "msf": _q_msf,
@@ -3427,6 +3476,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_edge_expand": _GIE_EDGE_EXPAND_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "url_dedup": _URL_DEDUP_SQL,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
         "lcc": _LCC_SQL,

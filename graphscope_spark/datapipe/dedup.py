@@ -40,6 +40,58 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return keyed.join(groups, "h").select("doc_id", "canonical_id", "group_size")
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_df: int = 1,
+) -> DataFrame:
+    """(doc_id, text) — paragraph-level exact dedup, the CCNet/RefinedWeb
+    boilerplate pass: split each document on ``sep``, drop every paragraph
+    whose exact content appears in MORE than ``max_df`` distinct documents
+    (site chrome, cookie banners, license footers), re-join the survivors
+    in original order. Documents whose every paragraph is boilerplate are
+    dropped entirely (CCNet's behavior).
+
+    100 TB shape: paragraphs are exploded WITH their position but the
+    document-frequency count shuffles only ``xxhash64(paragraph)`` + doc id
+    (distinct → count>max_df), never the paragraph text; the heavy-hitter
+    hash set that survives the HAVING is orders of magnitude smaller than
+    the corpus and anti-joins back against the paragraph stream (hash
+    equality stands in for string equality — a 64-bit collision mislabels
+    one paragraph as boilerplate; at CCNet scale this is the standard
+    trade). Reassembly is one groupBy(doc) with an in-group sort — three
+    shuffles total, all on fixed-width keys.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.col("para") != "")
+    hashed = paras.withColumn("h", F.xxhash64("para"))
+    boiler = (
+        hashed.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("h")
+    )
+    kept = hashed.join(boiler, "h", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text")
+        )
+    )
+
+
 # -- shingling ------------------------------------------------------------------
 
 

@@ -342,3 +342,35 @@ def test_frame_sample(spark):
     # doc 1: 5000//1024 + 1 = 5 frames → sampled 0,2,4
     assert sorted(got[1]) == [0, 2, 4]
     assert sorted(got[2]) == [0]
+
+
+def test_paragraph_dedup(spark):
+    """paragraph_dedup: boilerplate (> max_df distinct docs) dropped,
+    order preserved, within-doc repeats counted once for df, docs whose
+    every paragraph is boilerplate dropped entirely."""
+    from graphscope_spark.datapipe.dedup import paragraph_dedup
+
+    rows = [
+        (1, "boiler\nkeep one\nboiler\nkeep two"),  # boiler twice in-doc
+        (2, "boiler\nother text"),
+        (3, "boiler"),  # all-boilerplate -> dropped
+        (4, "solo\nboiler"),
+    ]
+    out = paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"), max_df=2
+    ).collect()
+    got = {r["doc_id"]: r["text"] for r in out}
+    # 'boiler' appears in 4 distinct docs (in-doc repeat counts once) > 2
+    assert got == {
+        1: "keep one\nkeep two",
+        2: "other text",
+        4: "solo",
+    }
+    # max_df large enough: nothing dropped, original text round-trips
+    full = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), max_df=4
+        ).collect()
+    }
+    assert full == dict(rows)
