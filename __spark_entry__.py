@@ -1352,6 +1352,81 @@ SELECT v.vid,
 FROM verts v LEFT JOIN udeg d ON d.vid = v.vid
 """
 
+_IN_DEGREE_CENTRALITY_SQL = f"""
+WITH {_SQL_BASE}
+SELECT v.vid,
+       ROUND(COALESCE(d.c, 0) / CAST((SELECT COUNT(*) - 1 FROM verts) AS DOUBLE), 6) AS dc
+FROM verts v LEFT JOIN
+  (SELECT dst AS vid, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY dst) d
+  ON d.vid = v.vid
+"""
+
+_OUT_DEGREE_CENTRALITY_SQL = f"""
+WITH {_SQL_BASE}
+SELECT v.vid,
+       ROUND(COALESCE(d.c, 0) / CAST((SELECT COUNT(*) - 1 FROM verts) AS DOUBLE), 6) AS dc
+FROM verts v LEFT JOIN
+  (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY src) d
+  ON d.vid = v.vid
+"""
+
+_NUMERIC_ASSORT_SQL = f"""
+WITH {_SQL_BASE}
+SELECT ROUND(corr(CAST(da.n_chars AS DOUBLE), CAST(db.n_chars AS DOUBLE)), 6)
+       AS assortativity
+FROM edges e
+JOIN documents da ON CAST(da.doc_id AS BIGINT) = e.src
+JOIN documents db ON CAST(db.doc_id AS BIGINT) = e.dst
+"""
+
+
+def _bfs_tree_sql(rounds: int, source: int) -> str:
+    """Unrolled unweighted BFS distances, then the min-vid parent map —
+    the SQL mirror of traversal.bfs_tree's post-hoc parent derivation."""
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "ew AS (SELECT src, dst FROM edges WHERE src <> dst),",
+        f"d0 AS (SELECT vid, CASE WHEN vid = {source} THEN CAST(0 AS DOUBLE) END AS dist FROM verts),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""d{k + 1} AS (
+  SELECT p.vid,
+         CASE WHEN m.c IS NULL THEN p.dist
+              WHEN p.dist IS NULL OR m.c < p.dist THEN m.c
+              ELSE p.dist END AS dist
+  FROM d{k} p LEFT JOIN (
+    SELECT e.dst AS dst, MIN(q.dist + 1) AS c
+    FROM d{k} q JOIN ew e ON e.src = q.vid
+    WHERE q.dist IS NOT NULL GROUP BY e.dst
+  ) m ON m.dst = p.vid),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f""",
+dd AS (SELECT vid, dist FROM d{rounds} WHERE dist IS NOT NULL),
+par AS (
+  SELECT e.dst AS vid, MIN(e.src) AS parent
+  FROM ew e JOIN dd a ON a.vid = e.src JOIN dd b ON b.vid = e.dst
+  WHERE a.dist + 1 = b.dist GROUP BY e.dst)
+SELECT dd.vid, CAST(dd.dist AS BIGINT) AS dist, par.parent
+FROM dd LEFT JOIN par ON par.vid = dd.vid
+"""
+
+
+def _simple_edge_paths_sql(source: int, target: int, cutoff: int) -> str:
+    """`_simple_paths_sql` with the final projection swapped to emit the
+    edge-token form ("u->v|v->w|..."), mirroring paths.all_simple_edge_paths."""
+    base = _simple_paths_sql(source, target, cutoff)
+    final = "SELECT array_to_string(path, '->') AS path FROM done"
+    assert base.endswith(final)
+    new_final = (
+        "SELECT array_to_string(list_transform(generate_series(1, len(path) - 1), "
+        "i -> CAST(path[i] AS VARCHAR) || '->' || CAST(path[i + 1] AS VARCHAR)), "
+        "'|') AS epath FROM done"
+    )
+    return base[: -len(final)] + new_final
+
+
 def _multi_bfs_sql(rounds: int, roots_pred: str, final: str) -> str:
     """Unrolled multi-root BFS over (root, vid) pair state."""
     parts = [
@@ -2238,6 +2313,47 @@ def _q_degree_centrality(spark, sf_dir):
     return degree_centrality(_graph(spark, sf_dir)).select(
         "vid", F.round("dc", 6).alias("dc")
     )
+
+
+def _q_in_degree_centrality(spark, sf_dir):
+    from graphscope_spark.algorithms import degree_centrality
+
+    return degree_centrality(_graph(spark, sf_dir), mode="in").select(
+        "vid", F.round("dc", 6).alias("dc")
+    )
+
+
+def _q_out_degree_centrality(spark, sf_dir):
+    from graphscope_spark.algorithms import degree_centrality
+
+    return degree_centrality(_graph(spark, sf_dir), mode="out").select(
+        "vid", F.round("dc", 6).alias("dc")
+    )
+
+
+def _q_bfs_tree(spark, sf_dir):
+    from graphscope_spark.algorithms.traversal import bfs_tree
+
+    return bfs_tree(_graph(spark, sf_dir), source=0).select(
+        "vid", F.col("dist").cast("long").alias("dist"), "parent"
+    )
+
+
+def _q_numeric_assortativity(spark, sf_dir):
+    from graphscope_spark.algorithms.clustering import numeric_assortativity
+
+    g = _graph(spark, sf_dir)
+    attrs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("vid"), F.col("n_chars").alias("attr")
+    )
+    v = numeric_assortativity(g, attrs)
+    return spark.createDataFrame([(round(v, 6),)], "assortativity double")
+
+
+def _q_all_simple_edge_paths(spark, sf_dir):
+    from graphscope_spark.algorithms.paths import all_simple_edge_paths
+
+    return all_simple_edge_paths(_graph(spark, sf_dir), source=0, target=20, cutoff=5)
 
 
 def _q_hits(spark, sf_dir):
@@ -3291,6 +3407,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "url_dedup": _q_url_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
+        "bfs_tree": _q_bfs_tree,
+        "numeric_assortativity": _q_numeric_assortativity,
+        "in_degree_centrality": _q_in_degree_centrality,
+        "out_degree_centrality": _q_out_degree_centrality,
+        "all_simple_edge_paths": _q_all_simple_edge_paths,
         "pagerank_dangling": _q_pagerank_dangling,
         "min_vertex_cover": _q_min_vertex_cover,
         "degeneracy_order": _q_degeneracy_order,
@@ -3487,6 +3608,11 @@ def _raw_oracle_sql() -> dict[str, str]:
             200, "(src + dst) % 10 + 1", 0, "ROUND(dist, 6) AS dist"
         ),
         "degree_centrality": _DEGREE_CENTRALITY_SQL,
+        "in_degree_centrality": _IN_DEGREE_CENTRALITY_SQL,
+        "out_degree_centrality": _OUT_DEGREE_CENTRALITY_SQL,
+        "numeric_assortativity": _NUMERIC_ASSORT_SQL,
+        "bfs_tree": _bfs_tree_sql(80, 0),
+        "all_simple_edge_paths": _simple_edge_paths_sql(0, 20, 5),
         "hits": _hits_sql(10),
         "katz": _katz_sql(10, 0.1, 1.0),
         "eigenvector": _eigen_sql(20),

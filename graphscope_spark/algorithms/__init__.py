@@ -7,7 +7,14 @@ from graphscope_spark.algorithms.pagerank import pagerank
 from graphscope_spark.algorithms.wcc import wcc
 from graphscope_spark.algorithms.cdlp import cdlp
 from graphscope_spark.algorithms.triangles import triangles, lcc, total_triangles
-from graphscope_spark.algorithms.traversal import bfs, sssp
+from graphscope_spark.algorithms.traversal import (
+    bfs,
+    sssp,
+    bfs_tree,
+    bfs_edges,
+    bfs_predecessors,
+    bfs_successors,
+)
 from graphscope_spark.algorithms.centrality import (
     degree_centrality,
     hits,
@@ -22,13 +29,14 @@ from graphscope_spark.algorithms.closeness import (
 )
 from graphscope_spark.algorithms.louvain import louvain, modularity
 from graphscope_spark.algorithms.voterank import voterank
-from graphscope_spark.algorithms.paths import is_simple_path
+from graphscope_spark.algorithms.paths import is_simple_path, all_simple_edge_paths
 from graphscope_spark.algorithms.clustering import (
     avg_clustering,
     transitivity,
     node_boundary,
     edge_boundary,
     degree_assortativity,
+    numeric_assortativity,
 )
 
 __all__ = [
@@ -52,6 +60,12 @@ __all__ = [
     "total_triangles",
     "bfs",
     "sssp",
+    "bfs_tree",
+    "bfs_edges",
+    "bfs_predecessors",
+    "bfs_successors",
+    "all_simple_edge_paths",
+    "numeric_assortativity",
     "degree_centrality",
     "hits",
     "katz",

@@ -124,3 +124,22 @@ def degree_assortativity(graph: LinkGraph) -> float:
         .collect()[0]
     )
     return float(row["r"]) if row["r"] is not None else 0.0
+
+
+def numeric_assortativity(graph: LinkGraph, attrs: DataFrame) -> float:
+    """Numeric attribute assortativity coefficient — reference
+    `apps/assortativity/numeric_assortativity.h` (NetworkX
+    ``numeric_assortativity_coefficient`` semantics). For a numeric
+    attribute the mixing-matrix Pearson formula reduces to the plain
+    Pearson correlation of (attr(src), attr(dst)) over directed edges, so
+    this is one distributed double join + a single `corr` aggregate —
+    the same shape as `degree_assortativity`. ``attrs`` is (vid, attr)."""
+    sa = attrs.select(F.col("vid").alias("src"), F.col("attr").cast("double").alias("ax"))
+    sb = attrs.select(F.col("vid").alias("dst"), F.col("attr").cast("double").alias("ay"))
+    row = (
+        graph.edges.join(sa, "src")
+        .join(sb, "dst")
+        .agg(F.corr("ax", "ay").alias("r"))
+        .collect()[0]
+    )
+    return float(row["r"]) if row["r"] is not None else 0.0

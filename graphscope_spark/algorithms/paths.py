@@ -90,3 +90,25 @@ SELECT CAST(CASE WHEN {distinct_ok} = 1
                   AND (SELECT m FROM vmissing) = 0
             THEN 1 ELSE 0 END AS BIGINT) AS is_path
 """
+
+
+def all_simple_edge_paths(
+    graph: LinkGraph, source: int, target: int, cutoff: int
+) -> "DataFrame":
+    """All simple directed paths source→target as EDGE sequences, one row
+    per path: (path string "u->v|v->w|...").
+
+    Reference: NetworkX-builtin ``all_simple_edge_paths``
+    (`/root/reference/python/graphscope/nx/algorithms/builtin.py:933`) —
+    the edge-list projection of `all_simple_paths`. On a simple LinkGraph
+    (no parallel edges) each vertex path maps to exactly one edge path, so
+    this reuses the bounded BSP enumeration and re-expresses every
+    consecutive vertex pair as an edge token — a pure column transform, no
+    extra joins."""
+    vp = all_simple_paths(graph, source, target, cutoff)
+    verts = F.split(F.col("path"), "->")
+    pairs = F.transform(
+        F.slice(verts, 1, F.size(verts) - 1),
+        lambda v, i: F.concat(v, F.lit("->"), F.element_at(verts, i + 2)),
+    )
+    return vp.select(F.array_join(pairs, "|").alias("epath"))

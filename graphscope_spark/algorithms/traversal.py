@@ -204,3 +204,69 @@ def sssp(
     edges.unpersist()
     res.state = res.state.where(F.col("dist").isNotNull()).select("vid", "dist")
     return res
+
+
+def bfs_tree(graph: LinkGraph, source: int, max_rounds: int = 500) -> DataFrame:
+    """(vid, dist, parent) — the canonical BFS tree rooted at ``source``:
+    every reached vertex with its depth and its tree parent, where
+    ``parent(v) = min{ u : (u,v) ∈ E and dist(u)+1 = dist(v) }`` (the
+    source row carries parent NULL). Reached vertices only.
+
+    Reference: the NetworkX-builtin tree surface — ``bfs_tree`` /
+    ``bfs_predecessors`` / ``bfs_successors`` / ``bfs_edges``
+    (`/root/reference/python/graphscope/nx/algorithms/builtin.py:468,395,
+    403,354`), all projections of one predecessor map.
+
+    Spark shape: parents are derived POST-HOC from the converged BFS
+    distances with ONE extra join (the same trick `shortest_path` uses for
+    weighted predecessors) instead of threading a parent column through
+    every superstep — identical tree, deterministic min-vid tie-break, and
+    the per-round state stays one long narrower. The parent join shuffles
+    on dst, co-partitioned with the degree tables."""
+    dist = bfs(graph, source, max_rounds=max_rounds).state.persist()
+    dist.count()
+    e = graph.edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    parents = (
+        e.join(dist.select(F.col("vid").alias("src"), F.col("dist").alias("du")), "src")
+        .join(dist.select(F.col("vid").alias("dst"), F.col("dist").alias("dv")), "dst")
+        .where(F.col("du") + 1 == F.col("dv"))
+        .groupBy("dst")
+        .agg(F.min("src").alias("parent"))
+    )
+    out = (
+        dist.join(parents, dist["vid"] == parents["dst"], "left")
+        .select(dist["vid"], dist["dist"], F.col("parent"))
+        .localCheckpoint(eager=True)
+    )
+    dist.unpersist()
+    return out
+
+
+def bfs_edges(graph: LinkGraph, source: int, max_rounds: int = 500) -> DataFrame:
+    """(src, dst) — the tree edges of `bfs_tree` (parent → child), i.e. the
+    NetworkX ``bfs_edges`` edge set under the min-vid parent convention."""
+    t = bfs_tree(graph, source, max_rounds=max_rounds)
+    return t.where(F.col("parent").isNotNull()).select(
+        F.col("parent").alias("src"), F.col("vid").alias("dst")
+    )
+
+
+def bfs_predecessors(graph: LinkGraph, source: int, max_rounds: int = 500) -> DataFrame:
+    """(vid, pred) — each reached non-source vertex with its BFS-tree parent
+    (NetworkX ``bfs_predecessors``)."""
+    t = bfs_tree(graph, source, max_rounds=max_rounds)
+    return t.where(F.col("parent").isNotNull()).select(
+        "vid", F.col("parent").alias("pred")
+    )
+
+
+def bfs_successors(graph: LinkGraph, source: int, max_rounds: int = 500) -> DataFrame:
+    """(vid, successors) — each tree vertex with the sorted array of its
+    children (NetworkX ``bfs_successors``; childless reached vertices are
+    omitted, matching the generator semantics)."""
+    t = bfs_tree(graph, source, max_rounds=max_rounds)
+    return (
+        t.where(F.col("parent").isNotNull())
+        .groupBy(F.col("parent").alias("vid"))
+        .agg(F.sort_array(F.collect_list("vid")).alias("successors"))
+    )

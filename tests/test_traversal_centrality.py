@@ -168,3 +168,61 @@ def test_coreness_tiny(tiny_graph):
             default=0,
         )
         assert got[v] == want, v
+
+
+def test_bfs_tree_tiny(tiny_graph):
+    from graphscope_spark.algorithms import (
+        bfs_edges,
+        bfs_predecessors,
+        bfs_successors,
+        bfs_tree,
+    )
+
+    t = {r["vid"]: (r["dist"], r["parent"]) for r in bfs_tree(tiny_graph, 1).collect()}
+    dist = _bfs_oracle(TINY_EDGES, 1)
+    # parent(v) = min src over edges with dist(src)+1 == dist(v)
+    want_parent = {}
+    for v, dv in dist.items():
+        preds = [s for s, d in TINY_EDGES if d == v and s != d and dist.get(s) == dv - 1]
+        want_parent[v] = min(preds) if preds else None
+    assert set(t) == set(dist)
+    for v in dist:
+        assert t[v] == (dist[v], want_parent[v]), v
+    # projections agree with the tree
+    te = {(r["src"], r["dst"]) for r in bfs_edges(tiny_graph, 1).collect()}
+    assert te == {(p, v) for v, (_, p) in t.items() if p is not None}
+    tp = {(r["vid"], r["pred"]) for r in bfs_predecessors(tiny_graph, 1).collect()}
+    assert tp == {(v, p) for v, (_, p) in t.items() if p is not None}
+    ts = {r["vid"]: r["successors"] for r in bfs_successors(tiny_graph, 1).collect()}
+    want_succ = {}
+    for v, (_, p) in t.items():
+        if p is not None:
+            want_succ.setdefault(p, []).append(v)
+    assert ts == {k: sorted(v) for k, v in want_succ.items()}
+
+
+def test_numeric_assortativity_tiny(tiny_graph, spark):
+    from graphscope_spark.algorithms import numeric_assortativity
+
+    # numeric attr = vid * 2 + (vid % 3); oracle = numpy Pearson over edges
+    attr = {v: v * 2 + (v % 3) for v, in [(r["vid"],) for r in tiny_graph.vertices.collect()]}
+    attrs = spark.createDataFrame(
+        [(v, float(a)) for v, a in attr.items()], "vid long, attr double"
+    )
+    got = numeric_assortativity(tiny_graph, attrs)
+    xs, ys = zip(*[(attr[s], attr[d]) for s, d in TINY_EDGES])
+    want = float(np.corrcoef(np.array(xs, dtype=float), np.array(ys, dtype=float))[0, 1])
+    assert abs(got - want) < 1e-9
+
+
+def test_all_simple_edge_paths_tiny(tiny_graph):
+    from graphscope_spark.algorithms import all_simple_edge_paths
+    from graphscope_spark.algorithms.paths import all_simple_paths
+
+    vp = {r["path"] for r in all_simple_paths(tiny_graph, 1, 5, 4).collect()}
+    ep = {r["epath"] for r in all_simple_edge_paths(tiny_graph, 1, 5, 4).collect()}
+    assert ep == {
+        "|".join(f"{a}->{b}" for a, b in zip(p.split("->")[:-1], p.split("->")[1:]))
+        for p in vp
+    }
+    assert len(ep) > 0
