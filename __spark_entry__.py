@@ -1237,6 +1237,70 @@ SELECT doc_id,
 FROM d
 """
 
+_REPETITION_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+tchars AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(tk, x -> len(x))), 0) AS tok_chars
+  FROM d),
+lines AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), l -> l <> '')) AS line
+  FROM d),
+lg AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+ldoc AS (
+  SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+         SUM((c - 1) * len(line)) AS dup_chars, SUM(c * len(line)) AS tot_chars
+  FROM lg GROUP BY 1),
+g2 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) >= 2
+                THEN list_transform(generate_series(1, len(tk) - 1),
+                                    i -> tk[i] || ' ' || tk[i + 1])
+                ELSE [] END) AS gram
+  FROM d),
+g2c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, c * len(replace(gram, ' ', '')) AS top2_chars
+  FROM (SELECT doc_id, gram, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        FROM g2c)
+  WHERE rn = 1),
+g5 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) >= 5
+                THEN list_transform(generate_series(1, len(tk) - 4),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+                          || ' ' || tk[i + 3] || ' ' || tk[i + 4])
+                ELSE [] END) AS gram
+  FROM d),
+g5c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+dup5 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c > 1 THEN c * len(replace(gram, ' ', '')) ELSE 0 END) AS dup5_chars
+  FROM g5c GROUP BY 1)
+SELECT d.doc_id,
+       ROUND(CASE WHEN COALESCE(l.n_lines, 0) > 0
+                  THEN (l.n_lines - l.n_distinct) / CAST(l.n_lines AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       ROUND(CASE WHEN COALESCE(l.tot_chars, 0) > 0
+                  THEN l.dup_chars / CAST(l.tot_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       ROUND(CASE WHEN t.tok_chars > 0 AND p.top2_chars IS NOT NULL
+                  THEN p.top2_chars / CAST(t.tok_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS top_2gram_char_frac,
+       ROUND(CASE WHEN t.tok_chars > 0 AND f.dup5_chars IS NOT NULL
+                  THEN f.dup5_chars / CAST(t.tok_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_5gram_char_frac
+FROM d
+LEFT JOIN ldoc l USING (doc_id)
+LEFT JOIN tchars t USING (doc_id)
+LEFT JOIN top2 p USING (doc_id)
+LEFT JOIN dup5 f USING (doc_id)
+"""
+
 _QUALITY_SQL = """
 WITH base AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -3113,6 +3177,19 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    from graphscope_spark.datapipe import repetition_scores
+
+    r = repetition_scores(_docs(spark, sf_dir))
+    return r.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("dup_5gram_char_frac", 6).alias("dup_5gram_char_frac"),
+    )
+
+
 def _q_quality(spark, sf_dir):
     from graphscope_spark.datapipe import quality_scores
 
@@ -3407,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "url_dedup": _q_url_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
+        "repetition_scores": _q_repetition,
         "bfs_tree": _q_bfs_tree,
         "numeric_assortativity": _q_numeric_assortativity,
         "in_degree_centrality": _q_in_degree_centrality,
@@ -3612,6 +3690,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "out_degree_centrality": _OUT_DEGREE_CENTRALITY_SQL,
         "numeric_assortativity": _NUMERIC_ASSORT_SQL,
         "bfs_tree": _bfs_tree_sql(80, 0),
+        "repetition_scores": _REPETITION_SQL,
         "all_simple_edge_paths": _simple_edge_paths_sql(0, 20, 5),
         "hits": _hits_sql(10),
         "katz": _katz_sql(10, 0.1, 1.0),

@@ -35,6 +35,7 @@ from graphscope_spark.datapipe.textstats import (
     lang_id,
     fingerprints,
     tfidf_top_terms,
+    repetition_scores,
 )
 
 __all__ = [
@@ -54,4 +55,5 @@ __all__ = [
     "lang_id",
     "fingerprints",
     "tfidf_top_terms",
+    "repetition_scores",
 ]

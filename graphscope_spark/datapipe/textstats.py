@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphscope_spark.datapipe.hashing import portable_hash60
 
@@ -184,5 +185,132 @@ def fingerprints(
             F.coalesce(F.col("fp_min"), F.lit(0)).alias("fp_min"),
             F.coalesce(F.col("fp_max"), F.lit(0)).alias("fp_max"),
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        )
+    )
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of ``toks`` (empty below n tokens).
+    Guarded `sequence` — Spark generates DESCENDING sequences when
+    stop < start, so short docs must short-circuit to an empty array."""
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+    dup_5gram_char_frac) — the Gopher/MassiveText repetition-removal
+    signals (Rae et al. 2021 §A1.1), the standard pre-training quality
+    filters alongside `quality_scores`:
+
+    * ``dup_line_frac``       — (n_lines − n_distinct_lines) / n_lines over
+                                non-empty lines;
+    * ``dup_line_char_frac``  — chars in repeated line occurrences beyond
+                                the first / total line chars;
+    * ``top_2gram_char_frac`` — chars covered by every occurrence of the
+                                most frequent word 2-gram (ties: lexical
+                                min) / total token chars;
+    * ``dup_5gram_char_frac`` — chars covered by all occurrences of word
+                                5-grams appearing more than once / total
+                                token chars (overlaps counted, may
+                                exceed 1 — deterministic and mirrorable).
+
+    Scale shape: two explode→groupBy chains (lines, n-grams), every shuffle
+    keyed by (doc_id, token) — the same bounded-key pattern as
+    `paragraph_dedup`; no driver state, no UDFs. Per-doc work is linear in
+    document length (`_word_ngrams` materializes each n-gram once)."""
+    did = F.col(id_col).alias("doc_id")
+    text = F.col(text_col)
+    toks = _tokens(text)
+
+    ids = docs.select(did)
+
+    # ---- line-level duplication ----
+    lines = docs.select(
+        did, F.explode(F.filter(F.split(text, "\n"), lambda l: l != "")).alias("line")
+    )
+    lg = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    ldoc = lg.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_distinct"),
+        F.sum((F.col("c") - 1) * F.length("line")).alias("dup_chars"),
+        F.sum(F.col("c") * F.length("line")).alias("tot_chars"),
+    )
+
+    # ---- token-char denominators ----
+    tchars = docs.select(
+        did,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("tok_chars"),
+    )
+
+    # ---- top 2-gram coverage ----
+    g2 = docs.select(did, F.explode(_word_ngrams(toks, 2)).alias("gram"))
+    g2c = g2.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    top2 = (
+        g2c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("c") * F.length(F.replace(F.col("gram"), F.lit(" "), F.lit("")))).alias(
+                "top2_chars"
+            ),
+        )
+    )
+
+    # ---- duplicated 5-gram coverage ----
+    g5 = docs.select(did, F.explode(_word_ngrams(toks, 5)).alias("gram"))
+    g5c = g5.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    dup5 = g5c.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("c") > 1,
+                F.col("c") * F.length(F.replace(F.col("gram"), F.lit(" "), F.lit(""))),
+            ).otherwise(F.lit(0))
+        ).alias("dup5_chars")
+    )
+
+    z = F.lit(0.0)
+    return (
+        ids.join(ldoc, "doc_id", "left")
+        .join(tchars, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("n_lines") > 0,
+                (F.col("n_lines") - F.col("n_distinct")) / F.col("n_lines"),
+            )
+            .otherwise(z)
+            .cast("double")
+            .alias("dup_line_frac"),
+            F.when(F.col("tot_chars") > 0, F.col("dup_chars") / F.col("tot_chars"))
+            .otherwise(z)
+            .cast("double")
+            .alias("dup_line_char_frac"),
+            F.when(
+                (F.col("tok_chars") > 0) & F.col("top2_chars").isNotNull(),
+                F.col("top2_chars") / F.col("tok_chars"),
+            )
+            .otherwise(z)
+            .cast("double")
+            .alias("top_2gram_char_frac"),
+            F.when(
+                (F.col("tok_chars") > 0) & F.col("dup5_chars").isNotNull(),
+                F.col("dup5_chars") / F.col("tok_chars"),
+            )
+            .otherwise(z)
+            .cast("double")
+            .alias("dup_5gram_char_frac"),
         )
     )

@@ -374,3 +374,46 @@ def test_paragraph_dedup(spark):
         ).collect()
     }
     assert full == dict(rows)
+
+
+def test_repetition_scores(spark):
+    from graphscope_spark.datapipe import repetition_scores
+
+    rows = [
+        # doc 1: 4 lines, "a b" repeated; 2-gram "a b" dominates
+        (1, "a b\na b\nc d e\nc d e"),
+        # doc 2: no repetition at all, 6 tokens -> two 5-grams, no dup
+        (2, "one two three four five six"),
+        # doc 3: heavy 5-gram repetition (same 5 tokens twice)
+        (3, "p q r s t p q r s t"),
+        # doc 4: empty text
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            round(r["dup_line_frac"], 9),
+            round(r["dup_line_char_frac"], 9),
+            round(r["top_2gram_char_frac"], 9),
+            round(r["dup_5gram_char_frac"], 9),
+        )
+        for r in repetition_scores(docs).collect()
+    }
+    # doc 1: lines = [a b, a b, c d e, c d e] -> 4 lines, 2 distinct
+    #   dup_line_frac = 2/4; line chars: (2-1)*3 + (2-1)*5 = 8 dup of 16 tot
+    #   tokens: a b a b c d e c d e -> tok_chars = 10
+    #   2-grams: "a b"×2 ... top = "a b" (count 2, tie-break lexical min over
+    #   "b a"×1, "b c"×1, "c d"×2, "d e"×2, "e c"×1 -> max count 2, min gram "a b")
+    #   top2_chars = 2 * len("ab") = 4 -> 0.4
+    #   5-grams (6 of them, all distinct) -> dup5 = 0
+    assert got[1] == (0.5, 0.5, 0.4, 0.0)
+    # doc 2: no dup lines (1 line, distinct), top 2-gram count 1:
+    #   tok_chars = 3+3+5+4+4+3 = 22; top 2-gram = "five six" (count 1, lexical
+    #   min among all count-1 grams) -> len("fivesix")=7 -> 7/22
+    assert got[2] == (0.0, 0.0, round(7 / 22, 9), 0.0)
+    # doc 3: tokens p q r s t p q r s t -> tok_chars = 10
+    #   5-grams: [p q r s t]×2, [q r s t p], [r s t p q], [s t p q r], [t p q r s]
+    #   dup5 = 2 * 5 = 10 -> 1.0; top 2-gram "p q" count 2 -> 4/10
+    assert got[3] == (0.0, 0.0, 0.4, 1.0)
+    # doc 4: all zeros
+    assert got[4] == (0.0, 0.0, 0.0, 0.0)
