@@ -104,12 +104,66 @@ def _bmp_header(b: bytes):
     return (w, abs(h), bpp // 8, 255, off)
 
 
+def _png_header(b: bytes):
+    """Parse a PNG IHDR chunk (always first after the 8-byte signature).
+    Returns (width, height, channels, maxval, None) — raster offset None
+    because the IDAT stream is zlib-compressed (header-only metadata)."""
+    if not b.startswith(b"\x89PNG\r\n\x1a\n") or len(b) < 26:
+        return None
+    if b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    depth, color = b[24], b[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or depth not in (1, 2, 4, 8, 16):
+        return None
+    return (w, h, channels, (1 << depth) - 1, None)
+
+
+# SOF segment markers that carry frame dimensions (C0-CF minus DHT/JPG/DAC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_header(b: bytes):
+    """Walk JPEG segments to the first SOFn frame header. Returns
+    (width, height, channels, maxval, None) — entropy-coded data needs a
+    codec, so the raster offset is None (header-only metadata)."""
+    if not b.startswith(b"\xff\xd8") or len(b) < 4:
+        return None
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if marker in _JPEG_SOF:
+            if i + 10 > n or seglen < 8:
+                return None
+            precision = b[i + 4]
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            ch = b[i + 9]
+            return (w, h, ch, (1 << precision) - 1, None)
+        i += 2 + seglen
+    return None
+
+
 def parse_image_header(payload: bytes):
     """Dependency-free header parse → dict(kind, width, height, channels,
-    maxval) for PPM/PGM/BMP; None for anything else (incl. formats that
-    need a codec library)."""
+    maxval) for PPM/PGM/BMP (raster-decodable) plus PNG/JPEG (header-only
+    dimensions — the compressed raster still needs a codec library); None
+    for anything else."""
     b = payload or b""
-    for parser in (_pnm_header, _bmp_header):
+    for parser in (_pnm_header, _bmp_header, _png_header, _jpeg_header):
         got = parser(b)
         if got is not None:
             w, h, ch, maxval, _ = got

@@ -417,3 +417,49 @@ def test_repetition_scores(spark):
     assert got[3] == (0.0, 0.0, 0.4, 1.0)
     # doc 4: all zeros
     assert got[4] == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_parse_png_jpeg_headers(spark):
+    import struct
+
+    from graphscope_spark.datapipe.multimodal import (
+        decode_image,
+        extract_features,
+        parse_image_header,
+    )
+
+    # minimal PNG: signature + IHDR(160x90, 8-bit RGBA)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 160, 90, 8, 6, 0, 0, 0)
+        + b"\x00" * 8
+    )
+    got = parse_image_header(png)
+    assert got == {"kind": "png", "width": 160, "height": 90, "channels": 4, "maxval": 255}
+
+    # minimal JPEG: SOI, APP0 stub, SOF0 (h=30, w=40, 3 components)
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"          # APP0, len 4
+        + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])     # SOF0, len 11
+        + struct.pack(">HH", 30, 40) + bytes([3]) + b"\x00" * 2
+    )
+    got = parse_image_header(jpg)
+    assert got == {"kind": "jpeg", "width": 40, "height": 30, "channels": 3, "maxval": 255}
+
+    # compressed rasters still refuse to decode (header-only metadata)
+    for payload in (png, jpg):
+        try:
+            decode_image(payload)
+            raise AssertionError("decode_image should refuse compressed codecs")
+        except NotImplementedError:
+            pass
+
+    # dims flow through the mapInPandas feature extractor
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(jpg))],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+    assert (rows[1]["kind"], rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == ("png", 160, 90, 4)
+    assert (rows[2]["kind"], rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == ("jpeg", 40, 30, 3)
