@@ -257,3 +257,87 @@ def frame_sample_plan(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("bits_per_sample", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def parse_wav_header(payload: bytes):
+    """Parse a RIFF/WAVE header (PCM or IEEE-float) dependency-free →
+    dict(kind, sample_rate, channels, bits_per_sample, n_samples) or None.
+    Walks RIFF chunks to 'fmt ' and 'data' (handles odd-length padding and
+    extra chunks like LIST/fact)."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    fmt, data_len = None, None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            if audio_fmt not in (1, 3):  # PCM / IEEE float only
+                return None
+            fmt = {
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "bits_per_sample": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or fmt["channels"] == 0 or fmt["bits_per_sample"] == 0:
+        return None
+    frame = fmt["channels"] * fmt["bits_per_sample"] // 8
+    n_samples = (data_len // frame) if (data_len and frame) else 0
+    return {"kind": "wav", **fmt, "n_samples": n_samples}
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, n_bytes, digest, kind, sample_rate, channels,
+    bits_per_sample, n_samples) — the audio twin of `extract_features`,
+    same Arrow-batched mapInPandas shape; WAV fields are NULL for payloads
+    that need a codec library (mp3/ogg/flac)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            hdrs = payloads.map(lambda b: parse_wav_header(b or b""))
+            fld = lambda k: hdrs.map(  # noqa: E731
+                lambda d: d[k] if d is not None else None
+            ).astype("Int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                    "digest": payloads.map(
+                        lambda b: hashlib.md5(b if b is not None else b"").hexdigest()
+                    ),
+                    "kind": payloads.map(
+                        lambda b: "wav"
+                        if parse_wav_header(b or b"") is not None
+                        else _sniff(b or b"")
+                    ),
+                    "sample_rate": fld("sample_rate"),
+                    "channels": fld("channels"),
+                    "bits_per_sample": fld("bits_per_sample"),
+                    "n_samples": fld("n_samples"),
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)

@@ -463,3 +463,40 @@ def test_parse_png_jpeg_headers(spark):
     rows = {r["doc_id"]: r for r in extract_features(df).collect()}
     assert (rows[1]["kind"], rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == ("png", 160, 90, 4)
     assert (rows[2]["kind"], rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == ("jpeg", 40, 30, 3)
+
+
+def test_wav_header_and_audio_features(spark):
+    import struct
+
+    from graphscope_spark.datapipe.multimodal import (
+        extract_audio_features,
+        parse_wav_header,
+    )
+
+    def wav(channels=2, rate=44100, bits=16, data=b"\x00" * 8, extra=b""):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * bits // 8, channels * bits // 8, bits)
+        body = extra + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    got = parse_wav_header(wav())
+    assert got == {"kind": "wav", "channels": 2, "sample_rate": 44100,
+                   "bits_per_sample": 16, "n_samples": 2}
+    # odd-length extra chunk before fmt exercises word-alignment
+    lst = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    got = parse_wav_header(wav(channels=1, rate=8000, bits=8,
+                               data=b"\x00" * 5, extra=lst))
+    assert got == {"kind": "wav", "channels": 1, "sample_rate": 8000,
+                   "bits_per_sample": 8, "n_samples": 5}
+    assert parse_wav_header(b"RIFFxxxxAVI LIST") is None  # RIFF but not WAVE
+    assert parse_wav_header(b"OggS....") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav())), (2, bytearray(b"OggSgarbage"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert (rows[1]["kind"], rows[1]["sample_rate"], rows[1]["channels"],
+            rows[1]["bits_per_sample"], rows[1]["n_samples"]) == ("wav", 44100, 2, 16, 2)
+    assert rows[2]["kind"] == "ogg" and rows[2]["sample_rate"] is None
