@@ -3438,6 +3438,203 @@ def _q_docs_by_lang(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: PII, C4 filters, splits, sampling, decontamination
+# ---------------------------------------------------------------------------
+
+
+def _pii_docs(spark, sf_dir):
+    """Documents with deterministically injected PII (emails / IPv4s /
+    phone numbers keyed off doc_id) — the synthetic corpus contains no PII,
+    so BOTH engines construct the identical augmented text independently
+    (the `_q_mm_features` two-route pattern) and then detect/redact it by
+    regex, which is the part under test."""
+    d = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0, F.format_string(" contact user%d@example.com now", d)
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0, F.format_string(" ip 10.0.%d.%d end", d % 256, (d * 7) % 256)
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0, F.format_string(" call 555-123-4%03d done", d % 1000)
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(
+        d.cast("long").alias("doc_id"), pii.alias("text")
+    )
+
+
+def _q_pii_redaction(spark, sf_dir):
+    from graphscope_spark.datapipe import pii_scan
+
+    return pii_scan(_pii_docs(spark, sf_dir))
+
+
+_PII_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN printf(' contact user%d@example.com now', doc_id) ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN printf(' ip 10.0.%d.%d end', doc_id % 256, (doc_id * 7) % 256) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN printf(' call 555-123-4%03d done', doc_id % 1000) ELSE '' END
+         AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phone,
+       CAST(length(red) AS BIGINT) AS redacted_len,
+       md5(red) AS redacted_md5
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS red
+  FROM d)
+"""
+
+
+def _q_c4_filters(spark, sf_dir):
+    from graphscope_spark.datapipe import c4_filters
+
+    c = c4_filters(_docs(spark, sf_dir))
+    return c.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("terminal_punct_line_frac", 6).alias("terminal_punct_line_frac"),
+        F.col("has_curly_brace").cast("long").alias("has_curly_brace"),
+        F.col("has_lorem_ipsum").cast("long").alias("has_lorem_ipsum"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+_C4_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         COALESCE(list_sum(list_transform(tk, x -> len(x))), 0) AS tok_chars,
+         list_filter(string_split(text, chr(10)), l -> l <> '') AS ls,
+         contains(text, '{') AS has_curly,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM d),
+m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN tok_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_len,
+         CASE WHEN len(ls) > 0
+              THEN len(list_filter(ls, l -> regexp_matches(l, '[.!?"]$'))) / CAST(len(ls) AS DOUBLE)
+              ELSE 0.0 END AS term_frac,
+         has_curly, has_lorem
+  FROM base)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_len, 6) AS mean_word_len,
+       ROUND(term_frac, 6) AS terminal_punct_line_frac,
+       CAST(has_curly AS BIGINT) AS has_curly_brace,
+       CAST(has_lorem AS BIGINT) AS has_lorem_ipsum,
+       CAST(n_words >= 5 AND n_words <= 100000
+            AND mean_len >= 3 AND mean_len <= 10
+            AND NOT has_curly AND NOT has_lorem AS BIGINT) AS keep
+FROM m
+"""
+
+
+def _q_deterministic_split(spark, sf_dir):
+    from graphscope_spark.datapipe import deterministic_split
+
+    return deterministic_split(_docs(spark, sf_dir))
+
+
+_SPLIT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CONCAT('0x', SUBSTR(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(CONCAT('0x', SUBSTR(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+            WHEN CAST(CONCAT('0x', SUBSTR(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from graphscope_spark.datapipe import stratified_sample
+
+    # frac=0.25 is exactly representable in binary, so Spark's double
+    # count*frac and DuckDB's decimal count*0.25 agree bit-for-bit at the
+    # ceil boundary (0.2 would not).
+    return stratified_sample(_docs(spark, sf_dir), frac=0.25)
+
+
+_STRATIFIED_SQL = """
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS stratum,
+         CAST(CONCAT('0x', SUBSTR(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents),
+rn AS (
+  SELECT doc_id, stratum,
+         ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h ASC, doc_id ASC) AS rn
+  FROM r),
+q AS (SELECT stratum, CEIL(COUNT(*) * 0.25) AS quota FROM r GROUP BY 1)
+SELECT doc_id, stratum FROM rn JOIN q USING (stratum) WHERE rn <= quota
+"""
+
+
+def _q_contamination(spark, sf_dir):
+    from graphscope_spark.datapipe import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    c = contamination_check(docs, bench, n=5)
+    return c.select(
+        "doc_id",
+        "n_hit_grams",
+        "n_grams",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
+_CONTAMINATION_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) >= 5
+                THEN list_transform(generate_series(1, len(tk) - 4),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+                          || ' ' || tk[i + 3] || ' ' || tk[i + 4])
+                ELSE [] END) AS gram
+  FROM d),
+gh AS (
+  SELECT DISTINCT doc_id,
+         CAST(CONCAT('0x', SUBSTR(md5(gram), 1, 15)) AS BIGINT) AS gid
+  FROM g),
+bg AS (SELECT DISTINCT gid FROM gh WHERE doc_id % 17 = 0),
+hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM gh JOIN bg USING (gid) GROUP BY 1),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM gh GROUP BY 1)
+SELECT d0.doc_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hit, 0) > 0 AS BIGINT) AS contaminated
+FROM (SELECT doc_id FROM d) d0
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -3477,6 +3674,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_subgraph_wcc": _q_gie_subgraph_wcc,
         "apsp_exact": _q_apsp_exact,
         "nx_mutate_report": _q_nx_mutate_report,
+        "pii_redaction": _q_pii_redaction,
+        "c4_filters": _q_c4_filters,
+        "deterministic_split": _q_deterministic_split,
+        "stratified_sample": _q_stratified_sample,
+        "contamination_check": _q_contamination,
         "gie_match": _q_gie_match,
         "gie_predicates": _q_gie_predicates,
         "gie_element_map": _q_gie_element_map,
@@ -3669,6 +3871,11 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_subgraph_wcc": _GIE_SUBGRAPH_WCC_SQL,
         "apsp_exact": _multi_bfs_sql(80, "TRUE", _APSP_FINAL),
         "nx_mutate_report": _NX_MUTATE_SQL,
+        "pii_redaction": _PII_SQL,
+        "c4_filters": _C4_SQL,
+        "deterministic_split": _SPLIT_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
+        "contamination_check": _CONTAMINATION_SQL,
         "gie_match": _GIE_MATCH_SQL,
         "gie_predicates": _GIE_PREDICATES_SQL,
         "gie_element_map": _GIE_ELEMENT_MAP_SQL,

@@ -29,6 +29,13 @@ from graphscope_spark.datapipe.similarity import (
     embedding_neardup_pairs,
     lsh_ann_topk,
 )
+from graphscope_spark.datapipe.curation import (
+    pii_scan,
+    c4_filters,
+    deterministic_split,
+    stratified_sample,
+    contamination_check,
+)
 from graphscope_spark.datapipe.textstats import (
     token_counts,
     quality_scores,
@@ -56,4 +63,9 @@ __all__ = [
     "fingerprints",
     "tfidf_top_terms",
     "repetition_scores",
+    "pii_scan",
+    "c4_filters",
+    "deterministic_split",
+    "stratified_sample",
+    "contamination_check",
 ]
