@@ -21,15 +21,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan_lazy
+from graphscope_spark.bsp import release_truncated, truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
 def multi_source_bfs(
-    graph: LinkGraph, roots: DataFrame, max_rounds: int = 500
+    graph: LinkGraph, roots: DataFrame, max_rounds: int = 500, fused_rounds: int = 8
 ) -> DataFrame:
     """(root, vid, dist) for every vertex reachable from each root (directed).
-    ``roots`` is a (vid) DataFrame."""
+    ``roots`` is a (vid) DataFrame.
+
+    ``fused_rounds=k`` stacks k BFS hops into ONE Spark job (the
+    `degeneracy_order`/`pagerank` block-fusion lever): inner hops only
+    construct lazily-truncated plans — each hop's `new` frontier is
+    plan-cut at construction (the stats-blowup guard is eagerness-free, see
+    `bsp.truncate_plan`) but not yet materialized — and the stopping
+    condition is ONE `settled.count()` per block, which both materializes
+    the chained checkpoints and detects the fixpoint (count stops growing).
+    Hops past exhaustion have empty frontiers and append nothing, so
+    over-running a block is semantically free.
+
+    The settled distance table is re-checkpointed once per BLOCK, not per
+    hop — on a (root, vid) pair-state whose size is O(V·reach) the per-hop
+    rewrite was the dominant write cost at depth (the growing-union
+    re-checkpoint antipattern `ordering.py` round 4 eliminated). Within a
+    block, settled grows as a lazy union over the block's checkpointed
+    frontier leaves, so plan depth per block is bounded by k, never by the
+    total round count."""
     edges = (
         graph.edges.where(F.col("src") != F.col("dst"))
         .repartition(F.col("src"))
@@ -40,22 +58,46 @@ def multi_source_bfs(
         F.col("vid").alias("root"), F.col("vid"), F.lit(0).cast("long").alias("dist")
     ).transform(truncate_plan_lazy)
     frontier = settled
+    n_settled = settled.count()
+    k = max(1, int(fused_rounds))
     rnd = 0
+    spent: list[DataFrame] = []
     while rnd < max_rounds:
-        rnd += 1
-        cand = (
-            frontier.join(edges, frontier["vid"] == edges["src"])
-            .select("root", F.col("dst").alias("vid"), (F.col("dist") + 1).alias("dist"))
-            .groupBy("root", "vid")
-            .agg(F.min("dist").alias("dist"))
-        )
-        new = cand.join(settled.select("root", "vid"), ["root", "vid"], "anti")
-        new = new.transform(truncate_plan_lazy)
-        n_new = new.count()
-        if n_new == 0:
+        settled_leaf = settled  # the block's input checkpoint
+        block_frames: list[DataFrame] = []
+        for _ in range(min(k, max_rounds - rnd)):
+            rnd += 1
+            cand = (
+                frontier.join(edges, frontier["vid"] == edges["src"])
+                .select(
+                    "root", F.col("dst").alias("vid"), (F.col("dist") + 1).alias("dist")
+                )
+                .groupBy("root", "vid")
+                .agg(F.min("dist").alias("dist"))
+            )
+            new = cand.join(settled.select("root", "vid"), ["root", "vid"], "anti")
+            new = new.transform(truncate_plan_lazy)
+            block_frames.append(new)
+            settled = settled.unionByName(new)
+            frontier = new
+        # ONE action per block: materializes every chained lazy checkpoint
+        # in the block AND yields the stopping condition.
+        settled = settled.transform(truncate_plan_lazy)
+        n_now = settled.count()
+        # Superseded leaves, releasable now that this block materialized:
+        # the PREVIOUS block's frontier leaves (this block's plans were
+        # their last consumers) and this block's input settled checkpoint
+        # (folded into the fresh one). This block's frontier leaves stay
+        # live — the last one is `frontier` for the next block.
+        for df in spent:
+            release_truncated(df)
+        release_truncated(settled_leaf)
+        spent = block_frames
+        if n_now == n_settled:
             break
-        settled = settled.unionByName(new).transform(truncate_plan_lazy)
-        frontier = new
+        n_settled = n_now
+    for df in spent:
+        release_truncated(df)
     edges.unpersist()
     return settled
 

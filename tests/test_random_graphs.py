@@ -139,3 +139,38 @@ def test_mega_hub_skew(spark):
     want_r = pagerank_oracle(edges, set(verts), alpha=0.85, tol=1e-10)
     got_r = {r["vid"]: r["rank"] for r in pagerank(g, tol=1e-10).state.collect()}
     assert max(abs(got_r[v] - want_r[v]) for v in want_r) < 1e-8
+
+
+def test_multi_source_bfs_random(spark):
+    """Fused-block multi-source BFS vs a driver-side BFS oracle, with a
+    fused_rounds sweep (1 = the unfused round-per-job shape, 8 = default,
+    64 > depth — whole BFS in very few blocks) to pin block-fusion
+    equivalence."""
+    from collections import deque
+
+    from graphscope_spark.algorithms import multi_source_bfs
+
+    for g, edges, verts in _graphs(spark):
+        adj = defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+        want = {}
+        roots = verts[::3]
+        for r in roots:
+            dist = {r: 0}
+            q = deque([r])
+            while q:
+                u = q.popleft()
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            for v, d in dist.items():
+                want[(r, v)] = d
+        rdf = spark.createDataFrame([(v,) for v in roots], "vid long")
+        for k in (1, 8, 64):
+            got = {
+                (r["root"], r["vid"]): r["dist"]
+                for r in multi_source_bfs(g, rdf, fused_rounds=k).collect()
+            }
+            assert got == want, f"fused_rounds={k}"
