@@ -1919,6 +1919,27 @@ def _q_wcc_log(spark, sf_dir):
     return wcc_log(_graph(spark, sf_dir))
 
 
+def _q_incremental_wcc(spark, sf_dir):
+    """Incremental WCC maintenance (streaming.IncrementalWCC): fold the
+    graph's edges in THREE deterministic slices ((src+dst) mod 3) as if
+    they arrived as microbatches, then attach isolated vertices as their
+    own components. The final label table must equal batch WCC over the
+    full edge set — so the oracle is the SAME recursive min-label SQL as
+    the `wcc` row, making the cross-batch merge logic independently
+    checkable."""
+    from graphscope_spark.streaming import IncrementalWCC
+
+    g = _graph(spark, sf_dir)
+    inc = IncrementalWCC(num_partitions=g.num_partitions)
+    for k in range(3):
+        inc.update(g.edges.where((F.col("src") + F.col("dst")) % 3 == k))
+    return (
+        g.vertices.select("vid")
+        .join(inc.labels, "vid", "left")
+        .select("vid", F.coalesce("comp", F.col("vid")).alias("comp"))
+    )
+
+
 def _q_gie_traversal(spark, sf_dir):
     """GIE-lite Gremlin step kernel (graphscope_spark/traversal.py):
     g.V().has('lang','en').out().groupCount() by the head's lang — the
@@ -3679,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split": _q_deterministic_split,
         "stratified_sample": _q_stratified_sample,
         "contamination_check": _q_contamination,
+        "incremental_wcc": _q_incremental_wcc,
         "gie_match": _q_gie_match,
         "gie_predicates": _q_gie_predicates,
         "gie_element_map": _q_gie_element_map,
@@ -3866,6 +3888,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "wcc": _WCC_SQL,
         "wcc_log": _WCC_SQL,
         "pregel_wcc": _WCC_SQL,
+        "incremental_wcc": _WCC_SQL,
         "gie_traversal": _GIE_TRAVERSAL_SQL,
         "gie_select_path": _GIE_SELECT_PATH_SQL,
         "gie_subgraph_wcc": _GIE_SUBGRAPH_WCC_SQL,

@@ -174,6 +174,114 @@ def streaming_exact_dedup(
     )
 
 
+class IncrementalWCC:
+    """Incremental weakly-connected-components maintenance: keep a
+    (vid, comp) label table current as edge batches arrive, without ever
+    recomputing WCC over the full edge history.
+
+    The reference engine recomputes connectivity per run (GAE is batch-only,
+    SURVEY §2.4); a continuously-crawled web graph needs the incremental
+    formulation. Per batch:
+
+    1. resolve the batch's endpoints to their CURRENT component labels
+       (unseen vertices label themselves);
+    2. contract the batch to distinct (comp_u, comp_v) edges — the only
+       merges a batch can cause are between components it touches, so the
+       contracted graph has at most 2·|batch| vertices regardless of how
+       large the accumulated graph is;
+    3. run pointer-doubling min-label WCC (`wcc_log`, O(log merge-chain)
+       rounds) on that tiny contracted graph → an old-comp → new-comp
+       remap table;
+    4. apply the remap to the full label table with ONE left join (the
+       remap side is bounded by the batch, so AQE broadcasts it), and
+       append rows for never-seen vertices.
+
+    Step 4's full-table scan is the honest per-batch floor — at 10^10
+    vertices it is one broadcast-join pass over a hash-partitioned table,
+    the same cost class as any dimension update; everything else scales
+    with the BATCH, not the graph. Labels are re-checkpointed per batch
+    (`truncate_plan`) so lineage stays flat across thousands of batches.
+
+    Correctness invariant (pinned by tests + the gate row): after any
+    sequence of batches, the label table equals batch `wcc` over the union
+    of all batches, with the same min-member canonical component ids.
+    """
+
+    def __init__(self, num_partitions: int = 32):
+        self.num_partitions = num_partitions
+        self.labels: DataFrame | None = None  # (vid, comp), checkpointed
+
+    def update(self, new_edges: DataFrame) -> DataFrame:
+        """Fold one batch of (src, dst) edges in; returns the new labels."""
+        from graphscope_spark.algorithms.wcc import wcc_log
+        from graphscope_spark.bsp import release_truncated, truncate_plan
+        from graphscope_spark.graph import from_edge_df
+
+        e = new_edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        verts = (
+            e.select(F.col("src").alias("vid"))
+            .union(e.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+        if self.labels is None:
+            cur = verts.select("vid", F.col("vid").alias("comp"))
+        else:
+            cur = verts.join(self.labels, "vid", "left").select(
+                "vid", F.coalesce("comp", F.col("vid")).alias("comp")
+            )
+        # contracted batch graph over current component ids
+        ce = (
+            e.join(cur.withColumnRenamed("vid", "src").withColumnRenamed("comp", "cu"), "src")
+            .join(cur.withColumnRenamed("vid", "dst").withColumnRenamed("comp", "cv"), "dst")
+            .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        remap = (
+            wcc_log(from_edge_df(ce, self.num_partitions))
+            .where(F.col("vid") != F.col("comp"))
+            .select(F.col("vid").alias("old"), F.col("comp").alias("new"))
+        )
+        base = (
+            self.labels if self.labels is not None
+            else verts.limit(0).select("vid", F.col("vid").alias("comp"))
+        )
+        merged = base.unionByName(
+            cur.join(base.select("vid"), "vid", "anti")  # never-seen vertices
+        )
+        updated = merged.join(
+            F.broadcast(remap), merged["comp"] == F.col("old"), "left"
+        ).select("vid", F.coalesce("new", "comp").alias("comp"))
+        prev = self.labels
+        self.labels = truncate_plan(
+            updated.repartition(self.num_partitions, F.col("vid"))
+        )
+        if prev is not None:
+            release_truncated(prev)
+        return self.labels
+
+
+def incremental_wcc_stream(
+    edge_stream: DataFrame, state: IncrementalWCC, checkpoint: str
+):
+    """Streaming surface: fold each arriving microbatch of (src, dst) edges
+    into ``state`` via foreachBatch — the maintenance pattern for sinks the
+    built-in stateful operators can't express (the label table is a JOINED
+    artifact, not a keyed aggregate). `state.labels` holds the live
+    components after every batch; parity with batch `wcc` over the union of
+    all drained batches is the test contract."""
+    return (
+        edge_stream.writeStream.foreachBatch(
+            lambda batch_df, _id: (state.update(batch_df), None)[1]
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint: str, mode: str = "complete"
 ):

@@ -154,3 +154,61 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
     assert b.count() == n_distinct
     assert b.agg(F.min("doc_id")).collect()[0][0] == 0
     q.stop()
+
+
+def test_incremental_wcc_batch_parity(spark):
+    """Folding edge batches one at a time must equal batch WCC over the
+    union — including cross-batch merges (batch 3 bridges the two islands
+    batches 1-2 built) and never-seen vertices."""
+    from graphscope_spark.algorithms import wcc
+    from graphscope_spark.graph import from_edge_df
+    from graphscope_spark.streaming import IncrementalWCC
+
+    batches = [
+        [(1, 2), (2, 3), (10, 11)],                # two islands
+        [(4, 5), (11, 12), (20, 21)],              # grow + a third island
+        [(3, 4), (12, 20), (30, 31), (5, 1)],      # bridge islands + cycle
+    ]
+    inc = IncrementalWCC(num_partitions=4)
+    seen: list[tuple[int, int]] = []
+    for b in batches:
+        seen += b
+        inc.update(spark.createDataFrame(b, "src long, dst long"))
+        got = {r["vid"]: r["comp"] for r in inc.labels.collect()}
+        g = from_edge_df(spark.createDataFrame(seen, "src long, dst long"), 4)
+        want = {r["vid"]: r["comp"] for r in wcc(g).state.collect()}
+        assert got == want, f"after batch {b}"
+
+
+def test_incremental_wcc_stream(spark, tmp_path):
+    """The foreachBatch streaming surface drains a directory of edge files
+    (one file per microbatch) and leaves labels equal to batch WCC."""
+    from graphscope_spark.algorithms import wcc
+    from graphscope_spark.graph import from_edge_df
+    from graphscope_spark.streaming import IncrementalWCC, incremental_wcc_stream
+
+    d = tmp_path / "edges_in"
+    d.mkdir()
+    all_edges = []
+    files = [
+        [(1, 2), (3, 4)],
+        [(2, 3), (7, 8)],
+        [(8, 1), (9, 9)],
+    ]
+    for i, b in enumerate(files):
+        all_edges += b
+        spark.createDataFrame(b, "src long, dst long").coalesce(1).write.parquet(
+            str(d / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    inc = IncrementalWCC(num_partitions=4)
+    q = incremental_wcc_stream(stream, inc, str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = {r["vid"]: r["comp"] for r in inc.labels.collect()}
+    g = from_edge_df(spark.createDataFrame(all_edges, "src long, dst long"), 4)
+    want = {r["vid"]: r["comp"] for r in wcc(g).state.collect()}
+    assert got == want
