@@ -400,6 +400,100 @@ al{k + 1} AS (
     return sql + f"\nSELECT vid FROM ms{rounds}"
 
 
+# -- GLE-lite oracles (graphscope_spark/learning.py) -------------------------
+# Every "random" choice in the engine is an md5-hash argmin, so each sampler
+# has an exact SQL mirror: same CONCAT key, same ROW_NUMBER tie-break.
+
+_GEN_LABELS_SQL = f"""
+WITH {_SQL_BASE},
+b AS (SELECT vid,
+             {_H60.format(x="CONCAT('0:', CAST(vid AS VARCHAR))")} % 100 AS bk
+      FROM verts)
+SELECT vid,
+       CASE WHEN bk < 75 THEN 'train'
+            WHEN bk < 85 THEN 'val'
+            ELSE 'test' END AS mask
+FROM b"""
+
+
+def _neighbor_sample_sql(fanouts: list[int], roots_pred: str, seed: int) -> str:
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "de AS (SELECT src, dst FROM edges WHERE src <> dst),",
+        f"f0 AS (SELECT vid AS root, vid FROM verts WHERE {roots_pred}),",
+    ]
+    for hop, fan in enumerate(fanouts, start=1):
+        h = _H60.format(
+            x=f"CONCAT('{seed}:{hop}:', CAST(f.root AS VARCHAR), ':', "
+            f"CAST(e.src AS VARCHAR), ':', CAST(e.dst AS VARCHAR))"
+        )
+        parts.append(
+            f"""s{hop} AS (
+  SELECT root, CAST({hop} AS BIGINT) AS hop, src, dst FROM (
+    SELECT f.root, e.src, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY f.root, e.src ORDER BY {h}, e.dst) AS rn
+    FROM f{hop - 1} f JOIN de e ON e.src = f.vid
+  ) WHERE rn <= {fan}),
+f{hop} AS (SELECT DISTINCT root, dst AS vid FROM s{hop}),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    final = " UNION ALL ".join(
+        f"SELECT * FROM s{h}" for h in range(1, len(fanouts) + 1)
+    )
+    return sql + "\n" + final
+
+
+def _random_walks_sql(length: int, num_walks: int, roots_pred: str, seed: int) -> str:
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "de AS (SELECT src, dst FROM edges WHERE src <> dst),",
+        f"""w0 AS (SELECT vid AS root, CAST(g.w AS BIGINT) AS w,
+             CAST(0 AS BIGINT) AS step, vid
+      FROM verts, (SELECT UNNEST(range({num_walks})) AS w) g
+      WHERE {roots_pred}),""",
+    ]
+    for k in range(1, length + 1):
+        h = _H60.format(
+            x=f"CONCAT('{seed}:', CAST(q.root AS VARCHAR), ':', "
+            f"CAST(q.w AS VARCHAR), ':{k}:', CAST(e.dst AS VARCHAR))"
+        )
+        parts.append(
+            f"""w{k} AS (
+  SELECT root, w, CAST({k} AS BIGINT) AS step, dst AS vid FROM (
+    SELECT q.root, q.w, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY q.root, q.w ORDER BY {h}, e.dst) AS rn
+    FROM w{k - 1} q JOIN de e ON e.src = q.vid
+  ) WHERE rn = 1),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    final = " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(length + 1))
+    return sql + "\n" + final
+
+
+def _negative_sample_sql(k: int, oversample: int, seed: int) -> str:
+    h = _H60.format(
+        x=f"CONCAT('{seed}:', CAST(s.src AS VARCHAR), ':', CAST(g.j AS VARCHAR))"
+    )
+    return f"""
+WITH {_SQL_BASE},
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+idx AS (SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS BIGINT) AS i
+        FROM verts),
+srcs AS (SELECT DISTINCT src FROM edges),
+draws AS (SELECT s.src, g.j, {h} % (SELECT n FROM nv) AS i
+          FROM srcs s, (SELECT UNNEST(range({k * oversample})) AS j) g),
+cand AS (SELECT d.src, d.j, x.vid AS neg FROM draws d JOIN idx x USING (i)
+         WHERE x.vid <> d.src),
+nonadj AS (SELECT src, neg, MIN(j) AS j FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM edges e
+                             WHERE e.src = c.src AND e.dst = c.neg)
+           GROUP BY src, neg)
+SELECT src, neg, r FROM (
+  SELECT src, neg,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY j) AS BIGINT) AS r
+  FROM nonadj) WHERE r <= {k}"""
+
+
 # bridges run on a deterministically thinned subgraph: the full doc-graph is
 # 2-edge-connected (0 bridges — a vacuous gate); dropping (src+dst)%3==0
 # edges leaves 1291 edges with a nontrivial bridge set. Oracle = per-edge
@@ -2620,6 +2714,34 @@ def _q_sampling_path(spark, sf_dir):
     return sampling_path(g, _roots(g), length=5)
 
 
+def _q_gen_labels(spark, sf_dir):
+    from graphscope_spark.learning import gen_labels
+
+    g = _graph(spark, sf_dir)
+    return gen_labels(g.vertices)
+
+
+def _q_neighbor_sample(spark, sf_dir):
+    from graphscope_spark.learning import neighbor_sample
+
+    g = _graph(spark, sf_dir)
+    return neighbor_sample(g, _roots(g), fanouts=[3, 2], seed=42)
+
+
+def _q_random_walks(spark, sf_dir):
+    from graphscope_spark.learning import random_walks
+
+    g = _graph(spark, sf_dir)
+    return random_walks(g, _roots(g), length=4, num_walks=2, seed=0)
+
+
+def _q_negative_sample(spark, sf_dir):
+    from graphscope_spark.learning import negative_sample
+
+    g = _graph(spark, sf_dir)
+    return negative_sample(g, k=3, oversample=4, seed=0)
+
+
 def _q_msf(spark, sf_dir):
     from graphscope_spark.algorithms.msf import minimum_spanning_forest
 
@@ -3695,6 +3817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_subgraph_wcc": _q_gie_subgraph_wcc,
         "apsp_exact": _q_apsp_exact,
         "nx_mutate_report": _q_nx_mutate_report,
+        # GLE-lite sampling family (new this round — never driver-gated)
+        "gen_labels": _q_gen_labels,
+        "neighbor_sample": _q_neighbor_sample,
+        "random_walks": _q_random_walks,
+        "negative_sample": _q_negative_sample,
         "pii_redaction": _q_pii_redaction,
         "c4_filters": _q_c4_filters,
         "deterministic_split": _q_deterministic_split,
@@ -3894,6 +4021,10 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_subgraph_wcc": _GIE_SUBGRAPH_WCC_SQL,
         "apsp_exact": _multi_bfs_sql(80, "TRUE", _APSP_FINAL),
         "nx_mutate_report": _NX_MUTATE_SQL,
+        "gen_labels": _GEN_LABELS_SQL,
+        "neighbor_sample": _neighbor_sample_sql([3, 2], "vid % 97 = 0", 42),
+        "random_walks": _random_walks_sql(4, 2, "vid % 97 = 0", 0),
+        "negative_sample": _negative_sample_sql(3, 4, 0),
         "pii_redaction": _PII_SQL,
         "c4_filters": _C4_SQL,
         "deterministic_split": _SPLIT_SQL,

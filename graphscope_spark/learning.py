@@ -1,0 +1,399 @@
+"""GLE-lite — graph-learning data-preparation operators.
+
+GraphScope ships a third engine (GLE, ``learning_engine/graph-learn``) whose
+job is to feed GNN training: GSL queries sample fixed-fanout neighborhoods
+(``learning/graph.py:218`` — ``V(t).batch(..).outV(e).sample(k).by('random')``),
+``gen_labels`` splits a vertex set into train/val/test buckets
+(``learning/graph.py:98`` preprocess_args;
+``docs/learning_engine/getting_started.md:123`` —
+``("train", "paper", 100, (0, 75))`` = 100 hash buckets, train ← [0, 75)),
+and negative samplers draw non-adjacent vertices per source. SURVEY §2.9
+placed the full engine out of scope; these operators re-express its *data
+prep* surface Spark-first, which is the part that matters at 100 TB — the
+sampled blocks/walk corpora are what a training job actually consumes.
+
+Determinism contract (same as ``algorithms/sampling.py``): every "random"
+choice is the argmin/argmax of ``portable_hash60`` over the candidate set,
+keyed by (seed, walk/root, step, candidate). That makes each operator
+bit-reproducible across cluster sizes and partitionings — no RNG state to
+broadcast, no per-partition seeding pitfalls — and gives every operator an
+exact DuckDB oracle (md5 is bit-identical in both engines).
+
+Scale shape:
+* ``neighbor_sample``: per hop, one shuffle of the (root, frontier) table
+  onto the edge table's src-hash partitioning + one window ranked WITHIN
+  (root, src) groups — never a global sort. Fanouts bound the blow-up:
+  |frontier_k| ≤ |seeds|·Π fanouts.
+* ``random_walks``: one join + one per-walk min_by aggregate per step;
+  state is exactly (walks × 1) rows however long the walk gets.
+* ``negative_sample``: candidate generation is pure codegen (hash → mod),
+  resolved against a broadcast-size (idx → vid) rank table only when the
+  vertex table is small, else a shuffle join on int keys; rejection is one
+  anti-join against the edge table on (src, dst) — all int-only shuffles.
+* ``gen_labels``: a scan — one hash + comparison per row, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphscope_spark.bsp import truncate_plan
+from graphscope_spark.datapipe.hashing import portable_hash60
+from graphscope_spark.graph import LinkGraph
+
+
+def _hkey(*cols) -> F.Column:
+    """portable_hash60 over ':'-joined pieces (mirrored 1:1 in oracle SQL)."""
+    parts: list = []
+    for c in cols:
+        parts.append(c if isinstance(c, F.Column) else F.lit(str(c)))
+        parts.append(F.lit(":"))
+    return portable_hash60(F.concat(*parts[:-1]))
+
+
+def gen_labels(
+    vertices: DataFrame,
+    splits: list[tuple[str, int, int]] | None = None,
+    buckets: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """(vid, mask) — deterministic hash-bucket train/val/test assignment.
+
+    ``splits`` follows the reference's ``gen_labels`` tuples
+    (docs/learning_engine/getting_started.md:123): (name, lo, hi) assigns
+    ``name`` to vertices whose bucket ∈ [lo, hi). Buckets come from
+    ``portable_hash60(seed:vid) % buckets`` so the split is stable under
+    repartitioning and across runs. Vertices falling in no range get NULL
+    (the reference's Mask.NONE, learning/graph.py:246).
+    """
+    if splits is None:
+        splits = [("train", 0, 75), ("val", 75, 85), ("test", 85, 100)]
+    b = _hkey(seed, F.col("vid").cast("string")) % buckets
+    mask = F.lit(None).cast("string")
+    for name, lo, hi in reversed(splits):
+        mask = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(mask)
+    return vertices.select("vid", mask.alias("mask"))
+
+
+def neighbor_sample(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    fanouts: list[int],
+    seed: int = 42,
+) -> DataFrame:
+    """(root, hop, src, dst) — fixed-fanout k-hop sampled blocks per seed.
+
+    The GSL chain ``V(seeds).outV(e).sample(f1).outV(e).sample(f2)``
+    (learning/graph.py:218): hop h keeps, for every frontier vertex, its
+    ``fanouts[h-1]`` out-neighbors with the smallest hash keys (ties by
+    dst) — a uniform-without-replacement draw that needs no RNG. The next
+    frontier is the distinct (root, dst) set, so shared neighbors are
+    expanded once per root, not once per path (the blow-up guard GNN
+    samplers rely on).
+    """
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .repartition(F.col("src"))
+        .persist()
+    )
+    edges.count()
+    frontier = seeds.select(F.col("vid").alias("root"), F.col("vid"))
+    out: DataFrame | None = None
+    try:
+        for hop, fan in enumerate(fanouts, start=1):
+            cand = frontier.join(edges, frontier["vid"] == edges["src"]).select(
+                "root", "src", "dst"
+            )
+            h = _hkey(
+                seed,
+                hop,
+                F.col("root").cast("string"),
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+            )
+            w = Window.partitionBy("root", "src").orderBy(h.asc(), F.col("dst").asc())
+            samp = (
+                cand.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= fan)
+                .select(
+                    "root",
+                    F.lit(hop).cast("long").alias("hop"),
+                    "src",
+                    "dst",
+                )
+                .transform(truncate_plan)
+            )
+            out = samp if out is None else out.unionByName(samp)
+            frontier = samp.select("root", F.col("dst").alias("vid")).distinct()
+    finally:
+        edges.unpersist()
+    assert out is not None
+    return out
+
+
+def random_walks(
+    graph: LinkGraph,
+    roots: DataFrame,
+    length: int = 5,
+    num_walks: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """(root, w, step, vid) — ``num_walks`` hash-deterministic uniform
+    walks per root (DeepWalk corpus generation; the multi-walk superset of
+    ``algorithms/sampling.py::sampling_path``, reference
+    ``apps/sampling_path/sampling_path.h``).
+
+    A walk is keyed by the PAIR (root, w), w ∈ [0, num_walks) — two int
+    columns, never a synthesized single id (root·num_walks + w overflows
+    64-bit for murmur-hashed vids). Each step advances EVERY live walk in
+    one join + one min_by aggregate; a walk halts at a sink (no out-edges).
+    """
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .repartition(F.col("src"))
+        .persist()
+    )
+    edges.count()
+    state = (
+        roots.select(F.col("vid").alias("root"))
+        .withColumn("w", F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))))
+        .select(
+            "root",
+            F.col("w").cast("long").alias("w"),
+            F.lit(0).cast("long").alias("step"),
+            F.col("root").alias("vid"),
+        )
+        .transform(truncate_plan)
+    )
+    out = state
+    try:
+        for k in range(1, length + 1):
+            h = _hkey(
+                seed,
+                F.col("root").cast("string"),
+                F.col("w").cast("string"),
+                k,
+                F.col("dst").cast("string"),
+            )
+            nxt = (
+                state.join(edges, state["vid"] == edges["src"])
+                .select("root", "w", "dst", h.alias("h"))
+                .groupBy("root", "w")
+                .agg(F.min_by(F.col("dst"), F.struct("h", "dst")).alias("vid"))
+                .select(
+                    "root", "w", F.lit(k).cast("long").alias("step"), "vid"
+                )
+                .transform(truncate_plan)
+            )
+            if nxt.count() == 0:
+                break
+            out = out.unionByName(nxt).transform(truncate_plan)
+            state = nxt
+    finally:
+        edges.unpersist()
+    return out
+
+
+def node2vec_walks(
+    graph: LinkGraph,
+    roots: DataFrame,
+    length: int = 5,
+    num_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """(root, w, step, vid) — 2nd-order biased walks (node2vec, Grover &
+    Leskovec 2016 §3.2; the sampler GLE exposes as ``.by('node2vec')``).
+
+    Transition weight from cur → dst given prev: 1/p if dst == prev
+    (return), 1 if dst is a neighbor of prev (BFS-ish), else 1/q
+    (DFS-ish). The weighted draw uses the exponential race
+    (Efraimidis–Spirakis): key = −ln(u)/w with u = hash-uniform ∈ (0,1],
+    argmin key wins — deterministic given the seed, no RNG state. Keys are
+    quantized to 2^-40 before the argmin (ties then break by dst) so the
+    comparison never hinges on the last ulp of ``ln``.
+
+    The "is dst a neighbor of prev" probe is a left semi-style join of the
+    candidate set against the edge table on (prev, dst) — int-only, and the
+    candidate set is (live walks × out-degree), the same row count the
+    uniform walk already shuffles; node2vec costs one extra join per step.
+    """
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .repartition(F.col("src"))
+        .persist()
+    )
+    edges.count()
+    prev_edges = edges.select(
+        F.col("src").alias("p_src"), F.col("dst").alias("p_dst")
+    )
+    state = (
+        roots.select(F.col("vid").alias("root"))
+        .withColumn("w", F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))))
+        .select(
+            "root",
+            F.col("w").cast("long").alias("w"),
+            F.col("root").alias("vid"),
+            F.lit(None).cast("long").alias("prev"),
+        )
+        .transform(truncate_plan)
+    )
+    out = state.select(
+        "root", "w", F.lit(0).cast("long").alias("step"), "vid"
+    ).transform(truncate_plan)
+    try:
+        for k in range(1, length + 1):
+            cand = state.join(edges, state["vid"] == edges["src"]).select(
+                "root", "w", "prev", F.col("vid").alias("cur"), "dst"
+            )
+            # membership probe: dst ∈ N_out(prev)?
+            probe = (
+                cand.join(
+                    prev_edges,
+                    (cand["prev"] == prev_edges["p_src"])
+                    & (cand["dst"] == prev_edges["p_dst"]),
+                    "left",
+                )
+                .select(
+                    "root",
+                    "w",
+                    "prev",
+                    "cur",
+                    "dst",
+                    F.col("p_src").isNotNull().alias("adj_prev"),
+                )
+            )
+            u = (
+                _hkey(
+                    seed,
+                    F.col("root").cast("string"),
+                    F.col("w").cast("string"),
+                    k,
+                    F.col("dst").cast("string"),
+                )
+                + F.lit(1)
+            ).cast("double") / F.lit(float(1 << 60))
+            wgt = (
+                F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("adj_prev"), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+            )
+            key = F.floor(-F.log(u) / wgt * F.lit(float(1 << 40))).cast("long")
+            nxt = (
+                probe.select("root", "w", "cur", "dst", key.alias("key"))
+                .groupBy("root", "w")
+                .agg(
+                    F.min_by(F.col("dst"), F.struct("key", "dst")).alias("vid"),
+                    F.min_by(F.col("cur"), F.struct("key", "dst")).alias("prev"),
+                )
+                .select("root", "w", "vid", "prev")
+                .transform(truncate_plan)
+            )
+            if nxt.count() == 0:
+                break
+            out = out.unionByName(
+                nxt.select(
+                    "root", "w", F.lit(k).cast("long").alias("step"), "vid"
+                )
+            ).transform(truncate_plan)
+            state = nxt
+    finally:
+        edges.unpersist()
+    return out
+
+
+def _ordered_index(verts: DataFrame) -> DataFrame:
+    """(vid, i) with i = dense 0-based rank of vid — semantically
+    ``ROW_NUMBER() OVER (ORDER BY vid) - 1`` but WITHOUT the single-partition
+    global sort that a partitionless window forces: vids are range-bucketed
+    (order-preserving ``(vid - min) div K``), ranked within buckets in
+    parallel, and shifted by broadcast cumulative bucket offsets (the only
+    driver-side data is ≤1024 bucket counts)."""
+    lo, hi = verts.agg(F.min("vid"), F.max("vid")).first()
+    if lo is None:
+        return verts.select("vid", F.lit(0).cast("long").alias("i")).limit(0)
+    k = max(1, (int(hi) - int(lo)) // 1024 + 1)
+    # floor(vid/k), NOT floor((vid-lo)/k): murmur vids span the full int64
+    # range, and the subtraction overflows under ANSI mode. long/long
+    # division goes through double, whose rounding is monotone — bucket ids
+    # stay non-decreasing in vid, which is all rank-reconstruction needs.
+    bucketed = verts.select("vid", F.floor(F.col("vid") / F.lit(k)).alias("b"))
+    counts = sorted(
+        (r.b, r.c)
+        for r in bucketed.groupBy("b").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, c in counts:
+        offsets[b] = acc
+        acc += c
+    off = F.create_map(
+        *[F.lit(x) for bc in offsets.items() for x in bc]
+    )
+    w = Window.partitionBy("b").orderBy(F.col("vid").asc())
+    return bucketed.select(
+        "vid",
+        (F.row_number().over(w) - 1 + off[F.col("b")]).cast("long").alias("i"),
+    )
+
+
+def negative_sample(
+    graph: LinkGraph,
+    k: int = 3,
+    oversample: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """(src, neg, r) — for every vertex with out-edges, up to ``k``
+    hash-drawn NON-neighbors (r = 1..k in draw order), the negative pairs a
+    link-prediction/GNN loss consumes (GLE's negative sampler surface,
+    learning_engine/README.md; drawn 'by random' over the vertex set).
+
+    Draw j ∈ [0, k·oversample): candidate index = h(seed:src:j) mod n over
+    the rank-ordered vertex table; reject self-edges and true edges
+    (anti-join); keep the first k survivors per src by draw order. With
+    oversample·k draws the miss probability per src is (d/n)^(k·oversample)
+    — negligible for web-scale sparsity; callers needing exactly-k retry
+    with a bumped seed.
+    """
+    verts = graph.vertices.select("vid")
+    n = verts.count()
+    idx = _ordered_index(verts)
+    srcs = graph.edges.select("src").distinct()
+    draws = srcs.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1)))
+    ).select(
+        "src",
+        "j",
+        (
+            _hkey(seed, F.col("src").cast("string"), F.col("j").cast("string")) % n
+        ).alias("i"),
+    )
+    cand = (
+        draws.join(idx, "i")
+        .select("src", "j", F.col("vid").alias("neg"))
+        .where(F.col("neg") != F.col("src"))
+    )
+    true_e = graph.edges.select(
+        F.col("src").alias("t_src"), F.col("dst").alias("t_neg")
+    ).distinct()
+    nonadj = (
+        cand.join(
+            true_e,
+            (cand["src"] == true_e["t_src"]) & (cand["neg"] == true_e["t_neg"]),
+            "left_anti",
+        )
+        # two draws may hit the same candidate — keep the earliest
+        .groupBy("src", "neg")
+        .agg(F.min("j").alias("j"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("j").asc())
+    return (
+        nonadj.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("src", "neg", F.col("r").cast("long").alias("r"))
+    )

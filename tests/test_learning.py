@@ -1,0 +1,133 @@
+"""GLE-lite sampling operators (graphscope_spark/learning.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphscope_spark.learning import (
+    gen_labels,
+    negative_sample,
+    neighbor_sample,
+    node2vec_walks,
+    random_walks,
+)
+
+from tests.conftest import TINY_EDGES, TINY_VERTICES
+
+
+def _edge_set():
+    return {(s, d) for s, d in TINY_EDGES if s != d}
+
+
+def test_gen_labels_partition_and_determinism(tiny_graph):
+    lab = gen_labels(tiny_graph.vertices).collect()
+    assert {r.vid for r in lab} == TINY_VERTICES
+    assert all(r.mask in ("train", "val", "test") for r in lab)  # ranges cover [0,100)
+    again = {(r.vid, r.mask) for r in gen_labels(tiny_graph.vertices).collect()}
+    assert again == {(r.vid, r.mask) for r in lab}
+    # disjoint custom ranges leave a NONE remainder
+    part = gen_labels(tiny_graph.vertices, splits=[("train", 0, 50)]).collect()
+    assert any(r.mask is None for r in part) or all(r.mask == "train" for r in part)
+
+
+def test_neighbor_sample_blocks(spark, tiny_graph):
+    seeds = spark.createDataFrame([(1,), (10,)], "vid long")
+    blocks = neighbor_sample(tiny_graph, seeds, fanouts=[2, 2]).collect()
+    es = _edge_set()
+    assert blocks, "sampled block must be nonempty"
+    for r in blocks:
+        assert (r.src, r.dst) in es, "every sampled edge is a real edge"
+        assert r.hop in (1, 2)
+    # fanout respected per (root, src, hop)
+    from collections import Counter
+
+    c = Counter((r.root, r.hop, r.src) for r in blocks)
+    assert max(c.values()) <= 2
+    # hop-1 sources are exactly the seeds that have out-edges
+    hop1_src = {r.src for r in blocks if r.hop == 1}
+    assert hop1_src <= {1, 10}
+    # deterministic
+    again = sorted(map(tuple, neighbor_sample(tiny_graph, seeds, fanouts=[2, 2]).collect()))
+    assert again == sorted(map(tuple, blocks))
+
+
+def test_random_walks_multiwalk(spark, tiny_graph):
+    roots = spark.createDataFrame([(1,), (8,)], "vid long")
+    w = random_walks(tiny_graph, roots, length=4, num_walks=3).collect()
+    es = _edge_set()
+    by_walk = {}
+    for r in w:
+        by_walk.setdefault((r.root, r.w), {})[r.step] = r.vid
+    # 3 walks per root; vertex 8 is a sink → walks stop at step 0
+    assert len([k for k in by_walk if k[0] == 1]) == 3
+    for (root, _), steps in by_walk.items():
+        assert steps[0] == root
+        for s in range(1, max(steps) + 1):
+            assert (steps[s - 1], steps[s]) in es, "walk follows real edges"
+    sink_walks = [k for k in by_walk if k[0] == 8]
+    assert all(max(by_walk[k]) == 0 for k in sink_walks)
+    again = sorted(map(tuple, random_walks(tiny_graph, roots, length=4, num_walks=3).collect()))
+    assert again == sorted(map(tuple, w))
+
+
+def test_node2vec_walks_valid_and_biased(spark, tiny_graph):
+    roots = spark.createDataFrame([(1,), (3,)], "vid long")
+    w = node2vec_walks(tiny_graph, roots, length=5, num_walks=4, p=0.25, q=4.0).collect()
+    es = _edge_set()
+    by_walk = {}
+    for r in w:
+        by_walk.setdefault((r.root, r.w), {})[r.step] = r.vid
+    for steps in by_walk.values():
+        for s in range(1, max(steps) + 1):
+            assert (steps[s - 1], steps[s]) in es
+    # p≪1 favors returning to prev: with p=0.25,q=4 at least one walk
+    # backtracks (vid at step k == vid at step k-2) on this graph
+    returns = sum(
+        1
+        for steps in by_walk.values()
+        for s in range(2, max(steps) + 1)
+        if steps[s] == steps[s - 2]
+    )
+    w_noret = node2vec_walks(
+        tiny_graph, roots, length=5, num_walks=4, p=100.0, q=1.0
+    ).collect()
+    by2 = {}
+    for r in w_noret:
+        by2.setdefault((r.root, r.w), {})[r.step] = r.vid
+    returns_hi_p = sum(
+        1
+        for steps in by2.values()
+        for s in range(2, max(steps) + 1)
+        if steps[s] == steps[s - 2]
+    )
+    assert returns >= returns_hi_p, "low p must not backtrack less than high p"
+    again = sorted(
+        map(
+            tuple,
+            node2vec_walks(
+                tiny_graph, roots, length=5, num_walks=4, p=0.25, q=4.0
+            ).collect(),
+        )
+    )
+    assert again == sorted(map(tuple, w))
+
+
+def test_negative_sample_rejects_edges(tiny_graph):
+    neg = negative_sample(tiny_graph, k=3, oversample=4).collect()
+    es = {(s, d) for s, d in TINY_EDGES}
+    srcs_with_out = {s for s, _ in TINY_EDGES}
+    assert {r.src for r in neg} <= srcs_with_out
+    for r in neg:
+        assert (r.src, r.neg) not in es, "negative must not be a true edge"
+        assert r.neg != r.src
+        assert 1 <= r.r <= 3
+        assert r.neg in TINY_VERTICES
+    from collections import Counter
+
+    per_src = Counter(r.src for r in neg)
+    assert max(per_src.values()) <= 3
+    # dedup: no (src, neg) pair twice
+    assert len({(r.src, r.neg) for r in neg}) == len(neg)
+    again = sorted(map(tuple, negative_sample(tiny_graph, k=3, oversample=4).collect()))
+    assert again == sorted(map(tuple, neg))
