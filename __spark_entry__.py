@@ -2742,6 +2742,13 @@ def _q_negative_sample(spark, sf_dir):
     return negative_sample(g, k=3, oversample=4, seed=0)
 
 
+def _q_node2vec_walks(spark, sf_dir):
+    from graphscope_spark.learning import node2vec_walks
+
+    g = _graph(spark, sf_dir)
+    return node2vec_walks(g, _roots(g), length=4, num_walks=2, p=0.5, q=2.0)
+
+
 def _q_msf(spark, sf_dir):
     from graphscope_spark.algorithms.msf import minimum_spanning_forest
 
@@ -3822,6 +3829,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": _q_neighbor_sample,
         "random_walks": _q_random_walks,
         "negative_sample": _q_negative_sample,
+        # rows-only by design: the p/q bias key is floor(-ln(u)/w · 2^40);
+        # ln is not bit-pinned across JVM/DuckDB libm, so a value-hash
+        # oracle would be flaky-by-construction. pytest validates walk
+        # validity, determinism, and bias direction (tests/test_learning.py).
+        "node2vec_walks": _q_node2vec_walks,
         "pii_redaction": _q_pii_redaction,
         "c4_filters": _q_c4_filters,
         "deterministic_split": _q_deterministic_split,

@@ -332,9 +332,7 @@ def _ordered_index(verts: DataFrame) -> DataFrame:
     for b, c in counts:
         offsets[b] = acc
         acc += c
-    off = F.create_map(
-        *[F.lit(x) for bc in offsets.items() for x in bc]
-    )
+    off = F.create_map(*[F.lit(x) for bc in offsets.items() for x in bc])
     w = Window.partitionBy("b").orderBy(F.col("vid").asc())
     return bucketed.select(
         "vid",
@@ -360,10 +358,15 @@ def negative_sample(
     — negligible for web-scale sparsity; callers needing exactly-k retry
     with a bumped seed.
     """
-    verts = graph.vertices.select("vid")
+    # persist the two tables read more than once: the lineage behind
+    # graph.edges/vertices may be an expensive corpus extraction, and this
+    # operator consumes edges twice (srcs + rejection) and vertices three
+    # times (count, bucket histogram, index join)
+    verts = graph.vertices.select("vid").persist()
+    edges = graph.edges.select("src", "dst").persist()
     n = verts.count()
     idx = _ordered_index(verts)
-    srcs = graph.edges.select("src").distinct()
+    srcs = edges.select("src").distinct()
     draws = srcs.withColumn(
         "j", F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1)))
     ).select(
@@ -378,7 +381,7 @@ def negative_sample(
         .select("src", "j", F.col("vid").alias("neg"))
         .where(F.col("neg") != F.col("src"))
     )
-    true_e = graph.edges.select(
+    true_e = edges.select(
         F.col("src").alias("t_src"), F.col("dst").alias("t_neg")
     ).distinct()
     nonadj = (
@@ -392,8 +395,12 @@ def negative_sample(
         .agg(F.min("j").alias("j"))
     )
     w = Window.partitionBy("src").orderBy(F.col("j").asc())
-    return (
+    out = (
         nonadj.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= k)
         .select("src", "neg", F.col("r").cast("long").alias("r"))
     )
+    out = truncate_plan(out)
+    verts.unpersist()
+    edges.unpersist()
+    return out

@@ -39,6 +39,8 @@ PICKS = {
     "tfidf_top_terms": "tf-idf top-k — explode → partial-agg tf, df from the same aggregate, idf dictionary join, window co-partitioned with the tf shuffle",
     "host_graph": "host-graph rollup — codegen regexp host extraction + map-side partial counts; the rollup itself adds one groupBy exchange over the shared edge-table derivation (graph_edges alone shows 2)",
     "gie_edge_expand": "Gremlin bothE/otherV — edge-property filter pushed into both direction scans, union of two equi-joins",
+    "neighbor_sample": "GLE-lite k-hop fanout sampling — per hop: one shuffle of the frontier onto the cached src-partitioned edge table + a window ranked WITHIN (root, src) (never a global sort); fanouts bound the frontier to |seeds|·Πf",
+    "negative_sample": "GLE-lite negative sampling — hash draws are pure codegen (md5→mod), candidate resolution is an int-only join against the range-bucketed ordered index (no single-partition global-rank window), rejection is one anti-join on (src,dst)",
     "repetition_scores": "Gopher repetition filters — two explode→partial-agg chains (lines, n-grams) keyed by doc_id, window co-partitioned with the 2-gram aggregate, zero UDFs. Deliberately scan-heavy/shuffle-light: the text column is re-scanned per chain (projection-pruned, sequential IO) so every aggregate keeps map-side partial aggregation — the shuffled bytes are distinct (doc, gram) counts, not the raw token stream a single-scan window formulation would have to sort-shuffle.",
 }
 
