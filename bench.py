@@ -219,6 +219,12 @@ def main():
         "coreness",
         "degeneracy_order",
         "kclique4",
+        # round 4 (cont.): GLE-lite sampling — frontier/fanout-bounded, so
+        # these should sit near the bottom of the table; a regression here
+        # signals window/shuffle plan drift, not data growth
+        "neighbor_sample",
+        "random_walks",
+        "negative_sample",
     ]
     # The gate wrappers for these rows pin max_driver_edges=0 so DuckDB
     # always cross-checks the DISTRIBUTED loops; the bench measures the

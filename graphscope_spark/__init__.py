@@ -26,6 +26,9 @@ Layout
                    dedup (exact / minhash-LSH / simhash / n-gram jaccard /
                    embedding-cosine), ANN similarity search, text analysis,
                    multimodal binary-column plumbing.
+- ``learning``   : GLE-lite GNN data prep — k-hop neighbor sampling (+
+                   induced block graphs), DeepWalk/node2vec walks, negative
+                   sampling, train/val/test hash-bucket labels.
 """
 
 from graphscope_spark.session import get_spark

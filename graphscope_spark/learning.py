@@ -308,6 +308,26 @@ def node2vec_walks(
     return out
 
 
+def to_block_graph(graph: LinkGraph, blocks: DataFrame) -> LinkGraph:
+    """Materialize a sampled block set (the output of ``neighbor_sample``)
+    as an induced LinkGraph, so any algorithm in the library can run on the
+    mini-batch subgraph — the GNN-side analog of GREMLIN_TO_SUBGRAPH
+    (reference ``framework/dag_utils.py:1048``). Vertices = every endpoint
+    that appears in a block; edges = the sampled edges, deduplicated across
+    roots/hops."""
+    verts = (
+        blocks.select(F.col("src").alias("vid"))
+        .unionByName(blocks.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    edges = blocks.select("src", "dst").distinct()
+    return LinkGraph(
+        vertices=graph.vertices.join(verts, "vid", "left_semi"),
+        edges=edges.repartition(graph.num_partitions, F.col("src")),
+        num_partitions=graph.num_partitions,
+    )
+
+
 def _ordered_index(verts: DataFrame) -> DataFrame:
     """(vid, i) with i = dense 0-based rank of vid — semantically
     ``ROW_NUMBER() OVER (ORDER BY vid) - 1`` but WITHOUT the single-partition

@@ -113,6 +113,25 @@ def test_node2vec_walks_valid_and_biased(spark, tiny_graph):
     assert again == sorted(map(tuple, w))
 
 
+def test_to_block_graph_induces_sampled_subgraph(spark, tiny_graph):
+    from graphscope_spark.learning import to_block_graph
+    from graphscope_spark.algorithms import wcc
+
+    seeds = spark.createDataFrame([(1,), (10,)], "vid long")
+    blocks = neighbor_sample(tiny_graph, seeds, fanouts=[2, 2])
+    bg = to_block_graph(tiny_graph, blocks)
+    rows = blocks.collect()
+    want_v = {r.src for r in rows} | {r.dst for r in rows}
+    assert {r.vid for r in bg.vertices.collect()} == want_v
+    assert {(r.src, r.dst) for r in bg.edges.collect()} == {
+        (r.src, r.dst) for r in rows
+    }
+    # algorithms run on the induced block graph: the two seed neighborhoods
+    # live in different components of the tiny graph
+    comps = wcc(bg).state.select("comp").distinct().count()
+    assert comps == 2
+
+
 def test_negative_sample_rejects_edges(tiny_graph):
     neg = negative_sample(tiny_graph, k=3, oversample=4).collect()
     es = {(s, d) for s, d in TINY_EDGES}
