@@ -41,6 +41,30 @@ def test_algorithms_partition_invariance(spark, pages_small):
     assert s2 == s8
 
 
+def test_learning_samplers_partition_invariance(spark, pages_small):
+    """Hash-argmin sampling must be bit-identical at any partitioning —
+    the property that lets a sampled training corpus be regenerated
+    exactly on a different cluster size."""
+    from graphscope_spark.learning import neighbor_sample, negative_sample, random_walks
+
+    g2 = build_graph(pages_small, num_partitions=2)
+    g8 = build_graph(pages_small.repartition(16), num_partitions=8)
+    seeds2 = g2.vertices.orderBy("vid").limit(4)
+    seeds8 = g8.vertices.orderBy("vid").limit(4)
+
+    b2 = sorted(map(tuple, neighbor_sample(g2, seeds2, [3, 2]).collect()))
+    b8 = sorted(map(tuple, neighbor_sample(g8, seeds8, [3, 2]).collect()))
+    assert b2 == b8
+
+    w2 = sorted(map(tuple, random_walks(g2, seeds2, length=3, num_walks=2).collect()))
+    w8 = sorted(map(tuple, random_walks(g8, seeds8, length=3, num_walks=2).collect()))
+    assert w2 == w8
+
+    n2 = sorted(map(tuple, negative_sample(g2, k=2, oversample=3).collect()))
+    n8 = sorted(map(tuple, negative_sample(g8, k=2, oversample=3).collect()))
+    assert n2 == n8
+
+
 def test_extraction_byte_identity_across_partitionings(spark, pages_small):
     a = {r["url"]: r["text"] for r in extract_pages(pages_small.coalesce(1)).collect()}
     b = {r["url"]: r["text"] for r in extract_pages(pages_small.repartition(16)).collect()}
