@@ -93,6 +93,8 @@ def neighbor_sample(
     expanded once per root, not once per path (the blow-up guard GNN
     samplers rely on).
     """
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError(f"fanouts must be non-empty positive ints, got {fanouts}")
     edges = (
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -151,6 +153,8 @@ def random_walks(
     64-bit for murmur-hashed vids). Each step advances EVERY live walk in
     one join + one min_by aggregate; a walk halts at a sink (no out-edges).
     """
+    if num_walks < 1 or length < 1:
+        raise ValueError(f"num_walks and length must be >= 1, got {num_walks}, {length}")
     edges = (
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -223,6 +227,10 @@ def node2vec_walks(
     candidate set is (live walks × out-degree), the same row count the
     uniform walk already shuffles; node2vec costs one extra join per step.
     """
+    if num_walks < 1 or length < 1 or p <= 0 or q <= 0:
+        raise ValueError(
+            f"need num_walks,length >= 1 and p,q > 0; got {num_walks}, {length}, {p}, {q}"
+        )
     edges = (
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -385,6 +393,14 @@ def negative_sample(
     verts = graph.vertices.select("vid").persist()
     edges = graph.edges.select("src", "dst").persist()
     n = verts.count()
+    if n == 0:
+        verts.unpersist()
+        edges.unpersist()
+        return verts.select(
+            F.col("vid").alias("src"),
+            F.col("vid").alias("neg"),
+            F.col("vid").alias("r"),
+        ).limit(0)
     idx = _ordered_index(verts)
     srcs = edges.select("src").distinct()
     draws = srcs.withColumn(

@@ -132,6 +132,18 @@ def test_to_block_graph_induces_sampled_subgraph(spark, tiny_graph):
     assert comps == 2
 
 
+def test_argument_guards(spark, tiny_graph):
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    with pytest.raises(ValueError):
+        neighbor_sample(tiny_graph, seeds, fanouts=[])
+    with pytest.raises(ValueError):
+        neighbor_sample(tiny_graph, seeds, fanouts=[3, 0])
+    with pytest.raises(ValueError):
+        random_walks(tiny_graph, seeds, length=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(tiny_graph, seeds, p=0.0)
+
+
 def test_negative_sample_rejects_edges(tiny_graph):
     neg = negative_sample(tiny_graph, k=3, oversample=4).collect()
     es = {(s, d) for s, d in TINY_EDGES}
