@@ -415,6 +415,17 @@ SELECT vid,
             ELSE 'test' END AS mask
 FROM b"""
 
+_GEN_EDGE_LABELS_SQL = f"""
+WITH {_SQL_BASE},
+b AS (SELECT src, dst,
+             {_H60.format(x="CONCAT('0:', CAST(src AS VARCHAR), ':', CAST(dst AS VARCHAR))")} % 100 AS bk
+      FROM edges)
+SELECT src, dst,
+       CASE WHEN bk < 75 THEN 'train'
+            WHEN bk < 85 THEN 'val'
+            ELSE 'test' END AS mask
+FROM b"""
+
 
 def _neighbor_sample_sql(fanouts: list[int], roots_pred: str, seed: int) -> str:
     parts = [
@@ -2721,6 +2732,13 @@ def _q_gen_labels(spark, sf_dir):
     return gen_labels(g.vertices)
 
 
+def _q_gen_edge_labels(spark, sf_dir):
+    from graphscope_spark.learning import gen_edge_labels
+
+    g = _graph(spark, sf_dir)
+    return gen_edge_labels(g.edges)
+
+
 def _q_neighbor_sample(spark, sf_dir):
     from graphscope_spark.learning import neighbor_sample
 
@@ -3801,8 +3819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first: (a) the flagship four; (b) the rows that have NEVER had a
     driver row (gie_select_path/gie_subgraph_wcc/gie_match/apsp_exact/
     nx_mutate_report, plus the GLE-lite sampling family added late in
-    round 4: gen_labels/neighbor_sample/random_walks/negative_sample/
-    node2vec_walks); (c) every kernel that changed this round (peel-loop
+    round 4: gen_labels/gen_edge_labels/neighbor_sample/random_walks/
+    negative_sample/node2vec_walks); (c) every kernel that changed this
+    round (peel-loop
     block fusion, min_vertex_cover fast-path, ANN oracle invariants,
     multimodal decode + new schema, traversal both() label fix, halved
     gate-pagerank rounds); (d) rows last driver-gated in r1/r2, bench
@@ -3828,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nx_mutate_report": _q_nx_mutate_report,
         # GLE-lite sampling family (new this round — never driver-gated)
         "gen_labels": _q_gen_labels,
+        "gen_edge_labels": _q_gen_edge_labels,
         "neighbor_sample": _q_neighbor_sample,
         "random_walks": _q_random_walks,
         "negative_sample": _q_negative_sample,
@@ -4036,6 +4056,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "apsp_exact": _multi_bfs_sql(80, "TRUE", _APSP_FINAL),
         "nx_mutate_report": _NX_MUTATE_SQL,
         "gen_labels": _GEN_LABELS_SQL,
+        "gen_edge_labels": _GEN_EDGE_LABELS_SQL,
         "neighbor_sample": _neighbor_sample_sql([3, 2], "vid % 97 = 0", 42),
         "random_walks": _random_walks_sql(4, 2, "vid % 97 = 0", 0),
         "negative_sample": _negative_sample_sql(3, 4, 0),

@@ -77,6 +77,34 @@ def gen_labels(
     return vertices.select("vid", mask.alias("mask"))
 
 
+def gen_edge_labels(
+    edges: DataFrame,
+    splits: list[tuple[str, int, int]] | None = None,
+    buckets: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """(src, dst, mask) — the edge-side twin of ``gen_labels``, for
+    link-prediction train/test splits (the reference's ``gen_labels`` also
+    applies to edge types, learning/graph.py:98). Bucket =
+    ``portable_hash60(seed:src:dst) % buckets`` — a pure scan, stable under
+    repartitioning, and the SAME pair always lands in the same split so a
+    test edge can never leak into training via a duplicate row."""
+    if splits is None:
+        splits = [("train", 0, 75), ("val", 75, 85), ("test", 85, 100)]
+    b = (
+        _hkey(
+            seed,
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+        )
+        % buckets
+    )
+    mask = F.lit(None).cast("string")
+    for name, lo, hi in reversed(splits):
+        mask = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(mask)
+    return edges.select("src", "dst", mask.alias("mask"))
+
+
 def neighbor_sample(
     graph: LinkGraph,
     seeds: DataFrame,

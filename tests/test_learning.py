@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from graphscope_spark.learning import (
+    gen_edge_labels,
     gen_labels,
     negative_sample,
     neighbor_sample,
@@ -29,6 +30,16 @@ def test_gen_labels_partition_and_determinism(tiny_graph):
     # disjoint custom ranges leave a NONE remainder
     part = gen_labels(tiny_graph.vertices, splits=[("train", 0, 50)]).collect()
     assert any(r.mask is None for r in part) or all(r.mask == "train" for r in part)
+
+
+def test_gen_edge_labels_stable_per_pair(tiny_graph):
+    lab = gen_edge_labels(tiny_graph.edges).collect()
+    es = {(s, d) for s, d in TINY_EDGES}
+    assert {(r.src, r.dst) for r in lab} == es
+    assert all(r.mask in ("train", "val", "test") for r in lab)
+    # the same pair always gets the same mask (no train/test leakage)
+    again = {(r.src, r.dst): r.mask for r in gen_edge_labels(tiny_graph.edges).collect()}
+    assert all(again[(r.src, r.dst)] == r.mask for r in lab)
 
 
 def test_neighbor_sample_blocks(spark, tiny_graph):
