@@ -53,6 +53,20 @@ def _hkey(*cols) -> F.Column:
     return portable_hash60(F.concat(*parts[:-1]))
 
 
+_DEFAULT_SPLITS = [("train", 0, 75), ("val", 75, 85), ("test", 85, 100)]
+
+
+def _bucket_mask(b, splits: list[tuple[str, int, int]] | None):
+    """Fold (name, lo, hi) ranges over a bucket column; later-listed ranges
+    lose to earlier ones on overlap, uncovered buckets get NULL."""
+    if splits is None:
+        splits = _DEFAULT_SPLITS
+    mask = F.lit(None).cast("string")
+    for name, lo, hi in reversed(splits):
+        mask = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(mask)
+    return mask
+
+
 def gen_labels(
     vertices: DataFrame,
     splits: list[tuple[str, int, int]] | None = None,
@@ -68,13 +82,8 @@ def gen_labels(
     repartitioning and across runs. Vertices falling in no range get NULL
     (the reference's Mask.NONE, learning/graph.py:246).
     """
-    if splits is None:
-        splits = [("train", 0, 75), ("val", 75, 85), ("test", 85, 100)]
     b = _hkey(seed, F.col("vid").cast("string")) % buckets
-    mask = F.lit(None).cast("string")
-    for name, lo, hi in reversed(splits):
-        mask = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(mask)
-    return vertices.select("vid", mask.alias("mask"))
+    return vertices.select("vid", _bucket_mask(b, splits).alias("mask"))
 
 
 def gen_edge_labels(
@@ -89,8 +98,6 @@ def gen_edge_labels(
     ``portable_hash60(seed:src:dst) % buckets`` — a pure scan, stable under
     repartitioning, and the SAME pair always lands in the same split so a
     test edge can never leak into training via a duplicate row."""
-    if splits is None:
-        splits = [("train", 0, 75), ("val", 75, 85), ("test", 85, 100)]
     b = (
         _hkey(
             seed,
@@ -99,10 +106,7 @@ def gen_edge_labels(
         )
         % buckets
     )
-    mask = F.lit(None).cast("string")
-    for name, lo, hi in reversed(splits):
-        mask = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(mask)
-    return edges.select("src", "dst", mask.alias("mask"))
+    return edges.select("src", "dst", _bucket_mask(b, splits).alias("mask"))
 
 
 def neighbor_sample(
@@ -223,7 +227,10 @@ def random_walks(
             )
             if nxt.count() == 0:
                 break
-            out = out.unionByName(nxt).transform(truncate_plan)
+            # legs are individually truncated; the accumulator stays a lazy
+            # union of checkpointed leaves (re-truncating it each step would
+            # re-materialize O(L²) rows)
+            out = out.unionByName(nxt)
             state = nxt
     finally:
         edges.unpersist()
@@ -333,11 +340,12 @@ def node2vec_walks(
             )
             if nxt.count() == 0:
                 break
+            # lazy accumulator over truncated legs (see random_walks)
             out = out.unionByName(
                 nxt.select(
                     "root", "w", F.lit(k).cast("long").alias("step"), "vid"
                 )
-            ).transform(truncate_plan)
+            )
             state = nxt
     finally:
         edges.unpersist()
@@ -359,7 +367,10 @@ def to_block_graph(graph: LinkGraph, blocks: DataFrame) -> LinkGraph:
     edges = blocks.select("src", "dst").distinct()
     return LinkGraph(
         vertices=graph.vertices.join(verts, "vid", "left_semi"),
-        edges=edges.repartition(graph.num_partitions, F.col("src")),
+        edges=edges.repartition(
+            graph.num_partitions,
+            F.pmod(F.col("src"), F.lit(graph.num_partitions)),
+        ),
         num_partitions=graph.num_partitions,
     )
 

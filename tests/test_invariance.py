@@ -45,7 +45,12 @@ def test_learning_samplers_partition_invariance(spark, pages_small):
     """Hash-argmin sampling must be bit-identical at any partitioning —
     the property that lets a sampled training corpus be regenerated
     exactly on a different cluster size."""
-    from graphscope_spark.learning import neighbor_sample, negative_sample, random_walks
+    from graphscope_spark.learning import (
+        neighbor_sample,
+        negative_sample,
+        node2vec_walks,
+        random_walks,
+    )
 
     g2 = build_graph(pages_small, num_partitions=2)
     g8 = build_graph(pages_small.repartition(16), num_partitions=8)
@@ -63,6 +68,12 @@ def test_learning_samplers_partition_invariance(spark, pages_small):
     n2 = sorted(map(tuple, negative_sample(g2, k=2, oversample=3).collect()))
     n8 = sorted(map(tuple, negative_sample(g8, k=2, oversample=3).collect()))
     assert n2 == n8
+
+    # node2vec has no SQL oracle (ln not bit-pinned cross-engine), but
+    # WITHIN one JVM its biased argmin must still be partition-invariant
+    v2 = sorted(map(tuple, node2vec_walks(g2, seeds2, length=3, num_walks=2, p=0.5, q=2.0).collect()))
+    v8 = sorted(map(tuple, node2vec_walks(g8, seeds8, length=3, num_walks=2, p=0.5, q=2.0).collect()))
+    assert v2 == v8
 
 
 def test_extraction_byte_identity_across_partitionings(spark, pages_small):
