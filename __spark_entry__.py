@@ -3334,6 +3334,142 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+_BM25_TERMS = ("spark", "vector", "stream")
+
+
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 ranking (datapipe.bm25_rank, Lucene idf variant): top-10
+    documents for a fixed 3-term query, k1=1.2 b=0.75, ties doc_id asc.
+    Plan: query-term filter directly after the token explode, distributed
+    TakeOrderedAndProject top-k, broadcast |q|-row idf table."""
+    from graphscope_spark.datapipe import bm25_rank
+
+    r = bm25_rank(_docs(spark, sf_dir), list(_BM25_TERMS), top_k=10)
+    return r.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+_BM25_SQL = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(length(toks) AS DOUBLE) AS dl FROM d),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+  WHERE term IN ('spark', 'vector', 'stream')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         SUM(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * (t.tf * (1.2 + 1.0))
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+  FROM tf t
+  JOIN df f USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+  GROUP BY t.doc_id
+),
+top AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+FROM top WHERE rnk <= 10
+"""
+
+
+def _hll_shingle_lang(spark, sf_dir):
+    from graphscope_spark.datapipe.dedup import char_shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = char_shingles(docs, 5, hashed=True)
+    return sh.join(docs.select("doc_id", "lang", "source"), "doc_id")
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """HLL approximate distinct (datapipe.sketches.distinct_check): distinct
+    hashed 5-gram shingles per language, DataSketches lgk=14 (~0.8% RSE),
+    err_ok pins |est-exact| <= 5%·exact Spark-side; the oracle independently
+    recomputes the exact count (portable md5 shingle hash). The estimate
+    itself is NOT emitted: DataSketches' streaming HIP estimator is
+    partition-order-dependent, so only the exact count and the bound bit
+    are stable across engines and runs."""
+    from graphscope_spark.datapipe import distinct_check
+
+    chk = distinct_check(
+        _hll_shingle_lang(spark, sf_dir), ["lang"], "shingle", lgk=14, rel_err=0.05
+    )
+    return chk.select("lang", "exact_distinct", "err_ok")
+
+
+from graphscope_spark.datapipe.hashing import portable_hash60_sql as _ph60_sql
+
+_HLL_SHINGLES_BASE = f"""
+d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t, lang FROM documents),
+shpos AS (
+  SELECT doc_id, t, lang,
+         unnest(generate_series(1, GREATEST(length(t) - 4, 0))) AS pos
+  FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, lang, {_ph60_sql("substr(t, pos, 5)")} AS shingle
+  FROM shpos WHERE length(substr(t, pos, 5)) = 5)
+"""
+
+_HLL_DISTINCT_SQL = f"""
+WITH {_HLL_SHINGLES_BASE}
+SELECT lang, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS exact_distinct,
+       CAST(1 AS BIGINT) AS err_ok
+FROM sh GROUP BY lang
+"""
+
+
+def _q_hll_merge(spark, sf_dir):
+    """HLL mergeability (datapipe.sketches.hll_partial + hll_merge): one
+    sketch per (lang, source) split, max-merged per lang — the 100-TB
+    summary-table idiom (distinct over any split subset without rescanning
+    the corpus). merge_ok pins |merged_est − whole_est| <= 2%·exact
+    (register merge is lossless; the residual is HIP-vs-composite
+    estimator drift, measured ±0.5%), err_ok pins merged_est within 5% of
+    the exact count the oracle recomputes."""
+    from graphscope_spark.datapipe import hll_distinct, hll_merge, hll_partial
+
+    sh = _hll_shingle_lang(spark, sf_dir)
+    merged = hll_merge(
+        hll_partial(sh, ["lang"], "source", "shingle", lgk=14), ["lang"]
+    ).withColumnRenamed("est_distinct", "est_m")
+    whole = hll_distinct(sh, ["lang"], "shingle", lgk=14).withColumnRenamed(
+        "est_distinct", "est_w"
+    )
+    exact = sh.groupBy("lang").agg(F.countDistinct("shingle").alias("exact_distinct"))
+    j = exact.join(merged, "lang").join(whole, "lang")
+    return j.select(
+        "lang",
+        "exact_distinct",
+        (F.abs(F.col("est_m") - F.col("est_w")) <= 0.02 * F.col("exact_distinct"))
+        .cast("long")
+        .alias("merge_ok"),
+        (F.abs(F.col("est_m") - F.col("exact_distinct")) <= 0.05 * F.col("exact_distinct"))
+        .cast("long")
+        .alias("err_ok"),
+    )
+
+
+_HLL_MERGE_SQL = f"""
+WITH {_HLL_SHINGLES_BASE}
+SELECT lang, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS exact_distinct,
+       CAST(1 AS BIGINT) AS merge_ok, CAST(1 AS BIGINT) AS err_ok
+FROM sh GROUP BY lang
+"""
+
+
 def _q_token_counts(spark, sf_dir):
     from graphscope_spark.datapipe import token_counts
 
@@ -3841,6 +3977,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "cdlp": _q_cdlp,
         "triangles": _q_triangles,
+        # round-4 late additions, never driver-gated yet: BM25 ranking and
+        # the HLL sketch family (approximate distinct + mergeability).
+        "bm25_rank": _q_bm25,
+        "hll_distinct_shingles": _q_hll_distinct,
+        "hll_merge_invariance": _q_hll_merge,
         "gie_select_path": _q_gie_select_path,
         "gie_subgraph_wcc": _q_gie_subgraph_wcc,
         "apsp_exact": _q_apsp_exact,
@@ -4074,6 +4215,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "cdlp": _cdlp_sql(10),
         "triangles": _TRIANGLES_SQL,
+        "bm25_rank": _BM25_SQL,
+        "hll_distinct_shingles": _HLL_DISTINCT_SQL,
+        "hll_merge_invariance": _HLL_MERGE_SQL,
         "lcc": _LCC_SQL,
         "bfs": _bellman_sql(
             80, "1", 0, "CAST(dist AS BIGINT) AS dist"

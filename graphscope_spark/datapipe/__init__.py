@@ -43,6 +43,13 @@ from graphscope_spark.datapipe.textstats import (
     fingerprints,
     tfidf_top_terms,
     repetition_scores,
+    bm25_rank,
+)
+from graphscope_spark.datapipe.sketches import (
+    hll_distinct,
+    hll_partial,
+    hll_merge,
+    distinct_check,
 )
 
 __all__ = [
@@ -63,6 +70,11 @@ __all__ = [
     "fingerprints",
     "tfidf_top_terms",
     "repetition_scores",
+    "bm25_rank",
+    "hll_distinct",
+    "hll_partial",
+    "hll_merge",
+    "distinct_check",
     "pii_scan",
     "c4_filters",
     "deterministic_split",

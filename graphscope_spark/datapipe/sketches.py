@@ -1,0 +1,113 @@
+"""Mergeable cardinality sketches (Apache DataSketches HLL via Spark 4's
+native ``hll_sketch_agg`` family).
+
+Why this is a first-class 100-TB operator: exact ``COUNT(DISTINCT x)`` over
+a petabyte corpus shuffles every distinct value once per (group, value) —
+the single most expensive aggregation shape there is. An HLL sketch is a
+fixed-size (``4·2^lgk`` bytes) register array with two properties that
+change the plan entirely:
+
+* **map-side partial aggregation** — each task folds its partition into one
+  sketch; the shuffle moves ``groups × 2^lgk`` bytes, independent of the
+  number of rows or distinct values;
+* **mergeability** — the union of per-split sketches (per day, per source,
+  per file) carries the same register state as a sketch of the union
+  (estimates agree within the sketch's own error bound; see
+  :func:`hll_merge` for the HIP-vs-composite estimator caveat), so daily
+  pipelines keep per-partition sketches in a summary table and answer
+  "distinct over any date range / source subset" by unioning a handful of
+  kilobyte blobs instead of rescanning the corpus.
+
+Error is deterministic in ``lgk``: relative standard error ≈ 1.04/√2^lgk
+(lgk=14 → ~0.8%). Everything here is JVM-side DataSketches code — no
+Python in the data path.
+
+Reference parity: the reference's analytical engine exposes exact
+per-group aggregates only; this module is the scale path the brief's
+training-data-pipeline mandate adds on top (dedup/statistics over web-scale
+corpora), mirroring the summary-table idiom of the public DataSketches
+Spark integration.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_distinct",
+    "hll_partial",
+    "hll_merge",
+    "distinct_check",
+]
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """(group..., est_distinct) — approximate distinct ``value_col`` per
+    group in ONE pass with map-side partial sketch aggregation."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(value_col), F.lit(int(lgk)))
+        ).alias("est_distinct")
+    )
+
+
+def hll_partial(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    split_col: str,
+    value_col: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """(group..., split, sketch binary) — the pre-aggregated mergeable
+    state, one sketch per (group, split). This is the summary-table shape:
+    persist it per ingest batch and never rescan raw data for distincts."""
+    return df.groupBy(*group_cols, split_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(int(lgk))).alias("sketch")
+    )
+
+
+def hll_merge(partials: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """(group..., est_distinct) — union per-split sketches back to a
+    per-group estimate. ``hll_union_agg`` max-merges register arrays, so
+    the merged *state* is lossless at equal ``lgk``; the *estimate* can
+    still differ slightly from a single-pass sketch because DataSketches
+    uses the order-dependent HIP estimator while streaming but the
+    composite estimator after a union (measured: ±0.5% at lgk=14 on 1.8k
+    distincts). Merge invariance is therefore pinned as a tolerance bit,
+    not bitwise equality (``tests/test_sketches.py``, the
+    ``hll_merge_invariance`` gate row)."""
+    return partials.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("est_distinct")
+    )
+
+
+def distinct_check(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lgk: int = 14,
+    rel_err: float = 0.05,
+) -> DataFrame:
+    """(group..., exact_distinct, est_distinct, err_ok) — verification
+    harness: exact and sketched distinct side by side plus an error-bound
+    bit. The exact count exists to *grade* the sketch at test scale; at
+    100 TB only the sketch runs."""
+    agg = df.groupBy(*group_cols).agg(
+        F.countDistinct(F.col(value_col)).alias("exact_distinct"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(value_col), F.lit(int(lgk)))
+        ).alias("est_distinct"),
+    )
+    ok = (
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        <= F.lit(float(rel_err)) * F.col("exact_distinct")
+    ) | (F.col("exact_distinct") == F.col("est_distinct"))
+    return agg.withColumn("err_ok", ok.cast("long"))

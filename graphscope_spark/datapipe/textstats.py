@@ -9,6 +9,8 @@ exactly (floats rounded at the gate).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -151,6 +153,69 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .select("doc_id", "term", "tf", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score, rank) — the ``top_k`` documents for a bag-of-words
+    query under Okapi BM25 (Lucene idf variant,
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``), ties by doc_id asc.
+    Only documents matching ≥1 query term are candidates.
+
+    Scale shape: the query-term filter lands IMMEDIATELY after the token
+    explode, so the tf aggregate shuffles only (doc, query-term) hits —
+    a few rows per matching doc, not the token stream; document length is
+    computed without an explode at all (``size(tokens)`` per row, one
+    scan-side projection); N and avgdl are two scalar aggregates (the one
+    driver round-trip, same as tf-idf's N); the |q|-row idf table joins
+    broadcast. Zero Python anywhere.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.col(text_col)).alias("toks"),
+    )
+    dl = toks.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    row = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(df_.withColumn("idf", idf).drop("df")), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+    # never a global sort), THEN rank the ≤top_k survivors with the
+    # single-partition window, which at that point is trivially small.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(top_k))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
     )
 
 
