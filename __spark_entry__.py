@@ -3470,6 +3470,37 @@ FROM sh GROUP BY lang
 """
 
 
+def _q_event_quantiles(spark, sf_dir):
+    """GK quantile sketch (datapipe.sketches.quantile_check): one-pass
+    percentile_approx p50/p95 of event value per event_type, graded
+    against the sketch's own rank contract (returned element's rank within
+    n/accuracy+1 of ⌈p·n⌉ — rank_ok bits); exact type-7 interpolated
+    quantiles ride along and are what the oracle cross-checks
+    (quantile_cont uses the same definition)."""
+    from graphscope_spark.datapipe import quantile_check
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = quantile_check(ev, ["event_type"], "value", probs=(0.5, 0.95))
+    return q.select(
+        "event_type",
+        "n",
+        F.round("exact_0_5", 6).alias("p50"),
+        F.col("rank_ok_0_5").alias("rank_ok_p50"),
+        F.round("exact_0_95", 6).alias("p95"),
+        F.col("rank_ok_0_95").alias("rank_ok_p95"),
+    )
+
+
+_EVENT_QUANTILES_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       CAST(1 AS BIGINT) AS rank_ok_p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(1 AS BIGINT) AS rank_ok_p95
+FROM events GROUP BY event_type
+"""
+
+
 def _q_token_counts(spark, sf_dir):
     from graphscope_spark.datapipe import token_counts
 
@@ -3982,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": _q_bm25,
         "hll_distinct_shingles": _q_hll_distinct,
         "hll_merge_invariance": _q_hll_merge,
+        "event_quantiles": _q_event_quantiles,
         "gie_select_path": _q_gie_select_path,
         "gie_subgraph_wcc": _q_gie_subgraph_wcc,
         "apsp_exact": _q_apsp_exact,
@@ -4218,6 +4250,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "bm25_rank": _BM25_SQL,
         "hll_distinct_shingles": _HLL_DISTINCT_SQL,
         "hll_merge_invariance": _HLL_MERGE_SQL,
+        "event_quantiles": _EVENT_QUANTILES_SQL,
         "lcc": _LCC_SQL,
         "bfs": _bellman_sql(
             80, "1", 0, "CAST(dist AS BIGINT) AS dist"

@@ -50,6 +50,8 @@ from graphscope_spark.datapipe.sketches import (
     hll_partial,
     hll_merge,
     distinct_check,
+    approx_quantiles,
+    quantile_check,
 )
 
 __all__ = [
@@ -75,6 +77,8 @@ __all__ = [
     "hll_partial",
     "hll_merge",
     "distinct_check",
+    "approx_quantiles",
+    "quantile_check",
     "pii_scan",
     "c4_filters",
     "deterministic_split",

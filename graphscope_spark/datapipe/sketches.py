@@ -41,6 +41,8 @@ __all__ = [
     "hll_partial",
     "hll_merge",
     "distinct_check",
+    "approx_quantiles",
+    "quantile_check",
 ]
 
 
@@ -87,6 +89,87 @@ def hll_merge(partials: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     return partials.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("est_distinct")
     )
+
+
+def _ptag(p: float) -> str:
+    return str(p).replace(".", "_")
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """(group..., n, q_<p>...) — Greenwald-Khanna approximate quantiles per
+    group in ONE pass (``percentile_approx``). Same mergeable-partial story
+    as the HLL family: each task summarizes its partition into a bounded GK
+    sketch, partials merge at the reducer, so the shuffle is
+    groups × O(accuracy·log n) entries regardless of row count — the only
+    way a percentile over 100 TB is a single job. Guarantee: the returned
+    element's rank is within n/accuracy of ⌈p·n⌉ (exactly the bit
+    :func:`quantile_check` verifies)."""
+    aggs = [F.count("*").alias("n")]
+    for p in probs:
+        aggs.append(
+            F.percentile_approx(F.col(value_col), F.lit(float(p)), F.lit(int(accuracy))).alias(
+                f"q_{_ptag(p)}"
+            )
+        )
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def quantile_check(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """(group..., n, exact_<p>..., rank_ok_<p>...) — grades the GK sketch
+    against its own contract: the approximate p-quantile must be an element
+    whose rank interval [#{v < q}+1, #{v ≤ q}] overlaps
+    ⌈p·n⌉ ± (n/accuracy + 1). The exact quantiles (linear interpolation,
+    type-7, matching DuckDB ``quantile_cont``) ride along for the oracle.
+    Exact + approx run in the SAME aggregate; one extra co-partitioned pass
+    counts the rank brackets."""
+    group_cols = list(group_cols)
+    aggs = [F.count("*").alias("n")]
+    for p in probs:
+        t = _ptag(p)
+        aggs.append(F.percentile(F.col(value_col), F.lit(float(p))).alias(f"exact_{t}"))
+        aggs.append(
+            F.percentile_approx(F.col(value_col), F.lit(float(p)), F.lit(int(accuracy))).alias(
+                f"approx_{t}"
+            )
+        )
+    base = df.groupBy(*group_cols).agg(*aggs)
+    vals = df.select(*group_cols, F.col(value_col).alias("_v")).join(
+        F.broadcast(base), group_cols
+    )
+    rank_aggs = []
+    for p in probs:
+        t = _ptag(p)
+        rank_aggs.append(
+            F.sum((F.col("_v") < F.col(f"approx_{t}")).cast("long")).alias(f"lt_{t}")
+        )
+        rank_aggs.append(
+            F.sum((F.col("_v") <= F.col(f"approx_{t}")).cast("long")).alias(f"le_{t}")
+        )
+    ranks = vals.groupBy(*group_cols).agg(*rank_aggs)
+    out = base.join(ranks, group_cols)
+    cols = [*group_cols, F.col("n")]
+    for p in probs:
+        t = _ptag(p)
+        target = F.ceil(F.lit(float(p)) * F.col("n"))
+        slack = F.col("n") / F.lit(int(accuracy)) + F.lit(1.0)
+        ok = (F.col(f"lt_{t}") + 1 <= target + slack) & (
+            F.col(f"le_{t}") >= target - slack
+        )
+        cols.append(F.col(f"exact_{t}"))
+        cols.append(ok.cast("long").alias(f"rank_ok_{t}"))
+    return out.select(*cols)
 
 
 def distinct_check(

@@ -9,11 +9,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphscope_spark.datapipe import (
+    approx_quantiles,
     bm25_rank,
     distinct_check,
     hll_distinct,
     hll_merge,
     hll_partial,
+    quantile_check,
 )
 
 
@@ -63,6 +65,32 @@ def test_hll_larger_cardinality_bound(spark):
     )
     est = hll_distinct(df, ["g"], "v", lgk=14).collect()[0]["est_distinct"]
     assert abs(est - 50_000) <= 0.025 * 50_000
+
+
+def test_quantile_exact_small(spark):
+    # 1..101 per group: p50 = 51 exactly, p95 = 96 (type-7: 0.95*100 = 95
+    # → element at 0-based index 95). GK at accuracy 10k on 101 rows is
+    # exact, so approx_quantiles returns members equal to the exact values.
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 102)], "g string, v double"
+    )
+    row = quantile_check(df, ["g"], "v", probs=(0.5, 0.95)).collect()[0]
+    assert row["n"] == 101
+    assert row["exact_0_5"] == 51.0 and row["rank_ok_0_5"] == 1
+    assert row["exact_0_95"] == 96.0 and row["rank_ok_0_95"] == 1
+    a = approx_quantiles(df, ["g"], "v", probs=(0.5, 0.95)).collect()[0]
+    assert a["q_0_5"] == 51.0 and a["q_0_95"] == 96.0
+
+
+def test_quantile_rank_contract_low_accuracy(spark):
+    # accuracy=100 over 10k rows → rank slack 101; the approx median can
+    # drift but the rank_ok contract must still hold, per GK's guarantee
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    row = quantile_check(df, ["g"], "v", probs=(0.5,), accuracy=100).collect()[0]
+    assert row["rank_ok_0_5"] == 1
+    assert row["exact_0_5"] == pytest.approx(4999.5)
 
 
 def test_bm25_hand_oracle(spark):
