@@ -65,3 +65,32 @@ def test_consolidate_columns(tiny_graph):
     g4 = ops.consolidate_columns(g3, ["dc", "dc2"], into="props")
     row = g4.vertices.select("props").first()
     assert len(row["props"]) == 2
+
+
+def test_bucketed_archive_colocated_plans(spark, tiny_graph):
+    """Bucketed persistence: round-trip equality, then the two co-location
+    contracts — a src-keyed aggregate plans with NO Exchange, and an
+    edges⋈vertices SortMergeJoin reads both bucketed scans shuffle-free."""
+    try:
+        ops.archive_bucketed(tiny_graph, "t_bucket", buckets=4)
+        g2 = ops.load_bucketed(spark, "t_bucket")
+        assert _edge_set(g2.edges) == _edge_set(tiny_graph.edges)
+        assert g2.num_partitions == 4
+
+        deg_plan = (
+            g2.edges.groupBy("src").count()._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in deg_plan
+        assert "Bucketed: true" in deg_plan
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = g2.edges.join(g2.vertices.withColumnRenamed("vid", "src"), "src")
+            jplan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in jplan
+            assert "SortMergeJoin" in jplan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_edges")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_vertices")
