@@ -2045,6 +2045,45 @@ def _q_incremental_wcc(spark, sf_dir):
     )
 
 
+def _q_incremental_pagerank(spark, sf_dir):
+    """Incremental PageRank maintenance (streaming.IncrementalPageRank):
+    fold the doc-derived edges in a realistic crawl shape — one 90% bulk
+    batch then two ~5% delta batches (xxhash64 mod 20 slices) — each batch
+    re-solved by warm-started power iteration. Correctness contract: the
+    maintained ranks equal an independent COLD batch solve of the full
+    graph at the same tol (both Spark runs; observed diff ~2e-11, bit at
+    1e-7). The oracle independently pins the vertex domain (slice union =
+    all edges, so endpoints are slicing-independent); the rank closeness
+    is a two-run Spark cross-check, not SQL-expressible at fixpoint."""
+    from graphscope_spark.algorithms.pagerank import pagerank
+    from graphscope_spark.graph import from_edge_df
+    from graphscope_spark.streaming import IncrementalPageRank
+
+    edges = edges_from_documents(spark, sf_dir).select("src", "dst").distinct()
+    h = F.pmod(F.xxhash64("src", "dst"), F.lit(20))
+    inc = IncrementalPageRank(num_partitions=NUM_PARTITIONS)
+    for cond in (h < 18, h == 18, h == 19):
+        inc.update(edges.where(cond), tol=1e-9, max_rounds=300)
+    cold = pagerank(
+        from_edge_df(edges, NUM_PARTITIONS), tol=1e-9, max_rounds=300
+    )
+    j = inc.ranks.withColumnRenamed("rank", "r_inc").join(
+        cold.state.select("vid", F.col("rank").alias("r_cold")), "vid"
+    )
+    return j.select(
+        "vid",
+        (F.abs(F.col("r_inc") - F.col("r_cold")) <= 1e-7).cast("long").alias("close"),
+    )
+
+
+_INCR_PAGERANK_SQL = f"""
+WITH {_SQL_BASE}
+SELECT vid, CAST(1 AS BIGINT) AS close
+FROM (SELECT DISTINCT vid FROM (
+  SELECT src AS vid FROM edges UNION ALL SELECT dst AS vid FROM edges))
+"""
+
+
 def _q_gie_traversal(spark, sf_dir):
     """GIE-lite Gremlin step kernel (graphscope_spark/traversal.py):
     g.V().has('lang','en').out().groupCount() by the head's lang — the
@@ -4014,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_shingles": _q_hll_distinct,
         "hll_merge_invariance": _q_hll_merge,
         "event_quantiles": _q_event_quantiles,
+        "incremental_pagerank": _q_incremental_pagerank,
         "gie_select_path": _q_gie_select_path,
         "gie_subgraph_wcc": _q_gie_subgraph_wcc,
         "apsp_exact": _q_apsp_exact,
@@ -4251,6 +4291,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "hll_distinct_shingles": _HLL_DISTINCT_SQL,
         "hll_merge_invariance": _HLL_MERGE_SQL,
         "event_quantiles": _EVENT_QUANTILES_SQL,
+        "incremental_pagerank": _INCR_PAGERANK_SQL,
         "lcc": _LCC_SQL,
         "bfs": _bellman_sql(
             80, "1", 0, "CAST(dist AS BIGINT) AS dist"

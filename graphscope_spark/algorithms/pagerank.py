@@ -49,6 +49,7 @@ def pagerank(
     resume: bool = False,
     fused_rounds: int = 1,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> BSPResult:
     """Returns BSPResult whose state is (vid, rank).
 
@@ -60,7 +61,14 @@ def pagerank(
     — rank then distributes proportionally to weight (NetworkX
     ``pagerank(weight=...)`` semantics; the reference's nx layer exposes the
     same knob). Dangling detection is unchanged (a vertex with any out-edge
-    is non-dangling), which is exact for positive weights."""
+    is non-dangling), which is exact for positive weights.
+
+    ``init_ranks``: optional (vid, rank) warm start — vertices absent from
+    it start at 1/n and the whole vector is renormalized to sum 1. Power
+    iteration converges to the SAME unique stationary vector from any
+    positive start; a warm start from a nearby solution (the incremental
+    crawl-maintenance case, streaming.IncrementalPageRank) just gets there
+    in far fewer supersteps. Costs one extra scalar aggregate."""
     spark = graph.vertices.sparkSession
     P = graph.num_partitions
     verts = graph.vertices.select("vid")
@@ -86,11 +94,20 @@ def pagerank(
     ew = ew.repartition(F.col("src")).persist()
     ew.count()
 
+    if init_ranks is None:
+        rank0 = F.lit(1.0 / n)
+        seeded = verts
+    else:
+        seeded = verts.join(
+            init_ranks.select("vid", F.col("rank").alias("_ir")), "vid", "left"
+        ).withColumn("_r0", F.coalesce("_ir", F.lit(1.0 / n)))
+        total = seeded.agg(F.sum("_r0")).collect()[0][0] or 1.0
+        rank0 = F.col("_r0") / F.lit(float(total))
     state0 = (
-        verts.join(out_deg, "vid", "left")
+        seeded.join(out_deg, "vid", "left")
         .select(
             "vid",
-            F.lit(1.0 / n).alias("rank"),
+            rank0.alias("rank"),
             F.lit(0.0).alias("prev"),
             F.col("out_deg").isNull().alias("dangling"),
         )

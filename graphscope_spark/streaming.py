@@ -263,6 +263,89 @@ class IncrementalWCC:
         return self.labels
 
 
+class IncrementalPageRank:
+    """Incremental PageRank maintenance for a continuously-crawled link
+    graph: keep a (vid, rank) table current as edge batches arrive,
+    re-solving by WARM-STARTED power iteration instead of from scratch.
+
+    PageRank is a global fixpoint — a new edge can in principle move every
+    rank — so unlike WCC there is no batch-local exact update. The standard
+    web-scale practice (and what this implements) is: accumulate the edge
+    delta, then restart power iteration FROM THE PREVIOUS RANK VECTOR
+    (extended with 1/n for new vertices, renormalized). Convergence is to
+    the same unique stationary vector from any positive start
+    (`algorithms/pagerank.py` ``init_ranks``); when a batch perturbs the
+    graph locally, the warm start lands within ``tol`` sooner by
+    ≈ log(‖warm − fixpoint‖ / ‖uniform − fixpoint‖) / log(contraction)
+    supersteps — an absolute saving that grows with how slowly the graph
+    mixes (web graphs are α-limited, ~0.85/round) and shrinks to nothing
+    when a batch rewrites the graph wholesale (a warm start from a very
+    different graph's solution can even lose to uniform; measured on the
+    sf0.01 1/3-slice pathological case). The invariant that is pinned
+    (tests + gate row) is CORRECTNESS, not rounds: after any batch
+    sequence the ranks equal a cold batch solve of the accumulated graph
+    at the same tol (<1e-9 observed at tol=1e-10), and a warm start from
+    the exact solution converges in one superstep. Edge history is
+    re-checkpointed per batch so lineage stays flat across thousands of
+    batches; the accumulated-edge distinct is one hash aggregate over the
+    same partitioning the solver reuses.
+    """
+
+    def __init__(self, alpha: float = 0.85, num_partitions: int = 32):
+        self.alpha = alpha
+        self.num_partitions = num_partitions
+        self.edges: DataFrame | None = None  # accumulated distinct (src, dst)
+        self.ranks: DataFrame | None = None  # (vid, rank), checkpointed
+        self.last_supersteps: int = 0
+
+    def update(
+        self, new_edges: DataFrame, tol: float = 1e-10, max_rounds: int = 200
+    ) -> DataFrame:
+        """Fold one batch of (src, dst) edges in; returns the new ranks."""
+        from graphscope_spark.algorithms.pagerank import pagerank
+        from graphscope_spark.bsp import release_truncated, truncate_plan
+        from graphscope_spark.graph import from_edge_df
+
+        e = new_edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        acc = e if self.edges is None else self.edges.unionByName(e)
+        prev_e = self.edges
+        self.edges = truncate_plan(
+            acc.distinct().repartition(self.num_partitions, F.col("src"))
+        )
+        if prev_e is not None:
+            release_truncated(prev_e)
+        res = pagerank(
+            from_edge_df(self.edges, self.num_partitions),
+            alpha=self.alpha,
+            tol=tol,
+            max_rounds=max_rounds,
+            init_ranks=self.ranks,
+        )
+        prev_r = self.ranks
+        self.ranks = truncate_plan(res.state.select("vid", "rank"))
+        if prev_r is not None:
+            release_truncated(prev_r)
+        self.last_supersteps = res.supersteps
+        return self.ranks
+
+
+def incremental_pagerank_stream(
+    edge_stream: DataFrame, state: IncrementalPageRank, checkpoint: str
+):
+    """Streaming surface for :class:`IncrementalPageRank` — same
+    foreachBatch maintenance pattern as :func:`incremental_wcc_stream`."""
+    return (
+        edge_stream.writeStream.foreachBatch(
+            lambda batch_df, _id: (state.update(batch_df), None)[1]
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_wcc_stream(
     edge_stream: DataFrame, state: IncrementalWCC, checkpoint: str
 ):

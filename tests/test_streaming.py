@@ -212,3 +212,73 @@ def test_incremental_wcc_stream(spark, tmp_path):
     g = from_edge_df(spark.createDataFrame(all_edges, "src long, dst long"), 4)
     want = {r["vid"]: r["comp"] for r in wcc(g).state.collect()}
     assert got == want
+
+
+def test_incremental_pagerank_batch_parity(spark):
+    """Folding edge batches with warm-started re-solve must land on the
+    same fixpoint as a cold batch solve of the accumulated graph; a warm
+    start from the exact solution converges in one superstep."""
+    from graphscope_spark.algorithms.pagerank import pagerank
+    from graphscope_spark.graph import from_edge_df
+    from graphscope_spark.streaming import IncrementalPageRank
+
+    batches = [
+        [(1, 2), (2, 3), (3, 1), (3, 4)],
+        [(4, 5), (5, 1), (6, 1)],
+        [(2, 6), (7, 3)],  # new vertex 7 mid-stream
+    ]
+    inc = IncrementalPageRank(num_partitions=4)
+    seen: list[tuple[int, int]] = []
+    for b in batches:
+        seen += b
+        inc.update(spark.createDataFrame(b, "src long, dst long"),
+                   tol=1e-12, max_rounds=400)
+    g = from_edge_df(spark.createDataFrame(seen, "src long, dst long"), 4)
+    cold = pagerank(g, tol=1e-12, max_rounds=400)
+    got = {r["vid"]: r["rank"] for r in inc.ranks.collect()}
+    want = {r["vid"]: r["rank"] for r in cold.state.collect()}
+    assert set(got) == set(want)
+    assert max(abs(got[v] - want[v]) for v in got) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # degenerate warm start: from the solution itself, one superstep
+    warm = pagerank(g, tol=1e-12, max_rounds=400,
+                    init_ranks=cold.state.select("vid", "rank"))
+    assert warm.supersteps == 1
+
+
+def test_incremental_pagerank_stream(spark, tmp_path):
+    """foreachBatch surface: drain a directory of edge files, ranks equal
+    the cold solve of the union."""
+    from graphscope_spark.algorithms.pagerank import pagerank
+    from graphscope_spark.graph import from_edge_df
+    from graphscope_spark.streaming import (
+        IncrementalPageRank,
+        incremental_pagerank_stream,
+    )
+
+    d = tmp_path / "pr_edges_in"
+    d.mkdir()
+    files = [[(1, 2), (2, 3)], [(3, 1), (1, 4)]]
+    all_edges = []
+    for i, rows in enumerate(files):
+        all_edges += rows
+        spark.createDataFrame(rows, "src long, dst long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"b{i}"))
+    inc = IncrementalPageRank(num_partitions=4)
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    q = incremental_pagerank_stream(stream, inc, str(tmp_path / "ck_ipr"))
+    q.awaitTermination()
+    cold = pagerank(
+        from_edge_df(spark.createDataFrame(all_edges, "src long, dst long"), 4),
+        tol=1e-10, max_rounds=400,
+    )
+    got = {r["vid"]: r["rank"] for r in inc.ranks.collect()}
+    want = {r["vid"]: r["rank"] for r in cold.state.collect()}
+    assert set(got) == set(want)
+    assert max(abs(got[v] - want[v]) for v in got) < 1e-6
