@@ -225,6 +225,11 @@ def main():
         "neighbor_sample",
         "random_walks",
         "negative_sample",
+        # round 4 (late): retrieval + sketch family — scan-dominated
+        # single-aggregate plans; these calibrate the non-iterative floor
+        "bm25_rank",
+        "hll_distinct_shingles",
+        "event_quantiles",
     ]
     # The gate wrappers for these rows pin max_driver_edges=0 so DuckDB
     # always cross-checks the DISTRIBUTED loops; the bench measures the
