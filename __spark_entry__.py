@@ -4033,7 +4033,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate-pagerank rounds); (d) rows last driver-gated in r1/r2, bench
     headliners first. Slots 51+ all carry green r2/r3 driver rows and are
     re-checked by the full local matrix each round
-    (tools/check_gate.py --json → BENCH/GATE_FULL_r4.json)."""
+    (tools/check_gate.py --json → BENCH/GATE_FULL_r4.json).
+
+    Late round 4: five never-gated rows (bm25_rank, hll_distinct_shingles,
+    hll_merge_invariance, event_quantiles, incremental_pagerank) enter the
+    window right after the flagship five, displacing gie_traversal/
+    docs_by_lang/bfs/sssp/hits past slot 50 — all five displaced rows are
+    r1-r3 driver-green and stay in the full local matrix."""
     return {
         # ---- driver first-50 window (round 4): flagship four; the five
         # ---- never-driver-gated rows (new GIE steps, nx mutations, exact

@@ -67,8 +67,10 @@ def pagerank(
     it start at 1/n and the whole vector is renormalized to sum 1. Power
     iteration converges to the SAME unique stationary vector from any
     positive start; a warm start from a nearby solution (the incremental
-    crawl-maintenance case, streaming.IncrementalPageRank) just gets there
-    in far fewer supersteps. Costs one extra scalar aggregate."""
+    crawl-maintenance case, streaming.IncrementalPageRank) gets there
+    sooner by ≈ log(start-error ratio)/log(1/contraction) supersteps — see
+    the IncrementalPageRank docstring for the honest economics. Costs one
+    extra scalar aggregate."""
     spark = graph.vertices.sparkSession
     P = graph.num_partitions
     verts = graph.vertices.select("vid")

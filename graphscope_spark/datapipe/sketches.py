@@ -109,8 +109,8 @@ def approx_quantiles(
     groups × O(accuracy·log n) entries regardless of row count — the only
     way a percentile over 100 TB is a single job. Guarantee: the returned
     element's rank is within n/accuracy of ⌈p·n⌉ (exactly the bit
-    :func:`quantile_check` verifies)."""
-    aggs = [F.count("*").alias("n")]
+    :func:`quantile_check` verifies). ``n`` counts NON-NULL values."""
+    aggs = [F.count(F.col(value_col)).alias("n")]
     for p in probs:
         aggs.append(
             F.percentile_approx(F.col(value_col), F.lit(float(p)), F.lit(int(accuracy))).alias(
@@ -133,9 +133,10 @@ def quantile_check(
     ⌈p·n⌉ ± (n/accuracy + 1). The exact quantiles (linear interpolation,
     type-7, matching DuckDB ``quantile_cont``) ride along for the oracle.
     Exact + approx run in the SAME aggregate; one extra co-partitioned pass
-    counts the rank brackets."""
+    counts the rank brackets. ``n`` counts NON-NULL values — the population
+    both percentile variants actually rank over."""
     group_cols = list(group_cols)
-    aggs = [F.count("*").alias("n")]
+    aggs = [F.count(F.col(value_col)).alias("n")]
     for p in probs:
         t = _ptag(p)
         aggs.append(F.percentile(F.col(value_col), F.lit(float(p))).alias(f"exact_{t}"))

@@ -304,20 +304,33 @@ class IncrementalPageRank:
         """Fold one batch of (src, dst) edges in; returns the new ranks."""
         from graphscope_spark.algorithms.pagerank import pagerank
         from graphscope_spark.bsp import release_truncated, truncate_plan
-        from graphscope_spark.graph import from_edge_df
+        from graphscope_spark.graph import LinkGraph
 
         e = new_edges.select(
             F.col("src").cast("long"), F.col("dst").cast("long")
         ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         acc = e if self.edges is None else self.edges.unionByName(e)
         prev_e = self.edges
+        # distinct + pmod(src) partitioning ONCE here; the LinkGraph is
+        # built directly over the maintained table (from_edge_df would
+        # re-distinct and re-shuffle the already-canonical checkpoint)
         self.edges = truncate_plan(
-            acc.distinct().repartition(self.num_partitions, F.col("src"))
+            acc.distinct().repartition(
+                self.num_partitions, F.pmod(F.col("src"), F.lit(self.num_partitions))
+            )
         )
         if prev_e is not None:
             release_truncated(prev_e)
+        verts = (
+            self.edges.select(F.col("src").alias("vid"))
+            .unionByName(self.edges.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+        g = LinkGraph(
+            vertices=verts, edges=self.edges, num_partitions=self.num_partitions
+        )
         res = pagerank(
-            from_edge_df(self.edges, self.num_partitions),
+            g,
             alpha=self.alpha,
             tol=tol,
             max_rounds=max_rounds,

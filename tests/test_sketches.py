@@ -93,6 +93,16 @@ def test_quantile_rank_contract_low_accuracy(spark):
     assert row["exact_0_5"] == pytest.approx(4999.5)
 
 
+def test_quantile_null_values_excluded(spark):
+    # nulls are invisible to both percentile variants; n must count only
+    # non-null values or the rank target drifts off the real population
+    rows = [("g", float(i)) for i in range(1, 102)] + [("g", None)] * 40
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = quantile_check(df, ["g"], "v", probs=(0.5,)).collect()[0]
+    assert row["n"] == 101
+    assert row["exact_0_5"] == 51.0 and row["rank_ok_0_5"] == 1
+
+
 def test_bm25_hand_oracle(spark):
     docs = spark.createDataFrame(
         [(1, "a b a"), (2, "a c"), (3, "d d d")], "doc_id long, text string"
