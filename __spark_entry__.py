@@ -130,6 +130,14 @@ def _cdlp_sql(rounds: int) -> str:
     return sql + f"\nSELECT vid, label FROM l{rounds}"
 
 
+def _cdlp_labels_cte(rounds: int) -> str:
+    """The label-propagation CTE chain of ``_cdlp_sql`` WITHOUT the final
+    SELECT — reused by oracles that post-process the converged labels
+    (modularity)."""
+    full = _cdlp_sql(rounds)
+    return full[: full.rindex("\nSELECT vid, label FROM")]
+
+
 _TRI_ORIENT = """
 o AS (
   SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
@@ -4009,6 +4017,267 @@ LEFT JOIN hits h USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# round-4 late additions: link prediction, community metrics, temporal
+# joins, LM scoring, frequent tokens, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _q_link_prediction(spark, sf_dir):
+    from graphscope_spark.algorithms.linkpred import link_prediction
+
+    lp = link_prediction(_graph(spark, sf_dir))
+    return lp.select(
+        "u",
+        "v",
+        "cn",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "preferential_attachment",
+    )
+
+
+_LINKPRED_SQL = f"""
+WITH {_SQL_BASE},
+wed AS (
+  SELECT a.t AS u, a.s AS mid, b.t AS v
+  FROM sym a JOIN sym b ON a.s = b.s AND a.t < b.t),
+sc AS (
+  SELECT w.u, w.v, COUNT(*) AS cn,
+         SUM(1.0 / ln(d.deg)) AS aa, SUM(1.0 / d.deg) AS ra
+  FROM wed w JOIN udeg d ON d.vid = w.mid
+  GROUP BY w.u, w.v),
+na AS (
+  SELECT s.* FROM sc s LEFT JOIN und e ON e.a = s.u AND e.b = s.v
+  WHERE e.a IS NULL)
+SELECT n.u, n.v, CAST(n.cn AS BIGINT) AS cn,
+       ROUND(CAST(n.cn AS DOUBLE) / (du.deg + dv.deg - n.cn), 6) AS jaccard,
+       ROUND(n.aa, 6) AS adamic_adar,
+       ROUND(n.ra, 6) AS resource_allocation,
+       CAST(du.deg * dv.deg AS BIGINT) AS preferential_attachment
+FROM na n JOIN udeg du ON du.vid = n.u JOIN udeg dv ON dv.vid = n.v
+"""
+
+
+def _q_modularity(spark, sf_dir):
+    from graphscope_spark.algorithms.cdlp import cdlp
+    from graphscope_spark.algorithms.clustering import modularity_by_community
+
+    g = _graph(spark, sf_dir)
+    labels = cdlp(g, max_rounds=5).state
+    mc = modularity_by_community(
+        g, labels.select("vid", F.col("label").alias("comm"))
+    )
+    return mc.select(
+        "comm",
+        "intra_edges",
+        "degree_sum",
+        F.round("contrib", 6).alias("contrib"),
+    )
+
+
+_MODULARITY_SQL = (
+    _cdlp_labels_cte(5)
+    + """,
+mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und),
+intra AS (
+  SELECT la.label AS comm, COUNT(*) AS ie
+  FROM und e JOIN l5 la ON la.vid = e.a JOIN l5 lb ON lb.vid = e.b
+  WHERE la.label = lb.label GROUP BY 1),
+ds AS (
+  SELECT l.label AS comm, CAST(SUM(d.deg) AS DOUBLE) AS dsum
+  FROM udeg d JOIN l5 l ON l.vid = d.vid GROUP BY 1)
+SELECT d.comm, CAST(COALESCE(i.ie, 0) AS BIGINT) AS intra_edges,
+       CAST(d.dsum AS BIGINT) AS degree_sum,
+       ROUND(COALESCE(i.ie, 0) / (SELECT m FROM mm)
+             - (d.dsum / (2 * (SELECT m FROM mm)))
+               * (d.dsum / (2 * (SELECT m FROM mm))), 6) AS contrib
+FROM ds d LEFT JOIN intra i USING (comm)"""
+)
+
+
+def _q_conductance(spark, sf_dir):
+    from graphscope_spark.algorithms.clustering import conductance
+
+    g = _graph(spark, sf_dir)
+    s = g.vertices.where(F.pmod(F.col("vid"), F.lit(7)) == 0)
+    val = conductance(g, s)
+    return spark.createDataFrame([(val,)], "c double").select(
+        F.round("c", 6).alias("conductance")
+    )
+
+
+_CONDUCTANCE_SQL = f"""
+WITH {_SQL_BASE},
+sel AS (SELECT vid FROM verts WHERE vid % 7 = 0),
+cut AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM und e
+  WHERE (e.a IN (SELECT vid FROM sel)) <> (e.b IN (SELECT vid FROM sel))),
+vols AS (
+  SELECT CASE WHEN d.vid % 7 = 0 THEN 1 ELSE 0 END AS ins, SUM(d.deg) AS vol
+  FROM udeg d GROUP BY 1)
+SELECT ROUND((SELECT c FROM cut) /
+             LEAST((SELECT vol FROM vols WHERE ins = 1),
+                   (SELECT vol FROM vols WHERE ins = 0)), 6) AS conductance
+"""
+
+
+def _q_asof_join(spark, sf_dir):
+    from graphscope_spark.datapipe.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe right per (user, ts) deterministically — the ASOF contract on
+    # both engines requires a unique right row per key/timestamp
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pid"))
+    )
+    out = asof_join(left, right, ["user_id"], "ts", "ts", right_cols=["pid"])
+    return out.select(
+        "event_id", "user_id", F.col("pid_r").cast("long").alias("pid_r")
+    )
+
+
+_ASOF_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, MAX(event_id) AS pid
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, CAST(r.pid AS BIGINT) AS pid_r
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _q_range_join(spark, sf_dir):
+    from graphscope_spark.datapipe.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    st = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo0, hi0 = float(st["lo"]), float(st["hi"])
+    span = hi0 - lo0
+    # quadratic (non-uniform) breakpoints: a REAL interval table, not a
+    # uniform binning the point side could compute alone; every arithmetic
+    # step is written identically in the SQL mirror (x*x, same op order)
+    i = F.col("id").cast("double")
+    bands = spark.range(8).select(
+        F.col("id").alias("band"),
+        (F.lit(lo0) + F.lit(span) * ((i / 8.0) * (i / 8.0))).alias("lo"),
+        F.when(F.col("id") == 7, F.lit(hi0 + 1.0))
+        .otherwise(
+            F.lit(lo0) + F.lit(span) * (((i + 1) / 8.0) * ((i + 1) / 8.0))
+        )
+        .alias("hi"),
+    )
+    # broadcast_threshold=1 forces the bucketed equi-join path — the scale
+    # strategy is what gets driver-gated; pytest pins broadcast≡bucketed
+    joined = range_join(ev, "value", bands, "lo", "hi", broadcast_threshold=1)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH st AS (SELECT MIN(value) AS lo0, MAX(value) AS hi0 FROM events),
+bands AS (
+  SELECT i AS band,
+         (SELECT lo0 FROM st)
+         + ((SELECT hi0 FROM st) - (SELECT lo0 FROM st))
+           * ((i / 8.0) * (i / 8.0)) AS lo,
+         CASE WHEN i = 7 THEN (SELECT hi0 FROM st) + 1.0
+              ELSE (SELECT lo0 FROM st)
+                   + ((SELECT hi0 FROM st) - (SELECT lo0 FROM st))
+                     * (((i + 1) / 8.0) * ((i + 1) / 8.0)) END AS hi
+  FROM range(8) t(i)),
+j AS (SELECT b.band, e.value FROM events e
+      JOIN bands b ON e.value >= b.lo AND e.value < b.hi)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM j GROUP BY band
+"""
+
+
+def _q_events_sliding(spark, sf_dir):
+    from graphscope_spark.datapipe.temporal import sliding_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sliding_counts(ev, "ts", "2 hours", "1 hour")
+    # epoch seconds: timezone-independent on both engines (same rationale
+    # as events_hourly)
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("ws_epoch"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+_EVENTS_SLIDING_SQL = """
+WITH x AS (
+  SELECT unnest([CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT),
+                 CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT)]) AS ws_epoch,
+         value
+  FROM events)
+SELECT ws_epoch, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM x GROUP BY ws_epoch
+"""
+
+
+def _q_lm_scores(spark, sf_dir):
+    from graphscope_spark.datapipe.textstats import lm_unigram_scores
+
+    return lm_unigram_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", F.round("cross_entropy", 6).alias("cross_entropy")
+    )
+
+
+_LM_SCORES_SQL = f"""
+WITH {_SQL_TOKENS},
+c AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+t AS (SELECT SUM(c) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM c),
+model AS (
+  SELECT tok, -log2((c + 1) / ((SELECT n FROM t) + (SELECT v FROM t))) AS nll
+  FROM c)
+SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(m.nll), 6) AS cross_entropy
+FROM toks k JOIN model m USING (tok) GROUP BY k.doc_id
+"""
+
+
+def _q_frequent_tokens(spark, sf_dir):
+    from graphscope_spark.datapipe.textstats import frequent_tokens
+
+    return frequent_tokens(_docs(spark, sf_dir), k=20)
+
+
+_FREQUENT_TOKENS_SQL = f"""
+WITH {_SQL_TOKENS},
+c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok)
+SELECT tok, c FROM c ORDER BY c DESC, tok ASC LIMIT 20
+"""
+
+
+def _q_semdedup(spark, sf_dir):
+    from graphscope_spark.datapipe.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.4).select("id", "keep")
+
+
+_SEMDEDUP_GOLDEN_SQL = """
+-- Golden output: semantic_dedup is deterministic (hash-ordered
+-- sample, first-k k-means init, exact within-cluster cosines,
+-- smaller-id-wins keep rule) -- verified identical across processes
+-- and partitionings. Pinning (id, keep) mirrors the reference's
+-- LDBC golden-file validation (test/app_tests.sh:115-126).
+-- Regenerate with tools/gen_semdedup_golden.py if the algorithm
+-- or the IVF quantizer changes.
+SELECT CAST(c0 AS BIGINT) AS id, CAST(c1 AS BOOLEAN) AS keep FROM (VALUES (0,TRUE), (1,TRUE), (2,TRUE), (3,TRUE), (4,TRUE), (5,TRUE), (6,TRUE), (7,TRUE), (8,TRUE), (9,TRUE), (10,TRUE), (11,TRUE), (12,TRUE), (13,TRUE), (14,TRUE), (15,TRUE), (16,TRUE), (17,TRUE), (18,TRUE), (19,TRUE), (20,TRUE), (21,TRUE), (22,TRUE), (23,TRUE), (24,TRUE), (25,TRUE), (26,TRUE), (27,TRUE), (28,TRUE), (29,TRUE), (30,TRUE), (31,TRUE), (32,TRUE), (33,TRUE), (34,TRUE), (35,TRUE), (36,TRUE), (37,TRUE), (38,TRUE), (39,TRUE), (40,TRUE), (41,TRUE), (42,TRUE), (43,TRUE), (44,TRUE), (45,TRUE), (46,TRUE), (47,TRUE), (48,TRUE), (49,TRUE), (50,TRUE), (51,TRUE), (52,TRUE), (53,TRUE), (54,TRUE), (55,TRUE), (56,TRUE), (57,TRUE), (58,TRUE), (59,TRUE), (60,TRUE), (61,TRUE), (62,TRUE), (63,TRUE), (64,TRUE), (65,TRUE), (66,TRUE), (67,TRUE), (68,TRUE), (69,TRUE), (70,TRUE), (71,TRUE), (72,TRUE), (73,TRUE), (74,TRUE), (75,TRUE), (76,TRUE), (77,TRUE), (78,TRUE), (79,TRUE), (80,TRUE), (81,TRUE), (82,TRUE), (83,TRUE), (84,TRUE), (85,TRUE), (86,TRUE), (87,FALSE), (88,TRUE), (89,TRUE), (90,TRUE), (91,TRUE), (92,TRUE), (93,TRUE), (94,TRUE), (95,TRUE), (96,TRUE), (97,TRUE), (98,TRUE), (99,TRUE), (100,TRUE), (101,TRUE), (102,TRUE), (103,TRUE), (104,TRUE), (105,TRUE), (106,TRUE), (107,TRUE), (108,TRUE), (109,TRUE), (110,TRUE), (111,TRUE), (112,TRUE), (113,TRUE), (114,TRUE), (115,TRUE), (116,TRUE), (117,TRUE), (118,TRUE), (119,TRUE), (120,TRUE), (121,TRUE), (122,TRUE), (123,TRUE), (124,TRUE), (125,TRUE), (126,TRUE), (127,TRUE), (128,TRUE), (129,TRUE), (130,TRUE), (131,TRUE), (132,TRUE), (133,TRUE), (134,TRUE), (135,TRUE), (136,TRUE), (137,TRUE), (138,TRUE), (139,TRUE), (140,TRUE), (141,TRUE), (142,FALSE), (143,TRUE), (144,TRUE), (145,TRUE), (146,TRUE), (147,TRUE), (148,TRUE), (149,TRUE), (150,TRUE), (151,TRUE), (152,TRUE), (153,TRUE), (154,TRUE), (155,TRUE), (156,TRUE), (157,TRUE), (158,TRUE), (159,TRUE), (160,TRUE), (161,TRUE), (162,TRUE), (163,TRUE), (164,TRUE), (165,TRUE), (166,TRUE), (167,TRUE), (168,TRUE), (169,TRUE), (170,TRUE), (171,TRUE), (172,TRUE), (173,TRUE), (174,TRUE), (175,TRUE), (176,TRUE), (177,TRUE), (178,TRUE), (179,TRUE), (180,TRUE), (181,TRUE), (182,TRUE), (183,TRUE), (184,TRUE), (185,TRUE), (186,TRUE), (187,TRUE), (188,TRUE), (189,TRUE), (190,FALSE), (191,TRUE), (192,TRUE), (193,TRUE), (194,TRUE), (195,TRUE), (196,TRUE), (197,TRUE), (198,TRUE), (199,TRUE), (200,FALSE), (201,TRUE), (202,FALSE), (203,TRUE), (204,FALSE), (205,TRUE), (206,TRUE), (207,TRUE), (208,TRUE), (209,TRUE), (210,FALSE), (211,TRUE), (212,TRUE), (213,TRUE), (214,TRUE), (215,TRUE), (216,TRUE), (217,TRUE), (218,TRUE), (219,TRUE), (220,TRUE), (221,TRUE), (222,TRUE), (223,TRUE), (224,TRUE), (225,TRUE), (226,TRUE), (227,TRUE), (228,TRUE), (229,TRUE), (230,TRUE), (231,TRUE), (232,FALSE), (233,TRUE), (234,FALSE), (235,TRUE), (236,TRUE), (237,TRUE), (238,TRUE), (239,TRUE), (240,TRUE), (241,TRUE), (242,TRUE), (243,TRUE), (244,TRUE), (245,FALSE), (246,TRUE), (247,TRUE), (248,TRUE), (249,TRUE), (250,TRUE), (251,TRUE), (252,TRUE), (253,TRUE), (254,TRUE), (255,TRUE), (256,FALSE), (257,TRUE), (258,TRUE), (259,TRUE), (260,TRUE), (261,TRUE), (262,TRUE), (263,TRUE), (264,TRUE), (265,TRUE), (266,TRUE), (267,TRUE), (268,TRUE), (269,TRUE), (270,TRUE), (271,TRUE), (272,TRUE), (273,TRUE), (274,TRUE), (275,TRUE), (276,TRUE), (277,TRUE), (278,TRUE), (279,TRUE), (280,TRUE), (281,TRUE), (282,TRUE), (283,TRUE), (284,TRUE), (285,TRUE), (286,TRUE), (287,FALSE), (288,TRUE), (289,TRUE), (290,TRUE), (291,TRUE), (292,TRUE), (293,TRUE), (294,TRUE), (295,TRUE), (296,TRUE), (297,TRUE), (298,FALSE), (299,TRUE), (300,TRUE), (301,FALSE), (302,TRUE), (303,TRUE), (304,TRUE), (305,FALSE), (306,TRUE), (307,TRUE), (308,TRUE), (309,TRUE), (310,TRUE), (311,TRUE), (312,TRUE), (313,TRUE), (314,TRUE), (315,TRUE), (316,TRUE), (317,FALSE), (318,FALSE), (319,TRUE), (320,TRUE), (321,TRUE), (322,TRUE), (323,TRUE), (324,TRUE), (325,TRUE), (326,FALSE), (327,TRUE), (328,TRUE), (329,TRUE), (330,TRUE), (331,FALSE), (332,TRUE), (333,TRUE), (334,TRUE), (335,TRUE), (336,TRUE), (337,TRUE), (338,TRUE), (339,TRUE), (340,FALSE), (341,TRUE), (342,TRUE), (343,TRUE), (344,TRUE), (345,TRUE), (346,TRUE), (347,TRUE), (348,TRUE), (349,TRUE), (350,TRUE), (351,TRUE), (352,TRUE), (353,TRUE), (354,TRUE), (355,TRUE), (356,TRUE), (357,TRUE), (358,TRUE), (359,TRUE), (360,TRUE), (361,TRUE), (362,TRUE), (363,TRUE), (364,TRUE), (365,TRUE), (366,TRUE), (367,TRUE), (368,TRUE), (369,TRUE), (370,TRUE), (371,TRUE), (372,TRUE), (373,TRUE), (374,TRUE), (375,TRUE), (376,TRUE), (377,TRUE), (378,TRUE), (379,TRUE), (380,TRUE), (381,TRUE), (382,FALSE), (383,TRUE), (384,FALSE), (385,TRUE), (386,TRUE), (387,TRUE), (388,TRUE), (389,TRUE), (390,TRUE), (391,TRUE), (392,TRUE), (393,TRUE), (394,TRUE), (395,FALSE), (396,TRUE), (397,TRUE), (398,TRUE), (399,TRUE), (400,TRUE), (401,TRUE), (402,FALSE), (403,TRUE), (404,TRUE), (405,TRUE), (406,FALSE), (407,TRUE), (408,TRUE), (409,TRUE), (410,TRUE), (411,TRUE), (412,TRUE), (413,TRUE), (414,FALSE), (415,TRUE), (416,TRUE), (417,FALSE), (418,TRUE), (419,TRUE), (420,TRUE), (421,TRUE), (422,TRUE), (423,TRUE), (424,TRUE), (425,TRUE), (426,TRUE), (427,TRUE), (428,TRUE), (429,TRUE), (430,FALSE), (431,FALSE), (432,TRUE), (433,TRUE), (434,TRUE), (435,TRUE), (436,TRUE), (437,TRUE), (438,FALSE), (439,FALSE), (440,TRUE), (441,TRUE), (442,TRUE), (443,TRUE), (444,TRUE), (445,TRUE), (446,TRUE), (447,TRUE), (448,TRUE), (449,TRUE), (450,TRUE), (451,TRUE), (452,FALSE), (453,TRUE), (454,TRUE), (455,TRUE), (456,FALSE), (457,TRUE), (458,TRUE), (459,TRUE), (460,TRUE), (461,TRUE), (462,TRUE), (463,TRUE), (464,TRUE), (465,TRUE), (466,FALSE), (467,TRUE), (468,FALSE), (469,TRUE), (470,TRUE), (471,TRUE), (472,TRUE), (473,TRUE), (474,TRUE), (475,TRUE), (476,TRUE), (477,TRUE), (478,TRUE), (479,FALSE), (480,TRUE), (481,TRUE), (482,TRUE), (483,TRUE), (484,TRUE), (485,FALSE), (486,TRUE), (487,TRUE), (488,TRUE), (489,TRUE), (490,TRUE), (491,TRUE), (492,TRUE), (493,TRUE), (494,TRUE), (495,TRUE), (496,TRUE), (497,TRUE), (498,TRUE), (499,TRUE)) t(c0, c1)
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -4039,7 +4308,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hll_merge_invariance, event_quantiles, incremental_pagerank) enter the
     window right after the flagship five, displacing gie_traversal/
     docs_by_lang/bfs/sssp/hits past slot 50 — all five displaced rows are
-    r1-r3 driver-green and stay in the full local matrix."""
+    r1-r3 driver-green and stay in the full local matrix.
+
+    Final round-4 batch: nine more never-gated rows (link_prediction,
+    modularity, conductance, asof_join, range_join, events_sliding,
+    lm_scores, frequent_tokens, semdedup) take slots 40-48; slot 49 keeps
+    ann_lsh_topk (its oracle contract changed this round — corpus-derived
+    invariants added per round-3 ADVICE) and slot 50 keeps
+    pagerank_dangling (fused_rounds resume validation changed). The
+    displaced rows (ann_ivf_topk, multimodal_features, frame_sample,
+    dedup_embedding_cosine, min_vertex_cover, degeneracy_order,
+    onion_layers, coreness, k_core_search) are all r2/r3 driver-green and
+    re-verified by the committed full matrix at round-4 HEAD."""
     return {
         # ---- driver first-50 window (round 4): flagship four; the five
         # ---- never-driver-gated rows (new GIE steps, nx mutations, exact
@@ -4094,13 +4374,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_degree_centrality": _q_in_degree_centrality,
         "out_degree_centrality": _q_out_degree_centrality,
         "all_simple_edge_paths": _q_all_simple_edge_paths,
+        # round-4 late additions (never driver-gated): link prediction,
+        # community metrics, temporal joins, LM scoring, frequent tokens,
+        # semantic dedup
+        "link_prediction": _q_link_prediction,
+        "modularity": _q_modularity,
+        "conductance": _q_conductance,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "events_sliding": _q_events_sliding,
+        "lm_scores": _q_lm_scores,
+        "frequent_tokens": _q_frequent_tokens,
+        "semdedup": _q_semdedup,
+        # slot 50: the ANN row whose oracle contract changed this round
+        # (corpus-derived invariants added per round-3 ADVICE); its IVF
+        # sibling shares the same oracle shape and is full-matrix-covered
+        "ann_lsh_topk": _q_ann_lsh,
         "pagerank_dangling": _q_pagerank_dangling,
         "min_vertex_cover": _q_min_vertex_cover,
         "degeneracy_order": _q_degeneracy_order,
         "onion_layers": _q_onion_layers,
         "coreness": _q_coreness,
         "k_core_search": _q_k_core_search,
-        "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_features": _q_mm_features,
         "frame_sample": _q_frame_sample,
@@ -4419,4 +4714,14 @@ def _raw_oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "docs_by_lang": _DOCS_BY_LANG_SQL,
+        # round-4 late additions
+        "link_prediction": _LINKPRED_SQL,
+        "modularity": _MODULARITY_SQL,
+        "conductance": _CONDUCTANCE_SQL,
+        "asof_join": _ASOF_SQL,
+        "range_join": _RANGE_JOIN_SQL,
+        "events_sliding": _EVENTS_SLIDING_SQL,
+        "lm_scores": _LM_SCORES_SQL,
+        "frequent_tokens": _FREQUENT_TOKENS_SQL,
+        "semdedup": _SEMDEDUP_GOLDEN_SQL,
     }

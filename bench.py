@@ -230,6 +230,15 @@ def main():
         "bm25_rank",
         "hll_distinct_shingles",
         "event_quantiles",
+        # round 4 (final): link prediction (wedge self-join — the quadratic-
+        # in-degree hot spot the hub cap exists for), temporal joins, the
+        # LM scorer, and semantic dedup (GEMM-per-cluster applyInPandas)
+        "link_prediction",
+        "asof_join",
+        "range_join",
+        "lm_scores",
+        "frequent_tokens",
+        "semdedup",
     ]
     # The gate wrappers for these rows pin max_driver_edges=0 so DuckDB
     # always cross-checks the DISTRIBUTED loops; the bench measures the

@@ -143,3 +143,92 @@ def numeric_assortativity(graph: LinkGraph, attrs: DataFrame) -> float:
         .collect()[0]
     )
     return float(row["r"]) if row["r"] is not None else 0.0
+
+
+def modularity_by_community(graph: LinkGraph, assignment: DataFrame) -> DataFrame:
+    """Per-community modularity contributions on the undirected simple
+    graph: (comm, intra_edges, degree_sum, contrib) with
+    ``contrib = L_c/m − (d_c/(2m))²`` — NetworkX ``modularity`` semantics
+    (γ=1); total Q = Σ contrib. ``assignment`` is (vid, comm).
+
+    Scale: two broadcast-able joins of the edge table against the
+    assignment (the assignment is one long per vertex), then two map-side
+    partially-aggregated groupBys keyed by community — no pair
+    enumeration anywhere."""
+    und = graph.undirected_edges().where(F.col("src") < F.col("dst"))
+    m = und.count()
+    if m == 0:
+        return assignment.sparkSession.createDataFrame(
+            [], "comm long, intra_edges long, degree_sum long, contrib double"
+        )
+    ca = assignment.select(F.col("vid").alias("src"), F.col("comm").alias("ca"))
+    cb = assignment.select(F.col("vid").alias("dst"), F.col("comm").alias("cb"))
+    intra = (
+        und.join(ca, "src")
+        .join(cb, "dst")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("comm"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    dsum = (
+        graph.degrees()
+        .join(assignment, "vid")
+        .groupBy("comm")
+        .agg(F.sum("deg").alias("degree_sum"))
+    )
+    two_m = float(2 * m)
+    return (
+        dsum.join(intra, "comm", "left")
+        .select(
+            "comm",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).alias("intra_edges"),
+            "degree_sum",
+            (
+                F.coalesce(F.col("intra_edges"), F.lit(0)) / F.lit(float(m))
+                - (F.col("degree_sum") / F.lit(two_m)) ** 2
+            ).alias("contrib"),
+        )
+    )
+
+
+def modularity(graph: LinkGraph, assignment: DataFrame) -> float:
+    """Total modularity Q of a partition (scalar)."""
+    row = (
+        modularity_by_community(graph, assignment)
+        .agg(F.sum("contrib").alias("q"))
+        .collect()[0]
+    )
+    return float(row["q"] or 0.0)
+
+
+def conductance(graph: LinkGraph, s: DataFrame) -> float:
+    """Conductance φ(S) = cut(S, S̄) / min(vol(S), vol(S̄)) on the
+    undirected simple graph — NetworkX ``conductance`` semantics with
+    volumes counted in edge endpoints (vol(S) = Σ_{v∈S} deg(v)).
+
+    One semi/anti-join pass over the canonical undirected edge set for the
+    cut, one join for the volumes — three scalar aggregates total."""
+    sv = s.select("vid").distinct()
+    und = graph.undirected_edges().where(F.col("src") < F.col("dst"))
+    flagged = und.join(
+        sv.select(F.col("vid").alias("src"), F.lit(1).alias("in_s")),
+        "src",
+        "left",
+    ).join(
+        sv.select(F.col("vid").alias("dst"), F.lit(1).alias("in_d")),
+        "dst",
+        "left",
+    )
+    cut = flagged.where(
+        F.coalesce(F.col("in_s"), F.lit(0)) != F.coalesce(F.col("in_d"), F.lit(0))
+    ).count()
+    vols = (
+        graph.degrees()
+        .join(sv.withColumn("in_s", F.lit(1)), "vid", "left")
+        .groupBy(F.coalesce(F.col("in_s"), F.lit(0)).alias("in_s"))
+        .agg(F.sum("deg").alias("vol"))
+        .collect()
+    )
+    vol = {int(r["in_s"]): int(r["vol"]) for r in vols}
+    denom = min(vol.get(1, 0), vol.get(0, 0))
+    return float(cut) / denom if denom else 0.0

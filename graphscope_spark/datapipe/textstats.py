@@ -379,3 +379,87 @@ def repetition_scores(
             .alias("dup_5gram_char_frac"),
         )
     )
+
+
+def lm_unigram_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy) — CCNet-style LM quality signal
+    (Wenzek et al. 2020 score documents by LM perplexity; here the LM is a
+    corpus-trained unigram model with add-one smoothing, which keeps the
+    whole operator join/agg-only and the oracle exact):
+
+        p(w) = (count(w) + 1) / (N + V)
+        cross_entropy(doc) = −mean_{w ∈ doc} log2 p(w)
+
+    Low score ⇒ the document is made of corpus-typical tokens; gibberish /
+    boilerplate outliers score high. Scale shape: one explode → map-side
+    partially-aggregated token count (vocab-bounded shuffle), the model is
+    a broadcastable (token, logp) dictionary joined back to the exploded
+    stream, then one mean per doc_id. Nothing driver-side, no UDFs."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    n, v = int(totals["n"]), int(totals["v"])
+    model = counts.select(
+        "tok",
+        (-F.log2((F.col("c") + 1) / F.lit(float(n + v)))).alias("nll"),
+    )
+    return (
+        tok.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("nll").alias("cross_entropy"),
+        )
+    )
+
+
+def frequent_tokens(
+    docs: DataFrame,
+    k: int = 20,
+    candidate_capacity: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most frequent tokens: (tok, c), exact counts, deterministic
+    tie-break (count desc, token asc).
+
+    Scale path: a per-partition SpaceSaving pass (Metwally et al. 2005)
+    nominates at most ``candidate_capacity`` candidates per partition —
+    any token with global frequency > N/capacity is guaranteed nominated
+    somewhere — then ONE exact counting pass semi-joined to the candidate
+    set. The full-vocab groupBy never happens; the only corpus-wide
+    shuffle carries (candidate_token, partial_count) pairs. With the
+    default capacity the result is exact for every realistic k ≪
+    capacity; the guarantee degrades (documented, not silent) only if the
+    true k-th item has frequency ≤ N/capacity."""
+    import pandas as pd
+
+    tok = docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+
+    cap = int(candidate_capacity)
+
+    def nominate(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            # SpaceSaving with pandas: exact per-batch counts capped to the
+            # top `cap` — a superset of SpaceSaving's guarantee per batch,
+            # merged across batches by the outer exact pass.
+            vc = pdf["tok"].value_counts()
+            yield pd.DataFrame({"tok": vc.index[:cap]})
+
+    cands = tok.mapInPandas(nominate, "tok string").distinct()
+    return (
+        tok.join(F.broadcast(cands), "tok", "semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(k)
+    )

@@ -44,6 +44,12 @@ PICKS = {
     "bm25_rank": "Okapi BM25 — the query-term IN filter lands immediately after the token explode so only hits reach the tf aggregate; doc lengths via size(tokens) with no explode; |q|-row idf table broadcast; distributed TakeOrderedAndProject top-k, then the rank window runs over <=k rows",
     "event_quantiles": "GK quantile sketch check — exact percentile AND percentile_approx computed in the SAME ObjectHashAggregate pass (map-side partial sketches); the rank-bracket grading is one broadcast-joined second aggregate co-partitioned on the group key",
     "hll_distinct": "HLL distinct — one ObjectHashAggregate with map-side partial DataSketches state; the shuffle moves groups x 2^lgk-byte sketch blobs, independent of row count or distinct count (operator plan, not the gate's exact-count grading wrapper)",
+    "link_prediction": "link prediction — ONE wedge self-join keyed on the middle vertex (hub cap available for power-law skew), map-side partially aggregated pair groupBy, anti-join against the canonical edge set, two degree joins",
+    "asof_join": "as-of join — tagged union + ONE key-partitioned window (last non-null right payload); no range self-join, the only exchange is the key shuffle; left payload re-attached by a narrow rowid join",
+    "range_join": "range join (bucketed path) — intervals exploded into covered fixed-width buckets, plain equi-join on bucket + residual predicate; fan-out bounded by interval_width/bucket_width",
+    "lm_scores": "unigram-LM scoring — explode → vocab-bounded partial-agg count shuffle; the (token, −log2 p) model re-joins the token stream via BroadcastExchange; one mean per doc",
+    "frequent_tokens": "heavy hitters — mapInPandas candidate nomination (per-batch SpaceSaving superset), exact counting pass semi-joined to the broadcast candidate set; the corpus-wide shuffle carries only candidate partial counts",
+    "semdedup": "SemDeDup — broadcast-centroid GEMM assignment (mapInPandas), ONE exchange keyed on cluster id into the applyInPandas within-cluster cosine scan",
     "repetition_scores": "Gopher repetition filters — two explode→partial-agg chains (lines, n-grams) keyed by doc_id, window co-partitioned with the 2-gram aggregate, zero UDFs. Deliberately scan-heavy/shuffle-light: the text column is re-scanned per chain (projection-pruned, sequential IO) so every aggregate keeps map-side partial aggregation — the shuffled bytes are distinct (doc, gram) counts, not the raw token stream a single-scan window formulation would have to sort-shuffle.",
 }
 
