@@ -1875,6 +1875,14 @@ SELECT CAST(c0 AS BIGINT) AS a, CAST(c1 AS BIGINT) AS b, ROUND(CAST(c2 AS DOUBLE
 """
 
 
+_KTRUSS_GOLDEN_SQL = """
+-- Golden: per-edge trussness computed by an independent pure-Python
+-- support peel (tools/gen_ktruss_golden.py) over the DuckDB edge
+-- table. Regenerate if the edge SQL changes.
+SELECT CAST(c0 AS BIGINT) AS a, CAST(c1 AS BIGINT) AS b, CAST(c2 AS BIGINT) AS truss FROM (VALUES (0,4,5), (0,8,5), (0,12,5), (0,16,5), (0,20,5), (0,24,5), (0,28,5), (0,32,5), (0,36,5), (0,40,5), (0,44,5), (0,48,5), (0,52,5), (0,56,5), (0,60,5), (0,64,5), (0,68,5), (0,72,5), (0,76,5), (0,80,5), (0,84,5), (0,88,5), (0,92,5), (0,96,5), (0,100,5), (0,104,5), (0,108,5), (0,112,5), (0,116,5), (0,120,5), (0,124,5), (0,128,5), (0,132,5), (0,136,5), (0,140,5), (0,144,5), (0,148,5), (0,152,5), (0,156,5), (0,160,5), (0,164,5), (0,168,5), (0,172,5), (0,176,5), (0,180,5), (0,184,5), (0,188,5), (0,192,5), (0,196,5), (0,200,5), (0,204,5), (0,208,5), (0,212,5), (0,216,5), (0,220,5), (0,224,5), (0,228,5), (0,232,5), (0,236,5), (0,240,5), (0,244,5), (0,248,5), (0,252,5), (0,256,5), (0,260,5), (0,264,5), (0,268,5), (0,272,5), (0,276,5), (0,280,5), (0,284,5), (0,288,5), (0,292,5), (0,296,5), (0,300,5), (0,304,5), (0,308,5), (0,312,5), (0,316,5), (0,320,5), (0,324,5), (0,328,5), (0,332,5), (0,336,5), (0,340,5), (0,344,5), (0,348,5), (0,352,5), (0,356,5), (0,360,5), (0,364,5), (0,368,5), (0,372,5), (0,376,5), (0,380,5), (0,384,5), (0,388,5), (0,392,5), (0,396,5), (0,400,5), (0,404,5), (0,408,5), (0,412,5), (0,416,5), (0,420,5), (0,424,5), (0,428,5), (0,432,5), (0,436,5), (0,440,5), (0,444,5), (0,448,5), (0,452,5), (0,456,5), (0,460,5), (0,464,5), (0,468,5), (0,472,5), (0,476,5), (0,480,5), (0,484,5), (0,488,5), (0,492,5), (0,496,5), (1,5,5), (1,9,5), (1,13,5), (1,17,5), (1,21,5), (1,25,5), (1,29,5), (1,33,5), (1,37,5), (1,41,5), (1,45,5), (1,49,5), (1,53,5), (1,57,5), (1,61,5), (1,65,5), (1,69,5), (1,73,5), (1,77,5), (1,81,5), (1,85,5), (1,89,5), (1,93,5), (1,97,5), (1,101,5), (1,105,5), (1,109,5), (1,113,5), (1,117,5), (1,121,5), (1,125,5), (1,129,5), (1,133,5), (1,137,5), (1,141,5), (1,145,5), (1,149,5), (1,153,5), (1,157,5), (1,161,5), (1,165,5), (1,169,5), (1,173,5), (1,177,5), (1,181,5), (1,185,5), (1,189,5), (1,193,5), (1,197,5), (1,201,5), (1,205,5), (1,209,5), (1,213,5), (1,217,5), (1,221,5), (1,225,5), (1,229,5), (1,233,5), (1,237,5), (1,241,5), (1,245,5), (1,249,5), (1,253,5), (1,257,5), (1,261,5), (1,265,5), (1,269,5), (1,273,5), (1,277,5), (1,281,5), (1,285,5), (1,289,5), (1,293,5), (1,297,5), (1,301,5), (1,305,5), (1,309,5), (1,313,5), (1,317,5), (1,321,5), (1,325,5), (1,329,5), (1,333,5), (1,337,5), (1,341,5), (1,345,5), (1,349,5), (1,353,5), (1,357,5), (1,361,5), (1,365,5), (1,369,5), (1,373,5), (1,377,5), (1,381,5), (1,385,5), (1,389,5), (1,393,5), (1,397,5), (1,401,5), (1,405,5), (1,409,5), (1,413,5), (1,417,5), (1,421,5), (1,425,5), (1,429,5), (1,433,5), (1,437,5), (1,441,5), (1,445,5), (1,449,5), (1,453,5), (1,457,5), (1,461,5), (1,465,5), (1,469,5), (1,473,5), (1,477,5), (1,481,5), (1,485,5), (1,489,5), (1,493,5), (1,497,5), (2,6,5), (2,10,5), (2,14,5), (2,18,5), (2,22,5), (2,26,5), (2,30,5), (2,34,5), (2,38,5), (2,42,5), (2,46,5), (2,50,5), (2,54,5), (2,58,5), (2,62,5), (2,66,5), (2,70,5), (2,74,5), (2,78,5), (2,82,5), (2,86,5), (2,90,5), (2,94,5), (2,98,5), (2,102,5), (2,106,5), (2,110,5), (2,114,5), (2,118,5), (2,122,5), (2,126,5), (2,130,5), (2,134,5), (2,138,5), (2,142,5), (2,146,5), (2,150,5), (2,154,5), (2,158,5), (2,162,5), (2,166,5), (2,170,5), (2,174,5), (2,178,5), (2,182,5), (2,186,5), (2,190,5), (2,194,5), (2,198,5), (2,202,5), (2,206,5), (2,210,5), (2,214,5), (2,218,5), (2,222,5), (2,226,5), (2,230,5), (2,234,5), (2,238,5), (2,242,5), (2,246,5), (2,250,5), (2,254,5), (2,258,5), (2,262,5), (2,266,5), (2,270,5), (2,274,5), (2,278,5), (2,282,5), (2,286,5), (2,290,5), (2,294,5), (2,298,5), (2,302,5), (2,306,5), (2,310,5), (2,314,5), (2,318,5), (2,322,5), (2,326,5), (2,330,5), (2,334,5), (2,338,5), (2,342,5), (2,346,5), (2,350,5), (2,354,5), (2,358,5), (2,362,5), (2,366,5), (2,370,5), (2,374,5), (2,378,5), (2,382,5), (2,386,5), (2,390,5), (2,394,5), (2,398,5), (2,402,5), (2,406,5), (2,410,5), (2,414,5), (2,418,5), (2,422,5), (2,426,5), (2,430,5), (2,434,5), (2,438,5), (2,442,5), (2,446,5), (2,450,5), (2,454,5), (2,458,5), (2,462,5), (2,466,5), (2,470,5), (2,474,5), (2,478,5), (2,482,5), (2,486,5), (2,490,5), (2,494,5), (2,498,5), (3,7,5), (3,11,5), (3,15,5), (3,19,5), (3,23,5), (3,27,5), (3,31,5), (3,35,5), (3,39,5), (3,43,5), (3,47,5), (3,51,5), (3,55,5), (3,59,5), (3,63,5), (3,67,5), (3,71,5), (3,75,5), (3,79,5), (3,83,5), (3,87,5), (3,91,5), (3,95,5), (3,99,5), (3,103,5), (3,107,5), (3,111,5), (3,115,5), (3,119,5), (3,123,5), (3,127,5), (3,131,5), (3,135,5), (3,139,5), (3,143,5), (3,147,5), (3,151,5), (3,155,5), (3,159,5), (3,163,5), (3,167,5), (3,171,5), (3,175,5), (3,179,5), (3,183,5), (3,187,5), (3,191,5), (3,195,5), (3,199,5), (3,203,5), (3,207,5), (3,211,5), (3,215,5), (3,219,5), (3,223,5), (3,227,5), (3,231,5), (3,235,5), (3,239,5), (3,243,5), (3,247,5), (3,251,5), (3,255,5), (3,259,5), (3,263,5), (3,267,5), (3,271,5), (3,275,5), (3,279,5), (3,283,5), (3,287,5), (3,291,5), (3,295,5), (3,299,5), (3,303,5), (3,307,5), (3,311,5), (3,315,5), (3,319,5), (3,323,5), (3,327,5), (3,331,5), (3,335,5), (3,339,5), (3,343,5), (3,347,5), (3,351,5), (3,355,5), (3,359,5), (3,363,5), (3,367,5), (3,371,5), (3,375,5), (3,379,5), (3,383,5), (3,387,5), (3,391,5), (3,395,5), (3,399,5), (3,403,5), (3,407,5), (3,411,5), (3,415,5), (3,419,5), (3,423,5), (3,427,5), (3,431,5), (3,435,5), (3,439,5), (3,443,5), (3,447,5), (3,451,5), (3,455,5), (3,459,5), (3,463,5), (3,467,5), (3,471,5), (3,475,5), (3,479,5), (3,483,5), (3,487,5), (3,491,5), (3,495,5), (3,499,5), (4,8,4), (4,12,4), (4,40,5), (4,44,5), (4,48,5), (4,52,5), (4,56,5), (4,60,5), (4,64,5), (4,68,5), (4,72,5), (4,76,5), (5,9,4), (5,13,4), (5,41,5), (5,45,5), (5,49,5), (5,53,5), (5,57,5), (5,61,5), (5,65,5), (5,69,5), (5,73,5), (5,77,5), (6,10,4), (6,14,4), (6,42,5), (6,46,5), (6,50,5), (6,54,5), (6,58,5), (6,62,5), (6,66,5), (6,70,5), (6,74,5), (6,78,5), (7,11,4), (7,15,4), (7,43,5), (7,47,5), (7,51,5), (7,55,5), (7,59,5), (7,63,5), (7,67,5), (7,71,5), (7,75,5), (7,79,5), (8,12,4), (8,16,4), (8,80,5), (8,84,5), (8,88,5), (8,92,5), (8,96,5), (8,100,5), (8,104,5), (8,108,5), (8,112,5), (8,116,5), (9,13,4), (9,17,4), (9,81,5), (9,85,5), (9,89,5), (9,93,5), (9,97,5), (9,101,5), (9,105,5), (9,109,5), (9,113,5), (9,117,5), (10,14,4), (10,18,4), (10,82,5), (10,86,5), (10,90,5), (10,94,5), (10,98,5), (10,102,5), (10,106,5), (10,110,5), (10,114,5), (10,118,5), (11,15,4), (11,19,4), (11,83,5), (11,87,5), (11,91,5), (11,95,5), (11,99,5), (11,103,5), (11,107,5), (11,111,5), (11,115,5), (11,119,5), (12,16,4), (12,20,4), (12,120,5), (12,124,5), (12,128,5), (12,132,5), (12,136,5), (12,140,5), (12,144,5), (12,148,5), (12,152,5), (12,156,5), (13,17,4), (13,21,4), (13,121,5), (13,125,5), (13,129,5), (13,133,5), (13,137,5), (13,141,5), (13,145,5), (13,149,5), (13,153,5), (13,157,5), (14,18,4), (14,22,4), (14,122,5), (14,126,5), (14,130,5), (14,134,5), (14,138,5), (14,142,5), (14,146,5), (14,150,5), (14,154,5), (14,158,5), (15,19,4), (15,23,4), (15,123,5), (15,127,5), (15,131,5), (15,135,5), (15,139,5), (15,143,5), (15,147,5), (15,151,5), (15,155,5), (15,159,5), (16,20,4), (16,24,4), (16,160,5), (16,164,5), (16,168,5), (16,172,5), (16,176,5), (16,180,5), (16,184,5), (16,188,5), (16,192,5), (16,196,5), (17,21,4), (17,25,4), (17,161,5), (17,165,5), (17,169,5), (17,173,5), (17,177,5), (17,181,5), (17,185,5), (17,189,5), (17,193,5), (17,197,5), (18,22,4), (18,26,4), (18,162,5), (18,166,5), (18,170,5), (18,174,5), (18,178,5), (18,182,5), (18,186,5), (18,190,5), (18,194,5), (18,198,5), (19,23,4), (19,27,4), (19,163,5), (19,167,5), (19,171,5), (19,175,5), (19,179,5), (19,183,5), (19,187,5), (19,191,5), (19,195,5), (19,199,5), (20,24,4), (20,28,4), (20,200,5), (20,204,5), (20,208,5), (20,212,5), (20,216,5), (20,220,5), (20,224,5), (20,228,5), (20,232,5), (20,236,5), (21,25,4), (21,29,4), (21,201,5), (21,205,5), (21,209,5), (21,213,5), (21,217,5), (21,221,5), (21,225,5), (21,229,5), (21,233,5), (21,237,5), (22,26,4), (22,30,4), (22,202,5), (22,206,5), (22,210,5), (22,214,5), (22,218,5), (22,222,5), (22,226,5), (22,230,5), (22,234,5), (22,238,5), (23,27,4), (23,31,4), (23,203,5), (23,207,5), (23,211,5), (23,215,5), (23,219,5), (23,223,5), (23,227,5), (23,231,5), (23,235,5), (23,239,5), (24,28,4), (24,32,4), (24,240,5), (24,244,5), (24,248,5), (24,252,5), (24,256,5), (24,260,5), (24,264,5), (24,268,5), (24,272,5), (24,276,5), (25,29,4), (25,33,4), (25,241,5), (25,245,5), (25,249,5), (25,253,5), (25,257,5), (25,261,5), (25,265,5), (25,269,5), (25,273,5), (25,277,5), (26,30,4), (26,34,4), (26,242,5), (26,246,5), (26,250,5), (26,254,5), (26,258,5), (26,262,5), (26,266,5), (26,270,5), (26,274,5), (26,278,5), (27,31,4), (27,35,4), (27,243,5), (27,247,5), (27,251,5), (27,255,5), (27,259,5), (27,263,5), (27,267,5), (27,271,5), (27,275,5), (27,279,5), (28,32,4), (28,36,4), (28,280,5), (28,284,5), (28,288,5), (28,292,5), (28,296,5), (28,300,5), (28,304,5), (28,308,5), (28,312,5), (28,316,5), (29,33,4), (29,37,4), (29,281,5), (29,285,5), (29,289,5), (29,293,5), (29,297,5), (29,301,5), (29,305,5), (29,309,5), (29,313,5), (29,317,5), (30,34,4), (30,38,4), (30,282,5), (30,286,5), (30,290,5), (30,294,5), (30,298,5), (30,302,5), (30,306,5), (30,310,5), (30,314,5), (30,318,5), (31,35,4), (31,39,4), (31,283,5), (31,287,5), (31,291,5), (31,295,5), (31,299,5), (31,303,5), (31,307,5), (31,311,5), (31,315,5), (31,319,5), (32,36,4), (32,40,4), (32,320,5), (32,324,5), (32,328,5), (32,332,5), (32,336,5), (32,340,5), (32,344,5), (32,348,5), (32,352,5), (32,356,5), (33,37,4), (33,41,4), (33,321,5), (33,325,5), (33,329,5), (33,333,5), (33,337,5), (33,341,5), (33,345,5), (33,349,5), (33,353,5), (33,357,5), (34,38,4), (34,42,4), (34,322,5), (34,326,5), (34,330,5), (34,334,5), (34,338,5), (34,342,5), (34,346,5), (34,350,5), (34,354,5), (34,358,5), (35,39,4), (35,43,4), (35,323,5), (35,327,5), (35,331,5), (35,335,5), (35,339,5), (35,343,5), (35,347,5), (35,351,5), (35,355,5), (35,359,5), (36,40,4), (36,44,4), (36,360,5), (36,364,5), (36,368,5), (36,372,5), (36,376,5), (36,380,5), (36,384,5), (36,388,5), (36,392,5), (36,396,5), (37,41,4), (37,45,4), (37,361,5), (37,365,5), (37,369,5), (37,373,5), (37,377,5), (37,381,5), (37,385,5), (37,389,5), (37,393,5), (37,397,5), (38,42,4), (38,46,4), (38,362,5), (38,366,5), (38,370,5), (38,374,5), (38,378,5), (38,382,5), (38,386,5), (38,390,5), (38,394,5), (38,398,5), (39,43,4), (39,47,4), (39,363,5), (39,367,5), (39,371,5), (39,375,5), (39,379,5), (39,383,5), (39,387,5), (39,391,5), (39,395,5), (39,399,5), (40,44,5), (40,48,5), (40,400,5), (40,404,5), (40,408,5), (40,412,5), (40,416,5), (40,420,5), (40,424,5), (40,428,5), (40,432,5), (40,436,5), (41,45,5), (41,49,5), (41,401,5), (41,405,5), (41,409,5), (41,413,5), (41,417,5), (41,421,5), (41,425,5), (41,429,5), (41,433,5), (41,437,5), (42,46,5), (42,50,5), (42,402,5), (42,406,5), (42,410,5), (42,414,5), (42,418,5), (42,422,5), (42,426,5), (42,430,5), (42,434,5), (42,438,5), (43,47,5), (43,51,5), (43,403,5), (43,407,5), (43,411,5), (43,415,5), (43,419,5), (43,423,5), (43,427,5), (43,431,5), (43,435,5), (43,439,5), (44,48,5), (44,52,5), (44,440,5), (44,444,5), (44,448,5), (44,452,5), (44,456,5), (44,460,5), (44,464,5), (44,468,5), (44,472,5), (44,476,5), (45,49,5), (45,53,5), (45,441,5), (45,445,5), (45,449,5), (45,453,5), (45,457,5), (45,461,5), (45,465,5), (45,469,5), (45,473,5), (45,477,5), (46,50,5), (46,54,5), (46,442,5), (46,446,5), (46,450,5), (46,454,5), (46,458,5), (46,462,5), (46,466,5), (46,470,5), (46,474,5), (46,478,5), (47,51,5), (47,55,5), (47,443,5), (47,447,5), (47,451,5), (47,455,5), (47,459,5), (47,463,5), (47,467,5), (47,471,5), (47,475,5), (47,479,5), (48,52,5), (48,56,5), (48,480,5), (48,484,5), (48,488,5), (48,492,5), (48,496,5), (49,53,5), (49,57,5), (49,481,5), (49,485,5), (49,489,5), (49,493,5), (49,497,5), (50,54,5), (50,58,5), (50,482,5), (50,486,5), (50,490,5), (50,494,5), (50,498,5), (51,55,5), (51,59,5), (51,483,5), (51,487,5), (51,491,5), (51,495,5), (51,499,5), (52,56,5), (52,60,5), (53,57,5), (53,61,5), (54,58,5), (54,62,5), (55,59,5), (55,63,5), (56,60,5), (56,64,5), (57,61,5), (57,65,5), (58,62,5), (58,66,5), (59,63,5), (59,67,5), (60,64,5), (60,68,5), (61,65,5), (61,69,5), (62,66,5), (62,70,5), (63,67,5), (63,71,5), (64,68,5), (64,72,5), (65,69,5), (65,73,5), (66,70,5), (66,74,5), (67,71,5), (67,75,5), (68,72,5), (68,76,5), (69,73,5), (69,77,5), (70,74,5), (70,78,5), (71,75,5), (71,79,5), (72,76,5), (72,80,4), (73,77,5), (73,81,4), (74,78,5), (74,82,4), (75,79,5), (75,83,4), (76,80,4), (76,84,4), (77,81,4), (77,85,4), (78,82,4), (78,86,4), (79,83,4), (79,87,4), (80,84,5), (80,88,5), (81,85,5), (81,89,5), (82,86,5), (82,90,5), (83,87,5), (83,91,5), (84,88,5), (84,92,5), (85,89,5), (85,93,5), (86,90,5), (86,94,5), (87,91,5), (87,95,5), (88,92,5), (88,96,5), (89,93,5), (89,97,5), (90,94,5), (90,98,5), (91,95,5), (91,99,5), (92,96,5), (92,100,5), (93,97,5), (93,101,5), (94,98,5), (94,102,5), (95,99,5), (95,103,5), (96,100,5), (96,104,5), (97,101,5), (97,105,5), (98,102,5), (98,106,5), (99,103,5), (99,107,5), (100,104,5), (100,108,5), (101,105,5), (101,109,5), (102,106,5), (102,110,5), (103,107,5), (103,111,5), (104,108,5), (104,112,5), (105,109,5), (105,113,5), (106,110,5), (106,114,5), (107,111,5), (107,115,5), (108,112,5), (108,116,5), (109,113,5), (109,117,5), (110,114,5), (110,118,5), (111,115,5), (111,119,5), (112,116,5), (112,120,4), (113,117,5), (113,121,4), (114,118,5), (114,122,4), (115,119,5), (115,123,4), (116,120,4), (116,124,4), (117,121,4), (117,125,4), (118,122,4), (118,126,4), (119,123,4), (119,127,4), (120,124,5), (120,128,5), (121,125,5), (121,129,5), (122,126,5), (122,130,5), (123,127,5), (123,131,5), (124,128,5), (124,132,5), (125,129,5), (125,133,5), (126,130,5), (126,134,5), (127,131,5), (127,135,5), (128,132,5), (128,136,5), (129,133,5), (129,137,5), (130,134,5), (130,138,5), (131,135,5), (131,139,5), (132,136,5), (132,140,5), (133,137,5), (133,141,5), (134,138,5), (134,142,5), (135,139,5), (135,143,5), (136,140,5), (136,144,5), (137,141,5), (137,145,5), (138,142,5), (138,146,5), (139,143,5), (139,147,5), (140,144,5), (140,148,5), (141,145,5), (141,149,5), (142,146,5), (142,150,5), (143,147,5), (143,151,5), (144,148,5), (144,152,5), (145,149,5), (145,153,5), (146,150,5), (146,154,5), (147,151,5), (147,155,5), (148,152,5), (148,156,5), (149,153,5), (149,157,5), (150,154,5), (150,158,5), (151,155,5), (151,159,5), (152,156,5), (152,160,4), (153,157,5), (153,161,4), (154,158,5), (154,162,4), (155,159,5), (155,163,4), (156,160,4), (156,164,4), (157,161,4), (157,165,4), (158,162,4), (158,166,4), (159,163,4), (159,167,4), (160,164,5), (160,168,5), (161,165,5), (161,169,5), (162,166,5), (162,170,5), (163,167,5), (163,171,5), (164,168,5), (164,172,5), (165,169,5), (165,173,5), (166,170,5), (166,174,5), (167,171,5), (167,175,5), (168,172,5), (168,176,5), (169,173,5), (169,177,5), (170,174,5), (170,178,5), (171,175,5), (171,179,5), (172,176,5), (172,180,5), (173,177,5), (173,181,5), (174,178,5), (174,182,5), (175,179,5), (175,183,5), (176,180,5), (176,184,5), (177,181,5), (177,185,5), (178,182,5), (178,186,5), (179,183,5), (179,187,5), (180,184,5), (180,188,5), (181,185,5), (181,189,5), (182,186,5), (182,190,5), (183,187,5), (183,191,5), (184,188,5), (184,192,5), (185,189,5), (185,193,5), (186,190,5), (186,194,5), (187,191,5), (187,195,5), (188,192,5), (188,196,5), (189,193,5), (189,197,5), (190,194,5), (190,198,5), (191,195,5), (191,199,5), (192,196,5), (192,200,4), (193,197,5), (193,201,4), (194,198,5), (194,202,4), (195,199,5), (195,203,4), (196,200,4), (196,204,4), (197,201,4), (197,205,4), (198,202,4), (198,206,4), (199,203,4), (199,207,4), (200,204,5), (200,208,5), (201,205,5), (201,209,5), (202,206,5), (202,210,5), (203,207,5), (203,211,5), (204,208,5), (204,212,5), (205,209,5), (205,213,5), (206,210,5), (206,214,5), (207,211,5), (207,215,5), (208,212,5), (208,216,5), (209,213,5), (209,217,5), (210,214,5), (210,218,5), (211,215,5), (211,219,5), (212,216,5), (212,220,5), (213,217,5), (213,221,5), (214,218,5), (214,222,5), (215,219,5), (215,223,5), (216,220,5), (216,224,5), (217,221,5), (217,225,5), (218,222,5), (218,226,5), (219,223,5), (219,227,5), (220,224,5), (220,228,5), (221,225,5), (221,229,5), (222,226,5), (222,230,5), (223,227,5), (223,231,5), (224,228,5), (224,232,5), (225,229,5), (225,233,5), (226,230,5), (226,234,5), (227,231,5), (227,235,5), (228,232,5), (228,236,5), (229,233,5), (229,237,5), (230,234,5), (230,238,5), (231,235,5), (231,239,5), (232,236,5), (232,240,4), (233,237,5), (233,241,4), (234,238,5), (234,242,4), (235,239,5), (235,243,4), (236,240,4), (236,244,4), (237,241,4), (237,245,4), (238,242,4), (238,246,4), (239,243,4), (239,247,4), (240,244,5), (240,248,5), (241,245,5), (241,249,5), (242,246,5), (242,250,5), (243,247,5), (243,251,5), (244,248,5), (244,252,5), (245,249,5), (245,253,5), (246,250,5), (246,254,5), (247,251,5), (247,255,5), (248,252,5), (248,256,5), (249,253,5), (249,257,5), (250,254,5), (250,258,5), (251,255,5), (251,259,5), (252,256,5), (252,260,5), (253,257,5), (253,261,5), (254,258,5), (254,262,5), (255,259,5), (255,263,5), (256,260,5), (256,264,5), (257,261,5), (257,265,5), (258,262,5), (258,266,5), (259,263,5), (259,267,5), (260,264,5), (260,268,5), (261,265,5), (261,269,5), (262,266,5), (262,270,5), (263,267,5), (263,271,5), (264,268,5), (264,272,5), (265,269,5), (265,273,5), (266,270,5), (266,274,5), (267,271,5), (267,275,5), (268,272,5), (268,276,5), (269,273,5), (269,277,5), (270,274,5), (270,278,5), (271,275,5), (271,279,5), (272,276,5), (272,280,4), (273,277,5), (273,281,4), (274,278,5), (274,282,4), (275,279,5), (275,283,4), (276,280,4), (276,284,4), (277,281,4), (277,285,4), (278,282,4), (278,286,4), (279,283,4), (279,287,4), (280,284,5), (280,288,5), (281,285,5), (281,289,5), (282,286,5), (282,290,5), (283,287,5), (283,291,5), (284,288,5), (284,292,5), (285,289,5), (285,293,5), (286,290,5), (286,294,5), (287,291,5), (287,295,5), (288,292,5), (288,296,5), (289,293,5), (289,297,5), (290,294,5), (290,298,5), (291,295,5), (291,299,5), (292,296,5), (292,300,5), (293,297,5), (293,301,5), (294,298,5), (294,302,5), (295,299,5), (295,303,5), (296,300,5), (296,304,5), (297,301,5), (297,305,5), (298,302,5), (298,306,5), (299,303,5), (299,307,5), (300,304,5), (300,308,5), (301,305,5), (301,309,5), (302,306,5), (302,310,5), (303,307,5), (303,311,5), (304,308,5), (304,312,5), (305,309,5), (305,313,5), (306,310,5), (306,314,5), (307,311,5), (307,315,5), (308,312,5), (308,316,5), (309,313,5), (309,317,5), (310,314,5), (310,318,5), (311,315,5), (311,319,5), (312,316,5), (312,320,4), (313,317,5), (313,321,4), (314,318,5), (314,322,4), (315,319,5), (315,323,4), (316,320,4), (316,324,4), (317,321,4), (317,325,4), (318,322,4), (318,326,4), (319,323,4), (319,327,4), (320,324,5), (320,328,5), (321,325,5), (321,329,5), (322,326,5), (322,330,5), (323,327,5), (323,331,5), (324,328,5), (324,332,5), (325,329,5), (325,333,5), (326,330,5), (326,334,5), (327,331,5), (327,335,5), (328,332,5), (328,336,5), (329,333,5), (329,337,5), (330,334,5), (330,338,5), (331,335,5), (331,339,5), (332,336,5), (332,340,5), (333,337,5), (333,341,5), (334,338,5), (334,342,5), (335,339,5), (335,343,5), (336,340,5), (336,344,5), (337,341,5), (337,345,5), (338,342,5), (338,346,5), (339,343,5), (339,347,5), (340,344,5), (340,348,5), (341,345,5), (341,349,5), (342,346,5), (342,350,5), (343,347,5), (343,351,5), (344,348,5), (344,352,5), (345,349,5), (345,353,5), (346,350,5), (346,354,5), (347,351,5), (347,355,5), (348,352,5), (348,356,5), (349,353,5), (349,357,5), (350,354,5), (350,358,5), (351,355,5), (351,359,5), (352,356,5), (352,360,4), (353,357,5), (353,361,4), (354,358,5), (354,362,4), (355,359,5), (355,363,4), (356,360,4), (356,364,4), (357,361,4), (357,365,4), (358,362,4), (358,366,4), (359,363,4), (359,367,4), (360,364,5), (360,368,5), (361,365,5), (361,369,5), (362,366,5), (362,370,5), (363,367,5), (363,371,5), (364,368,5), (364,372,5), (365,369,5), (365,373,5), (366,370,5), (366,374,5), (367,371,5), (367,375,5), (368,372,5), (368,376,5), (369,373,5), (369,377,5), (370,374,5), (370,378,5), (371,375,5), (371,379,5), (372,376,5), (372,380,5), (373,377,5), (373,381,5), (374,378,5), (374,382,5), (375,379,5), (375,383,5), (376,380,5), (376,384,5), (377,381,5), (377,385,5), (378,382,5), (378,386,5), (379,383,5), (379,387,5), (380,384,5), (380,388,5), (381,385,5), (381,389,5), (382,386,5), (382,390,5), (383,387,5), (383,391,5), (384,388,5), (384,392,5), (385,389,5), (385,393,5), (386,390,5), (386,394,5), (387,391,5), (387,395,5), (388,392,5), (388,396,5), (389,393,5), (389,397,5), (390,394,5), (390,398,5), (391,395,5), (391,399,5), (392,396,5), (392,400,4), (393,397,5), (393,401,4), (394,398,5), (394,402,4), (395,399,5), (395,403,4), (396,400,4), (396,404,4), (397,401,4), (397,405,4), (398,402,4), (398,406,4), (399,403,4), (399,407,4), (400,404,5), (400,408,5), (401,405,5), (401,409,5), (402,406,5), (402,410,5), (403,407,5), (403,411,5), (404,408,5), (404,412,5), (405,409,5), (405,413,5), (406,410,5), (406,414,5), (407,411,5), (407,415,5), (408,412,5), (408,416,5), (409,413,5), (409,417,5), (410,414,5), (410,418,5), (411,415,5), (411,419,5), (412,416,5), (412,420,5), (413,417,5), (413,421,5), (414,418,5), (414,422,5), (415,419,5), (415,423,5), (416,420,5), (416,424,5), (417,421,5), (417,425,5), (418,422,5), (418,426,5), (419,423,5), (419,427,5), (420,424,5), (420,428,5), (421,425,5), (421,429,5), (422,426,5), (422,430,5), (423,427,5), (423,431,5), (424,428,5), (424,432,5), (425,429,5), (425,433,5), (426,430,5), (426,434,5), (427,431,5), (427,435,5), (428,432,5), (428,436,5), (429,433,5), (429,437,5), (430,434,5), (430,438,5), (431,435,5), (431,439,5), (432,436,5), (432,440,4), (433,437,5), (433,441,4), (434,438,5), (434,442,4), (435,439,5), (435,443,4), (436,440,4), (436,444,4), (437,441,4), (437,445,4), (438,442,4), (438,446,4), (439,443,4), (439,447,4), (440,444,5), (440,448,5), (441,445,5), (441,449,5), (442,446,5), (442,450,5), (443,447,5), (443,451,5), (444,448,5), (444,452,5), (445,449,5), (445,453,5), (446,450,5), (446,454,5), (447,451,5), (447,455,5), (448,452,5), (448,456,5), (449,453,5), (449,457,5), (450,454,5), (450,458,5), (451,455,5), (451,459,5), (452,456,5), (452,460,5), (453,457,5), (453,461,5), (454,458,5), (454,462,5), (455,459,5), (455,463,5), (456,460,5), (456,464,5), (457,461,5), (457,465,5), (458,462,5), (458,466,5), (459,463,5), (459,467,5), (460,464,5), (460,468,5), (461,465,5), (461,469,5), (462,466,5), (462,470,5), (463,467,5), (463,471,5), (464,468,5), (464,472,5), (465,469,5), (465,473,5), (466,470,5), (466,474,5), (467,471,5), (467,475,5), (468,472,5), (468,476,5), (469,473,5), (469,477,5), (470,474,5), (470,478,5), (471,475,5), (471,479,5), (472,476,5), (472,480,4), (473,477,5), (473,481,4), (474,478,5), (474,482,4), (475,479,5), (475,483,4), (476,480,4), (476,484,4), (477,481,4), (477,485,4), (478,482,4), (478,486,4), (479,483,4), (479,487,4), (480,484,5), (480,488,5), (481,485,5), (481,489,5), (482,486,5), (482,490,5), (483,487,5), (483,491,5), (484,488,5), (484,492,5), (485,489,5), (485,493,5), (486,490,5), (486,494,5), (487,491,5), (487,495,5), (488,492,5), (488,496,5), (489,493,5), (489,497,5), (490,494,5), (490,498,5), (491,495,5), (491,499,5), (492,496,5), (493,497,5), (494,498,5), (495,499,5)) t(c0, c1, c2)
+"""
+
+
 _LOUVAIN_GOLDEN_SQL = """
 -- Golden output: multi-level Louvain is deterministic (integer-valued
 -- double arithmetic, rounded tie-breaks, fixed schedules) -- verified
@@ -2920,6 +2928,14 @@ def _q_diameter(spark, sf_dir):
 
     d = diameter_approx(_graph(spark, sf_dir))
     return spark.createDataFrame([(int(d),)], "diameter long")
+
+
+def _q_truss_decomposition(spark, sf_dir):
+    """Per-edge trussness (edge-level coreness analog) — oracle is an
+    independent pure-Python support peel pinned by tools/gen_ktruss_golden.py."""
+    from graphscope_spark.algorithms.ktruss import truss_decomposition
+
+    return truss_decomposition(_graph(spark, sf_dir))
 
 
 def _q_louvain(spark, sf_dir):
@@ -4441,6 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": _q_degrees,
         "scc": _q_scc,
         "louvain": _q_louvain,
+        "truss_decomposition": _q_truss_decomposition,
         "msf": _q_msf,
         "wcc_log": _q_wcc_log,
         "pregel_wcc": _q_pregel_wcc,
@@ -4633,6 +4650,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "bridges": _BRIDGES_SQL,
         "sampling_path": _sampling_path_sql(5, "vid % 97 = 0"),
         "msf": _MSF_GOLDEN_SQL,
+        "truss_decomposition": _KTRUSS_GOLDEN_SQL,
         "all_simple_paths": _simple_paths_sql(0, 20, 5),
         "pagerank_csv": _pagerank_sql(10, 0.85),
         "sssp_path": _sssp_path_sql(200, 0, _SSSP_PATH_TARGET),
