@@ -2539,7 +2539,7 @@ def _q_lcc(spark, sf_dir):
 def _q_bfs(spark, sf_dir):
     from graphscope_spark.algorithms import bfs
 
-    return bfs(_graph(spark, sf_dir), source=0).state.select(
+    return bfs(_graph(spark, sf_dir), source=0, fused_rounds=8).state.select(
         "vid", F.col("dist").cast("long").alias("dist")
     )
 
@@ -2547,7 +2547,7 @@ def _q_bfs(spark, sf_dir):
 def _q_sssp(spark, sf_dir):
     from graphscope_spark.algorithms import sssp
 
-    return sssp(_graph(spark, sf_dir), source=0, max_rounds=300).state.select(
+    return sssp(_graph(spark, sf_dir), source=0, max_rounds=300, fused_rounds=8).state.select(
         "vid", F.round("dist", 6).alias("dist")
     )
 
@@ -2579,7 +2579,7 @@ def _q_out_degree_centrality(spark, sf_dir):
 def _q_bfs_tree(spark, sf_dir):
     from graphscope_spark.algorithms.traversal import bfs_tree
 
-    return bfs_tree(_graph(spark, sf_dir), source=0).select(
+    return bfs_tree(_graph(spark, sf_dir), source=0, fused_rounds=8).select(
         "vid", F.col("dist").cast("long").alias("dist"), "parent"
     )
 
@@ -2736,14 +2736,14 @@ def _q_avg_degree_connectivity(spark, sf_dir):
 def _q_sssp_avg_length(spark, sf_dir):
     from graphscope_spark.algorithms import sssp
 
-    res = sssp(_graph(spark, sf_dir), source=0, max_rounds=300)
+    res = sssp(_graph(spark, sf_dir), source=0, max_rounds=300, fused_rounds=8)
     return res.state.agg(F.round(F.avg("dist"), 6).alias("avg_dist"))
 
 
 def _q_bfs_has_path(spark, sf_dir):
     from graphscope_spark.algorithms import bfs
 
-    res = bfs(_graph(spark, sf_dir), source=0)
+    res = bfs(_graph(spark, sf_dir), source=0, fused_rounds=8)
     targets = [4, 1, 496]  # reachable, other component, chain end
     reach = {r["vid"] for r in res.state.select("vid").collect()}
     rows = [(t, 1 if t in reach else 0) for t in targets]
@@ -2885,7 +2885,9 @@ _SSSP_PATH_TARGET = 496
 def _q_sssp_path(spark, sf_dir):
     from graphscope_spark.algorithms.traversal import shortest_path
 
-    return shortest_path(_graph(spark, sf_dir), source=0, target=_SSSP_PATH_TARGET)
+    return shortest_path(
+        _graph(spark, sf_dir), source=0, target=_SSSP_PATH_TARGET, fused_rounds=8
+    )
 
 
 def _q_apsp(spark, sf_dir):

@@ -32,9 +32,18 @@ def bfs(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
+    fused_rounds: int = 1,
 ) -> BSPResult:
     """Directed BFS depth from ``source``. Result state: (vid, dist) for
-    REACHED vertices only (unreached carry no row)."""
+    REACHED vertices only (unreached carry no row).
+
+    ``fused_rounds=k`` stacks k level-expansions into one Spark job (see
+    ``run_bsp``): BFS is monotone — a vertex's dist is written once and an
+    emptied frontier stays empty — so running past the fixpoint inside a
+    block changes nothing, and the block-end changed-count is an exact
+    convergence check. On a web graph (diameter ~20-60 BFS levels) this
+    cuts driver barriers by k× — the dominant cost of deep frontiers whose
+    late rounds shuffle almost nothing."""
     P = graph.num_partitions
     # partitioned by the join column for shuffle-free frontier joins
     edges = (
@@ -77,6 +86,7 @@ def bfs(
         checkpoint_every=checkpoint_every,
         resume=resume,
         meta={"algorithm": "bfs", "source": source},
+        fused_rounds=fused_rounds,
     )
     edges.unpersist()
     res.state = res.state.where(F.col("dist").isNotNull()).select("vid", "dist")
@@ -89,6 +99,7 @@ def shortest_path(
     target: int,
     weight: Column | None = None,
     max_rounds: int = 1000,
+    fused_rounds: int = 1,
 ) -> DataFrame:
     """(step, vid) — the vertices of a shortest weighted path source→target
     (step 0 = source). Empty result if unreachable.
@@ -106,7 +117,9 @@ def shortest_path(
     """
     if weight is None:
         weight = (F.pmod(F.col("src") + F.col("dst"), F.lit(10)) + 1).cast("double")
-    res = sssp(graph, source, weight=weight, max_rounds=max_rounds)
+    res = sssp(
+        graph, source, weight=weight, max_rounds=max_rounds, fused_rounds=fused_rounds
+    )
     dist = res.state.persist()
     dist.count()
     ew = graph.edges.where(F.col("src") != F.col("dst")).select(
@@ -149,6 +162,7 @@ def sssp(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
+    fused_rounds: int = 1,
 ) -> BSPResult:
     """Single-source shortest path (directed, non-negative weights).
 
@@ -156,6 +170,11 @@ def sssp(
     ``pmod(src+dst, 10) + 1`` so a weight exists even on an unweighted link
     graph (mirrored in the DuckDB oracle). Result state: (vid, dist) for
     reached vertices.
+
+    ``fused_rounds=k`` stacks k relaxation rounds into one Spark job (see
+    ``run_bsp``): Bellman-Ford relaxation is monotone (dist only decreases;
+    an all-quiet round implies fixpoint), so in-block overshoot is free and
+    the block-end improved-count is an exact convergence check.
     """
     P = graph.num_partitions
     if weight is None:
@@ -200,13 +219,16 @@ def sssp(
         checkpoint_every=checkpoint_every,
         resume=resume,
         meta={"algorithm": "sssp", "source": source},
+        fused_rounds=fused_rounds,
     )
     edges.unpersist()
     res.state = res.state.where(F.col("dist").isNotNull()).select("vid", "dist")
     return res
 
 
-def bfs_tree(graph: LinkGraph, source: int, max_rounds: int = 500) -> DataFrame:
+def bfs_tree(
+    graph: LinkGraph, source: int, max_rounds: int = 500, fused_rounds: int = 1
+) -> DataFrame:
     """(vid, dist, parent) — the canonical BFS tree rooted at ``source``:
     every reached vertex with its depth and its tree parent, where
     ``parent(v) = min{ u : (u,v) ∈ E and dist(u)+1 = dist(v) }`` (the
@@ -223,7 +245,9 @@ def bfs_tree(graph: LinkGraph, source: int, max_rounds: int = 500) -> DataFrame:
     every superstep — identical tree, deterministic min-vid tie-break, and
     the per-round state stays one long narrower. The parent join shuffles
     on dst, co-partitioned with the degree tables."""
-    dist = bfs(graph, source, max_rounds=max_rounds).state.persist()
+    dist = bfs(
+        graph, source, max_rounds=max_rounds, fused_rounds=fused_rounds
+    ).state.persist()
     dist.count()
     e = graph.edges.where(F.col("src") != F.col("dst")).select("src", "dst")
     parents = (

@@ -33,8 +33,16 @@ def wcc(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
+    fused_rounds: int = 1,
 ) -> BSPResult:
-    """Returns BSPResult whose state is (vid, comp)."""
+    """Returns BSPResult whose state is (vid, comp).
+
+    ``fused_rounds=k`` stacks k min-label propagation rounds into one Spark
+    job (see ``run_bsp``) — valid because min-label propagation is
+    monotone: labels only decrease and an all-quiet round is a fixpoint, so
+    in-block overshoot is free. Use on high-diameter graphs where the
+    driver barrier dominates the late sparse-frontier rounds; leave at 1
+    when per-superstep metrics matter (metrics are per job)."""
     P = graph.num_partitions
     # Symmetric edge view (self-loops are no-ops for connectivity),
     # persisted hash-partitioned by the per-round join column so the cached
@@ -81,6 +89,7 @@ def wcc(
         checkpoint_every=checkpoint_every,
         resume=resume,
         meta={"algorithm": "wcc"},
+        fused_rounds=fused_rounds,
     )
     sym.unpersist()
     res.state = res.state.select("vid", "comp")

@@ -232,8 +232,24 @@ def run_bsp(
     meta: dict | None = None,
     truncate_every: int = 1,
     stats_reset_every: int = 8,
+    fused_rounds: int = 1,
+    fuse_cut_every: int = 4,
 ) -> BSPResult:
     """Run supersteps until convergence.
+
+    ``fused_rounds=k`` stacks k supersteps into ONE Spark job: the inner
+    applications only compose lazy plans; the block's convergence aggregate
+    is the single action that materializes them all. Only valid for
+    MONOTONE supersteps where an all-quiet round stays quiet forever (BFS /
+    SSSP relaxation / min-label propagation) — there, overshooting the
+    fixpoint by up to k-1 rounds is semantically free (empty frontiers
+    produce no messages), so the block-end convergence check is exact.
+    NOT valid for fixed-round semantics (CDLP's exactly-10-rounds contract)
+    where the round budget must be hit precisely — ``max_rounds`` is still
+    respected (the last block is truncated to fit). Checkpoint manifests
+    store TRUE superstep numbers, so a run resumed with a different
+    ``fused_rounds`` keeps a correct round budget (unlike a block-counting
+    scheme, no cross-validation is needed).
 
     ``superstep_fn(state, round)`` returns the *lazy* next state, which may
     carry helper columns (e.g. the previous value). Each round the loop
@@ -263,10 +279,28 @@ def run_bsp(
     # the current state; they may only be unpersisted once a truncation
     # point (localCheckpoint / durable checkpoint) severs that lineage.
     pending_unpersist: list[DataFrame] = []
-    for rnd in range(start_round + 1, max_rounds + 1):
+    k = max(1, int(fused_rounds))
+    # Fire-schedule anchors (true round numbers); with k=1 these reproduce
+    # the classic every-N modular cadence, with k>1 they keep firing every
+    # ~N rounds even though rnd advances in strides that never hit N exactly.
+    last_durable = last_trunc = last_reset = start_round
+    while rnd < max_rounds:
         t0 = time.time()
-        new_state = superstep_fn(state, rnd)
-        # One Spark action per round: the convergence aggregate below both
+        block = min(k, max_rounds - rnd)
+        new_state = state
+        # Inner rounds compose LAZY plans; every `fuse_cut_every` steps the
+        # plan is cut (truncate_plan_lazy: a deferred localCheckpoint whose
+        # Catalyst node carries leaf stats) so in-block self-join stats
+        # can't multiply and optimizer time stays linear in k. The cuts
+        # materialize together with the block's single convergence action.
+        inner_cuts: list[DataFrame] = []
+        for j in range(1, block + 1):
+            new_state = superstep_fn(new_state, rnd + j)
+            if j < block and fuse_cut_every and j % fuse_cut_every == 0:
+                new_state = truncate_plan_lazy(new_state)
+                inner_cuts.append(new_state)
+        rnd += block
+        # One Spark action per BLOCK: the convergence aggregate below both
         # materializes the persisted state and returns the scalar. Lineage
         # is truncated every `truncate_every` rounds (localCheckpoint) and
         # durably every `checkpoint_every` rounds (parquet + manifest) —
@@ -280,10 +314,13 @@ def run_bsp(
         # edges), while every-8 caps sizeInBytes digit growth at ~19·2⁸ —
         # microseconds of BigInteger math.
         truncated = True
-        if checkpoint_dir and rnd % checkpoint_every == 0:
+        if checkpoint_dir and rnd - last_durable >= checkpoint_every:
+            last_durable = last_trunc = rnd
             new_state = save_checkpoint(new_state, checkpoint_dir, rnd, meta)
-        elif rnd % truncate_every == 0:
-            if stats_reset_every and rnd % (truncate_every * stats_reset_every) == 0:
+        elif rnd - last_trunc >= truncate_every:
+            last_trunc = rnd
+            if stats_reset_every and rnd - last_reset >= truncate_every * stats_reset_every:
+                last_reset = rnd
                 # lazy for the same one-job-per-round reason; the rebuild
                 # node's stats reset happens at plan construction either way
                 new_state = truncate_plan(new_state, eager=False)
@@ -301,19 +338,24 @@ def run_bsp(
         # recomputation of the whole since-last-truncation lineage.
         scalar = scalar_fn(new_state)
         if truncated:
-            # new_state's lineage is severed: everything older is releasable.
+            # new_state's lineage is severed: everything older is releasable,
+            # including the in-block plan cuts (cached by the action above).
             for st in pending_unpersist:
                 st.unpersist()
             pending_unpersist.clear()
             state.unpersist()
+            for st in inner_cuts:
+                st.unpersist()
         else:
             # new_state (merely persisted) still references `state`'s
             # lineage — deferring the unpersist keeps a cache eviction of
             # new_state recomputable (the previous state is typically a
             # localCheckpoint whose blocks are freed on unpersist).
             pending_unpersist.append(state)
+            pending_unpersist.extend(inner_cuts)
         state = new_state
-        m = {"superstep": rnd, "wall_s": round(time.time() - t0, 4),
+        m = {"superstep": rnd, "rounds_in_job": block,
+             "wall_s": round(time.time() - t0, 4),
              "convergence": scalar, **mon.snapshot()}
         metrics.append(m)
         if converged_fn(scalar, rnd):
@@ -331,6 +373,6 @@ def run_bsp(
     # resumable with a larger budget (e.g. PageRank stopped early by budget).
     if checkpoint_dir and converged:
         state = save_checkpoint(state, checkpoint_dir, rnd, {**(meta or {}), "final": True})
-    elif checkpoint_dir and rnd % checkpoint_every != 0:
+    elif checkpoint_dir and rnd != last_durable:
         state = save_checkpoint(state, checkpoint_dir, rnd, meta)
     return BSPResult(state=state, supersteps=rnd, converged=converged, metrics=metrics)

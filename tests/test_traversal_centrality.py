@@ -84,6 +84,40 @@ def test_sssp_tiny(tiny_graph):
         assert np.isclose(got[v], want[v]), (v, got[v], want[v])
 
 
+def test_bfs_fused_rounds_equivalent(tiny_graph):
+    """fused_rounds=k must be result-identical to the one-job-per-round
+    loop: BFS is monotone, so in-block overshoot past the fixpoint is a
+    no-op (empty frontier => no messages)."""
+    want = _collect(bfs(tiny_graph, source=1).state, "vid", "dist")
+    for k in (3, 8, 100):
+        got = _collect(bfs(tiny_graph, source=1, fused_rounds=k).state, "vid", "dist")
+        assert got == want, k
+
+
+def test_sssp_fused_rounds_equivalent(tiny_graph):
+    want = _collect(sssp(tiny_graph, source=1).state, "vid", "dist")
+    got = _collect(sssp(tiny_graph, source=1, fused_rounds=4).state, "vid", "dist")
+    assert set(got) == set(want)
+    for v in want:
+        assert np.isclose(got[v], want[v]), v
+
+
+def test_bfs_fused_checkpoint_resume(tiny_graph, tmp_path):
+    """Durable checkpoints written by a fused run store TRUE superstep
+    numbers, so a resume (even with a different fused_rounds) converges to
+    the same result."""
+    ck = str(tmp_path / "bfs_ck")
+    # force an early stop mid-traversal, then resume with different fusion
+    part = bfs(tiny_graph, source=1, max_rounds=1, fused_rounds=1,
+               checkpoint_dir=ck, checkpoint_every=1)
+    assert not part.converged
+    full = bfs(tiny_graph, source=1, fused_rounds=4,
+               checkpoint_dir=ck, checkpoint_every=1, resume=True)
+    assert full.converged
+    got = _collect(full.state, "vid", "dist")
+    assert got == _bfs_oracle(TINY_EDGES, 1)
+
+
 def test_degree_centrality_tiny(tiny_graph):
     got = _collect(degree_centrality(tiny_graph), "vid", "dc")
     # undirected simple-graph degrees, self-loops dropped
