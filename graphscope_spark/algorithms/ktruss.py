@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.bsp import truncate_plan_lazy
+from graphscope_spark.bsp import release_truncated, truncate_plan, truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph, sorted_adjacency
 from graphscope_spark.algorithms.triangles import _sorted_intersect
 
@@ -104,7 +104,12 @@ def edge_support(edges_ab: DataFrame, num_partitions: int) -> DataFrame:
     out = edges_ab.join(sup, ["a", "b"], "left").select(
         "a", "b", F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup")
     )
-    out = truncate_plan_lazy(out)
+    # EAGER truncation: `oriented` feeds the plan three times (both adjacency
+    # sides + the instance join); materializing before the unpersist below
+    # computes it once from cache — a lazy cut would recompute it per use
+    # after the blocks are gone (localCheckpoint lineage is severed, but
+    # oriented is a plain persist, so it silently recomputes instead).
+    out = truncate_plan(out)
     oriented.unpersist()
     return out
 
@@ -122,6 +127,13 @@ def _truss_fixpoint(
         sup = edge_support(cur, num_partitions)
         nxt = truncate_plan_lazy(sup.where(F.col("sup") >= thresh).select("a", "b"))
         n_next = nxt.count()
+        # nxt is materialized: the round's support table and the previous
+        # edge set are spent — release their checkpoint blocks (a peel can
+        # run hundreds of rounds; see release_truncated on driver-heap leaks).
+        # The caller's input frame is never released (the caller owns it).
+        release_truncated(sup)
+        if cur is not edges_ab:
+            release_truncated(cur)
         if n_next == n_cur:
             return nxt, n_next
         cur, n_cur = nxt, n_next
@@ -158,18 +170,28 @@ def truss_decomposition(
     spark = graph.edges.sparkSession
     k = 3
     while n_cur > 0 and k <= max_k:
+        # nxt comes back truncate-backed and already materialized
         nxt, n_next = _truss_fixpoint(cur, k, graph.num_partitions, max_rounds)
-        nxt = nxt.persist()
-        nxt.count()
         dropped = cur.join(nxt, ["a", "b"], "left_anti").select(
             "a", "b", F.lit(k - 1).cast("long").alias("truss")
         )
-        assigned = (
+        # Truncate (not just persist) the accumulator: a plain persist keeps
+        # lineage into `cur`, whose checkpoint blocks are released below —
+        # an eviction would then be unrecoverable. Truncation severs that
+        # lineage at this materialization, after which the previous
+        # accumulator and edge set are both safely releasable.
+        new_assigned = (
             dropped if assigned is None else assigned.unionByName(dropped)
         )
-        assigned = assigned.persist()
-        assigned.count()
-        cur.unpersist()
+        new_assigned = truncate_plan_lazy(new_assigned)
+        new_assigned.count()
+        if assigned is not None:
+            release_truncated(assigned)
+        assigned = new_assigned
+        if k == 3:
+            cur.unpersist()  # the initial plain-persisted canonical edge set
+        else:
+            release_truncated(cur)
         cur, n_cur = nxt, n_next
         k += 1
     if n_cur > 0:
@@ -177,7 +199,11 @@ def truss_decomposition(
             f"truss_decomposition: {n_cur} edges still present at k={max_k}; "
             "raise max_k"
         )
+    # cur is the initial persisted frame if the loop never ran, else the
+    # last fixpoint's truncate-backed frame — each release is a no-op on
+    # the other kind.
     cur.unpersist()
+    release_truncated(cur)
     if assigned is None:
         return spark.createDataFrame(
             [], "a bigint, b bigint, truss bigint"
