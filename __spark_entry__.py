@@ -2508,6 +2508,63 @@ def _q_apsp_exact(spark, sf_dir):
     )
 
 
+_HYPERANF_T = 12
+
+
+def _q_hyperanf_nf(spark, sf_dir):
+    """(t, nf_exact, approx_ok) — HyperANF approximate neighborhood
+    function (Boldi-Rosa-Vigna WWW'11; per-vertex HLL registers as m=64
+    tinyint columns, zero Python in the loop — algorithms/hyperanf.py)
+    cross-checked in-engine against the exact multi-source-BFS NF; the
+    oracle recomputes the exact NF independently (unrolled BFS SQL) and
+    pins the accuracy bit, so the two-engine contract covers the exact
+    side and the ±10% HLL accuracy claim is asserted where the estimate
+    lives (same pattern as the ANN recall rows)."""
+    from graphscope_spark.algorithms import multi_source_bfs
+    from graphscope_spark.algorithms.hyperanf import neighborhood_function
+
+    g = _graph(spark, sf_dir)
+    T = _HYPERANF_T
+    nf = neighborhood_function(g, t_max=T, rel_tol=0.0)
+    # pad to exactly T+1 rows if the sketch saturated early (NF is
+    # constant past saturation by definition)
+    got = {r["t"]: r["nf"] for r in nf.collect()}
+    last = got[max(got)]
+    est_df = spark.createDataFrame(
+        [(t, float(got.get(t, last))) for t in range(T + 1)], "t int, nf double"
+    )
+    exact = multi_source_bfs(g, g.vertices.select("vid"), max_rounds=T)
+    ts = spark.range(0, T + 1).select(F.col("id").cast("int").alias("t"))
+    ex = (
+        ts.join(exact, exact["dist"] <= ts["t"])
+        .groupBy("t")
+        .agg(F.count("*").alias("nf_exact"))
+    )
+    return (
+        ts.join(ex, "t", "left")
+        .join(est_df, "t")
+        .select(
+            "t",
+            F.coalesce("nf_exact", F.lit(0)).cast("long").alias("nf_exact"),
+            (F.abs(F.col("nf") / F.col("nf_exact") - 1.0) <= 0.10)
+            .cast("long")
+            .alias("approx_ok"),
+        )
+    )
+
+
+_NF_FINAL = (
+    "\n, ts AS (SELECT CAST(range AS INT) AS t FROM range(0, "
+    + str(_HYPERANF_T + 1)
+    + "))\n"
+    "SELECT ts.t AS t,\n"
+    "       (SELECT COUNT(*) FROM {last} l WHERE l.dist IS NOT NULL"
+    " AND l.dist <= ts.t) AS nf_exact,\n"
+    "       CAST(1 AS BIGINT) AS approx_ok\n"
+    "FROM ts\n"
+)
+
+
 def _q_pregel_wcc(spark, sf_dir):
     """The Pregel vertex-program surface (graphscope_spark/pregel.py): the
     min-label program must reproduce wcc exactly (reference validates its
@@ -4361,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_select_path": _q_gie_select_path,
         "gie_subgraph_wcc": _q_gie_subgraph_wcc,
         "apsp_exact": _q_apsp_exact,
+        "hyperanf_nf": _q_hyperanf_nf,
         "nx_mutate_report": _q_nx_mutate_report,
         # GLE-lite sampling family (new this round — never driver-gated)
         "gen_labels": _q_gen_labels,
@@ -4587,6 +4645,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_select_path": _GIE_SELECT_PATH_SQL,
         "gie_subgraph_wcc": _GIE_SUBGRAPH_WCC_SQL,
         "apsp_exact": _multi_bfs_sql(80, "TRUE", _APSP_FINAL),
+        "hyperanf_nf": _multi_bfs_sql(_HYPERANF_T, "TRUE", _NF_FINAL),
         "nx_mutate_report": _NX_MUTATE_SQL,
         "gen_labels": _GEN_LABELS_SQL,
         "gen_edge_labels": _GEN_EDGE_LABELS_SQL,

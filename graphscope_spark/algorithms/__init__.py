@@ -27,6 +27,10 @@ from graphscope_spark.algorithms.closeness import (
     harmonic_centrality,
     multi_source_bfs,
 )
+from graphscope_spark.algorithms.hyperanf import (
+    effective_diameter,
+    neighborhood_function,
+)
 from graphscope_spark.algorithms.louvain import louvain, modularity
 from graphscope_spark.algorithms.voterank import voterank
 from graphscope_spark.algorithms.paths import is_simple_path, all_simple_edge_paths
@@ -41,8 +45,10 @@ from graphscope_spark.algorithms.clustering import (
 
 __all__ = [
     "closeness_centrality",
+    "effective_diameter",
     "harmonic_centrality",
     "multi_source_bfs",
+    "neighborhood_function",
     "louvain",
     "modularity",
     "voterank",
