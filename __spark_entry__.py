@@ -4385,24 +4385,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     docs_by_lang/bfs/sssp/hits past slot 50 — all five displaced rows are
     r1-r3 driver-green and stay in the full local matrix.
 
-    Final round-4 batch: nine more never-gated rows (link_prediction,
-    modularity, conductance, asof_join, range_join, events_sliding,
-    lm_scores, frequent_tokens, semdedup) take slots 40-48; slot 49 keeps
-    ann_lsh_topk (its oracle contract changed this round — corpus-derived
-    invariants added per round-3 ADVICE) and slot 50 keeps
-    pagerank_dangling (fused_rounds resume validation changed). The
-    displaced rows (ann_ivf_topk, multimodal_features, frame_sample,
-    dedup_embedding_cosine, min_vertex_cover, degeneracy_order,
-    onion_layers, coreness, k_core_search) are all r2/r3 driver-green and
-    re-verified by the committed full matrix at round-4 HEAD."""
-    return {
-        # ---- driver first-50 window (round 4): flagship four; the five
-        # ---- never-driver-gated rows (new GIE steps, nx mutations, exact
-        # ---- APSP); every kernel changed this round (peel fusion, mvc
-        # ---- fast-path, ANN oracle invariants, multimodal decode,
-        # ---- traversal both()); then the rows last driver-gated in r1/r2,
-        # ---- bench-headline first. Slots 51+ are all r2/r3-green and
-        # ---- re-checked by the full local matrix (BENCH/GATE_FULL_r4.json).
+    Final round-4 window (see the reorder at the end of this function):
+    the first 50 slots are EXACTLY the 50 rows with no driver CORRECTNESS
+    row yet — after the round-4 gate, every one of the 143 queries has at
+    least one driver row across r01-r04. The displaced already-gated rows
+    (flagship four, ann_lsh_topk with its strengthened oracle,
+    pagerank_dangling with its resume-validation change, and the rest)
+    are re-verified by the committed full matrix at round-4 HEAD
+    (BENCH/GATE_FULL_r4.json, 143/143)."""
+    qs = {
+        # ---- literal order is historical; the ACTUAL first-50 driver
+        # ---- window is set by the never_gated reorder after this dict
+        # ---- (see the docstring).
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
         "wcc": _q_wcc,
@@ -4563,6 +4557,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_simple_paths": _q_all_simple_paths,
         "sssp_path": _q_sssp_path,
         "attribute_assortativity": _q_attr_assortativity,
+    }
+    # Final round-4 window: the driver gates the FIRST 50 entries, and
+    # exactly 50 rows have never had a driver CORRECTNESS row (everything
+    # added this round). Promote precisely those, preserving relative
+    # order, so after the round-4 gate EVERY query in the engine has at
+    # least one driver row across r01-r04. The displaced rows (flagship
+    # four included) are r1-r3 driver-green and re-verified by the
+    # committed full local matrix at HEAD (BENCH/GATE_FULL_r4.json).
+    never_gated = [
+        "pagerank_weighted", "bm25_rank", "hll_distinct_shingles",
+        "hll_merge_invariance", "event_quantiles", "incremental_pagerank",
+        "gie_select_path", "gie_subgraph_wcc", "apsp_exact", "hyperanf_nf",
+        "nx_mutate_report", "gen_labels", "gen_edge_labels",
+        "neighbor_sample", "random_walks", "negative_sample",
+        "node2vec_walks", "pii_redaction", "c4_filters",
+        "deterministic_split", "stratified_sample", "contamination_check",
+        "incremental_wcc", "gie_match", "gie_predicates",
+        "gie_element_map", "gie_edge_expand", "host_graph", "url_dedup",
+        "paragraph_dedup", "repetition_scores", "bfs_tree",
+        "numeric_assortativity", "in_degree_centrality",
+        "out_degree_centrality", "all_simple_edge_paths",
+        "link_prediction", "modularity", "conductance", "asof_join",
+        "range_join", "events_sliding", "lm_scores", "frequent_tokens",
+        "semdedup", "dedup_clusters", "events_sessions", "kclique5",
+        "tfidf_top_terms", "truss_decomposition",
+    ]
+    assert len(never_gated) == 50 and all(k in qs for k in never_gated)
+    return {
+        **{k: qs[k] for k in never_gated},
+        **{k: v for k, v in qs.items() if k not in set(never_gated)},
     }
 
 

@@ -239,6 +239,11 @@ def main():
         "lm_scores",
         "frequent_tokens",
         "semdedup",
+        # round 4 (end): edge-level peel (k-truss) and the HLL
+        # neighborhood-function sweep — the widest BSP state in the suite
+        # (64 tinyint register columns/vertex; stresses wide-row shuffle)
+        "truss_decomposition",
+        "hyperanf",
     ]
     # The gate wrappers for these rows pin max_driver_edges=0 so DuckDB
     # always cross-checks the DISTRIBUTED loops; the bench measures the
@@ -255,7 +260,20 @@ def main():
 
         return degeneracy_order(entry_mod._graph(spark_, sf))
 
-    overrides = {"coreness": _bench_coreness, "degeneracy_order": _bench_degeneracy}
+    def _bench_hyperanf(spark_, sf):
+        # the gate row (hyperanf_nf) bundles an exact multi-source-BFS
+        # cross-check; the bench measures the sketch sweep alone
+        from graphscope_spark.algorithms.hyperanf import neighborhood_function
+
+        return neighborhood_function(
+            entry_mod._graph(spark_, sf), t_max=8, rel_tol=0.0
+        )
+
+    overrides = {
+        "coreness": _bench_coreness,
+        "degeneracy_order": _bench_degeneracy,
+        "hyperanf": _bench_hyperanf,
+    }
 
     timings: dict[str, float] = {}
     for name in headline:
