@@ -2412,6 +2412,63 @@ FROM kept GROUP BY doc_id
 """
 
 
+def _q_dup_spans(spark, sf_dir):
+    """ExactSubstr duplicated-span coverage (Lee et al. ACL'22;
+    datapipe.dedup.duplicated_spans): per-doc tokens covered by any 8-gram
+    occurring ≥2 times corpus-wide, merged into maximal spans. The oracle
+    mirrors the positional inverted index + gaps-and-islands in SQL on the
+    raw n-gram strings (the engine shuffles xxhash64 of the gram — same
+    hash-for-string trade as paragraph_dedup)."""
+    from graphscope_spark.datapipe.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), n=8, min_count=2)
+
+
+_DUP_SPANS_SQL = r"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS total_tokens, t FROM toks),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 8 + 1)) AS i
+  FROM base WHERE len(t) >= 8
+),
+pos AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(t[i : i + 7], chr(31)) AS g
+  FROM idx
+),
+dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+posd AS (SELECT doc_id, p FROM pos WHERE g IN (SELECT g FROM dup)),
+flagged AS (
+  -- no WINDOW clause: _materialize's CTE rewrite would mangle "w AS ("
+  SELECT doc_id, p,
+    CASE WHEN max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR p > max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS brk
+  FROM posd
+),
+islands AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, isl, MIN(p) AS s, MAX(p) + 8 AS e
+  FROM islands GROUP BY doc_id, isl
+),
+agg AS (
+  SELECT doc_id, SUM(e - s) AS dup_tokens, COUNT(*) AS dup_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id,
+       CAST(b.total_tokens AS BIGINT) AS total_tokens,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(a.dup_spans, 0) AS BIGINT) AS dup_spans,
+       COALESCE(a.dup_tokens, 0) / GREATEST(b.total_tokens, 1) AS dup_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_gie_edge_expand(spark, sf_dir):
     """Gremlin Expand edge steps (reference
     docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95):
@@ -4557,6 +4614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_simple_paths": _q_all_simple_paths,
         "sssp_path": _q_sssp_path,
         "attribute_assortativity": _q_attr_assortativity,
+        # added after the round-4 window froze; enters the round-5 window
+        "dup_spans": _q_dup_spans,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -4745,6 +4804,7 @@ def _raw_oracle_sql() -> dict[str, str]:
             "SELECT root, vid, CAST(dist AS BIGINT) AS dist FROM {last} WHERE dist IS NOT NULL",
         ),
         "attribute_assortativity": _ATTR_ASSORT_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
         "diameter_approx": _diameter_sql(12),
         "cut_points": _CUT_POINTS_SQL,
         "bcc": _BCC_SQL,

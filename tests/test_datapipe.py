@@ -500,3 +500,44 @@ def test_wav_header_and_audio_features(spark):
     assert (rows[1]["kind"], rows[1]["sample_rate"], rows[1]["channels"],
             rows[1]["bits_per_sample"], rows[1]["n_samples"]) == ("wav", 44100, 2, 16, 2)
     assert rows[2]["kind"] == "ogg" and rows[2]["sample_rate"] is None
+
+
+def test_duplicated_spans_islands_and_policy(spark):
+    from graphscope_spark.datapipe.dedup import duplicated_spans, substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # docs 0/1 share one 4-gram -> one 4-token span each
+            (0, "a b c d e f g h i j"),
+            (1, "a b c d x y z w q r"),
+            (2, "u1 u2 u3 u4 u5 u6 u7 u8"),  # unique -> zero coverage
+            # self-repetition: overlapping windows merge into ONE island
+            (3, "r1 r2 r1 r2 r1 r2 r1 r2 r1 r2"),
+            (4, "short doc"),  # shorter than n -> no windows at all
+            # two DISJOINT duplicated spans (shared with 0/1's gram and
+            # with doc 6) separated by unique filler -> dup_spans == 2
+            (5, "a b c d f1 f2 f3 f4 f5 m1 m2 m3 m4 z9 z9b z9c"),
+            (6, "k1 k2 m1 m2 m3 m4 z9 z9b z9c k3 k4 k5"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_spans(docs, n=4).collect()
+    }
+    assert got[0]["dup_tokens"] == 4 and got[0]["dup_spans"] == 1
+    assert got[1]["dup_tokens"] == 4 and got[1]["dup_spans"] == 1
+    assert got[2]["dup_tokens"] == 0 and got[2]["dup_spans"] == 0
+    assert got[3]["dup_tokens"] == 10 and got[3]["dup_spans"] == 1
+    assert got[3]["dup_frac"] == 1.0
+    assert got[4]["dup_tokens"] == 0 and got[4]["total_tokens"] == 2
+    # doc 5: span [0,4) from "a b c d", span [9,16) from the 7-token run
+    # "m1 m2 m3 m4 z9 z9b z9c" shared with doc 6 (windows 9..12 merge)
+    assert got[5]["dup_tokens"] == 11 and got[5]["dup_spans"] == 2
+    assert got[6]["dup_tokens"] == 7 and got[6]["dup_spans"] == 1
+    kept = sorted(
+        r["doc_id"]
+        for r in substring_dedup(docs, n=4, max_dup_frac=0.5).collect()
+    )
+    # 3 (frac 1.0), 5 (11/16), and 6 (7/12) all exceed 0.5
+    assert kept == [0, 1, 2, 4]
