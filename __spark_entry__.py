@@ -1604,11 +1604,19 @@ def _simple_edge_paths_sql(source: int, target: int, cutoff: int) -> str:
     return base[: -len(final)] + new_final
 
 
-def _multi_bfs_sql(rounds: int, roots_pred: str, final: str) -> str:
-    """Unrolled multi-root BFS over (root, vid) pair state."""
+def _multi_bfs_sql(
+    rounds: int, roots_pred: str, final: str, sym: bool = False
+) -> str:
+    """Unrolled multi-root BFS over (root, vid) pair state; ``sym=True``
+    walks the symmetrized (undirected) simple edge set instead."""
+    ew = (
+        "ew AS (SELECT s AS src, t AS dst FROM sym),"
+        if sym
+        else "ew AS (SELECT src, dst FROM edges WHERE src <> dst),"
+    )
     parts = [
         f"WITH {_SQL_BASE},",
-        "ew AS (SELECT src, dst FROM edges WHERE src <> dst),",
+        ew,
         f"rts AS (SELECT vid FROM verts WHERE {roots_pred}),",
         """st0 AS (
   SELECT r.vid AS root, v.vid,
@@ -2467,6 +2475,162 @@ SELECT b.doc_id AS doc_id,
        COALESCE(a.dup_tokens, 0) / GREATEST(b.total_tokens, 1) AS dup_frac
 FROM base b LEFT JOIN agg a USING (doc_id)
 """
+
+
+def _q_reciprocity(spark, sf_dir):
+    """Per-vertex reciprocity (algorithms/nxmetrics.py — NetworkX
+    semantics; reference forwards the upstream suite via
+    nx/algorithms/tests/forward/test_reciprocity.py)."""
+    from graphscope_spark.algorithms.nxmetrics import reciprocity
+
+    return reciprocity(_graph(spark, sf_dir))
+
+
+_RECIPROCITY_SQL = f"""
+WITH {_SQL_BASE},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+o AS (SELECT src AS vid, COUNT(*) AS n_out FROM de GROUP BY src),
+i AS (SELECT dst AS vid, COUNT(*) AS n_in FROM de GROUP BY dst),
+m AS (
+  SELECT e.src AS vid, COUNT(*) AS n_mut FROM de e
+  WHERE EXISTS (SELECT 1 FROM de r WHERE r.src = e.dst AND r.dst = e.src)
+  GROUP BY e.src
+)
+SELECT COALESCE(o.vid, i.vid) AS vid,
+       2.0 * COALESCE(m.n_mut, 0)
+         / (COALESCE(o.n_out, 0) + COALESCE(i.n_in, 0)) AS reciprocity
+FROM o FULL JOIN i ON o.vid = i.vid
+LEFT JOIN m ON m.vid = COALESCE(o.vid, i.vid)
+"""
+
+
+def _q_graph_metrics(spark, sf_dir):
+    """One-row scalar metrics: overall reciprocity, s-metric, isolate
+    count (nxmetrics.py; reference forwards test_smetric/test_isolate)."""
+    from graphscope_spark.algorithms.nxmetrics import (
+        isolates,
+        overall_reciprocity,
+        s_metric,
+    )
+
+    g = _graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                float(overall_reciprocity(g)),
+                float(s_metric(g)),
+                int(isolates(g).count()),
+            )
+        ],
+        "overall_reciprocity double, s_metric double, n_isolates long",
+    )
+
+
+_GRAPH_METRICS_SQL = f"""
+WITH {_SQL_BASE},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+dm AS (
+  SELECT COUNT(*) AS n_mut FROM de e
+  WHERE EXISTS (SELECT 1 FROM de r WHERE r.src = e.dst AND r.dst = e.src)
+),
+sm AS (
+  SELECT SUM(da.deg * db.deg) AS s FROM und
+  JOIN udeg da ON da.vid = und.a JOIN udeg db ON db.vid = und.b
+),
+iso AS (
+  SELECT COUNT(*) AS c FROM verts v
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = v.vid OR e.dst = v.vid)
+)
+SELECT CAST(dm.n_mut AS DOUBLE) / (SELECT COUNT(*) FROM de)
+         AS overall_reciprocity,
+       CAST(sm.s AS DOUBLE) AS s_metric,
+       CAST(iso.c AS BIGINT) AS n_isolates
+FROM dm, sm, iso
+"""
+
+
+def _q_rich_club(spark, sf_dir):
+    """Unnormalized rich-club coefficient phi(k) (nxmetrics.py; reference
+    forwards test_richclub). Histogram-only plan — never a per-k pass."""
+    from graphscope_spark.algorithms.nxmetrics import rich_club_coefficient
+
+    return rich_club_coefficient(_graph(spark, sf_dir))
+
+
+_RICH_CLUB_SQL = f"""
+WITH {_SQL_BASE},
+mx AS (SELECT MAX(deg) AS mx FROM udeg),
+ks AS (SELECT unnest(generate_series(0, (SELECT mx FROM mx) - 1)) AS k),
+nk AS (
+  SELECT k, (SELECT COUNT(*) FROM udeg WHERE deg > k) AS nk FROM ks
+),
+ek AS (
+  SELECT k, (SELECT COUNT(*) FROM und
+             JOIN udeg da ON da.vid = und.a
+             JOIN udeg db ON db.vid = und.b
+             WHERE da.deg > k AND db.deg > k) AS ek FROM ks
+)
+SELECT CAST(nk.k AS BIGINT) AS k,
+       2.0 * ek.ek / (nk.nk * (nk.nk - 1)) AS phi
+FROM nk JOIN ek ON nk.k = ek.k WHERE nk.nk >= 2
+"""
+
+
+def _q_efficiency_wiener(spark, sf_dir):
+    """global_efficiency + wiener_index in one row (nxmetrics.py;
+    reference forwards test_efficiency/test_wiener). The sf graph is 4
+    components, so wiener is +inf by NetworkX's contract — the oracle
+    reproduces that from the same reachable-pair count."""
+    from graphscope_spark.algorithms.nxmetrics import (
+        global_efficiency,
+        wiener_index,
+    )
+
+    g = _graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(float(global_efficiency(g)), float(wiener_index(g)))],
+        "global_efficiency double, wiener_index double",
+    )
+
+
+_EFF_WIENER_FINAL = """
+, reach AS (
+  SELECT root, vid, dist FROM {last} WHERE dist IS NOT NULL AND root <> vid
+),
+nn AS (SELECT COUNT(*) AS n FROM verts)
+SELECT (SELECT SUM(1.0 / dist) FROM reach) / (nn.n * (nn.n - 1))
+         AS global_efficiency,
+       CASE WHEN (SELECT COUNT(*) FROM reach) < nn.n * (nn.n - 1)
+            THEN CAST('infinity' AS DOUBLE)
+            ELSE (SELECT SUM(dist) FROM reach) / 2.0 END AS wiener_index
+FROM nn
+"""
+
+
+_VORONOI_SEEDS = [0, 1, 2, 3, 250]
+
+
+def _q_voronoi(spark, sf_dir):
+    """Voronoi cells from a fixed seed set by undirected BFS distance,
+    ties to the smallest seed (nxmetrics.py; reference forwards
+    test_voronoi). Seeds 0-3 hit all 4 components; 250 exercises an
+    interior tie region."""
+    from graphscope_spark.algorithms.nxmetrics import voronoi_cells
+
+    return voronoi_cells(_graph(spark, sf_dir), _VORONOI_SEEDS)
+
+
+_VORONOI_FINAL = (
+    """
+, best AS (
+  SELECT vid, root AS center, CAST(dist AS BIGINT) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, root ASC)
+           AS rk
+  FROM {last} WHERE dist IS NOT NULL
+)
+SELECT vid, center, dist FROM best WHERE rk = 1
+"""
+)
 
 
 def _q_gie_edge_expand(spark, sf_dir):
@@ -4616,6 +4780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_assortativity": _q_attr_assortativity,
         # added after the round-4 window froze; enters the round-5 window
         "dup_spans": _q_dup_spans,
+        "reciprocity": _q_reciprocity,
+        "graph_metrics": _q_graph_metrics,
+        "rich_club": _q_rich_club,
+        "efficiency_wiener": _q_efficiency_wiener,
+        "voronoi": _q_voronoi,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -4805,6 +4974,11 @@ def _raw_oracle_sql() -> dict[str, str]:
         ),
         "attribute_assortativity": _ATTR_ASSORT_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "reciprocity": _RECIPROCITY_SQL,
+        "graph_metrics": _GRAPH_METRICS_SQL,
+        "rich_club": _RICH_CLUB_SQL,
+        "efficiency_wiener": _multi_bfs_sql(8, "TRUE", _EFF_WIENER_FINAL, sym=True),
+        "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),
         "diameter_approx": _diameter_sql(12),
         "cut_points": _CUT_POINTS_SQL,
         "bcc": _BCC_SQL,

@@ -27,6 +27,16 @@ from graphscope_spark.algorithms.closeness import (
     harmonic_centrality,
     multi_source_bfs,
 )
+from graphscope_spark.algorithms.nxmetrics import (
+    global_efficiency,
+    isolates,
+    overall_reciprocity,
+    reciprocity,
+    rich_club_coefficient,
+    s_metric,
+    voronoi_cells,
+    wiener_index,
+)
 from graphscope_spark.algorithms.hyperanf import (
     effective_diameter,
     neighborhood_function,
@@ -49,6 +59,14 @@ __all__ = [
     "harmonic_centrality",
     "multi_source_bfs",
     "neighborhood_function",
+    "global_efficiency",
+    "isolates",
+    "overall_reciprocity",
+    "reciprocity",
+    "rich_club_coefficient",
+    "s_metric",
+    "voronoi_cells",
+    "wiener_index",
     "louvain",
     "modularity",
     "voterank",

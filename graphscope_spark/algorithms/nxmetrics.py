@@ -1,0 +1,262 @@
+"""NetworkX-layer graph metrics: reciprocity, rich-club, s-metric,
+isolates, global efficiency, Wiener index, Voronoi cells.
+
+The reference forwards the whole upstream NetworkX test suites for these
+through its nx compat layer (`python/graphscope/nx/algorithms/tests/forward/
+test_reciprocity.py`, `test_richclub.py`, `test_smetric.py`,
+`test_efficiency.py`, `test_wiener.py`, `test_voronoi.py`,
+`test_isolate.py`), so they are part of the reference's user surface even
+though no analytical-engine app exists for them.
+
+Scale shapes:
+
+* reciprocity / s-metric / isolates are one or two hash joins on the
+  distinct edge set — no iteration, no driver data.
+* rich-club runs entirely on DEGREE HISTOGRAMS: N_(>k) and E_(>k) are
+  descending cumulative sums over two tiny (max-degree-sized) aggregates,
+  never a per-k pass over vertices or edges.
+* efficiency / Wiener reuse the all-sources `multi_source_bfs` pair-state
+  machinery (same as `closeness_exact`) on the symmetrized graph — O(V·V)
+  state, the documented exact-variant bound; HyperANF is the approximate
+  scale path for distance-distribution statistics.
+* Voronoi cells are ONE multi-source BFS from the seed set (state is
+  O(V·seeds)), then an argmin-per-vertex window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import LinkGraph
+from graphscope_spark.ops import to_undirected
+
+
+def _simple_directed(graph: LinkGraph) -> DataFrame:
+    """Distinct directed edges, self-loops dropped."""
+    return (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _simple_undirected(graph: LinkGraph) -> DataFrame:
+    """(a, b) with a < b — the distinct simple undirected edge set."""
+    return (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+
+def _undirected_degrees(graph: LinkGraph) -> DataFrame:
+    """(vid, deg) on the simple undirected graph (degree-0 rows included)."""
+    und = _simple_undirected(graph)
+    ends = und.select(F.col("a").alias("vid")).unionByName(
+        und.select(F.col("b").alias("vid"))
+    )
+    d = ends.groupBy("vid").agg(F.count("*").alias("deg"))
+    return (
+        graph.vertices.select("vid")
+        .join(d, "vid", "left")
+        .select("vid", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+    )
+
+
+def reciprocity(graph: LinkGraph) -> DataFrame:
+    """(vid, reciprocity) per vertex — NetworkX semantics on the simple
+    directed graph: 2·|pred ∩ succ| / (|pred| + |succ|); vertices with no
+    in- or out-edges are omitted (NetworkX returns NaN for them)."""
+    de = _simple_directed(graph)
+    succ = de.groupBy("src").agg(F.count("*").alias("n_out")).withColumnRenamed(
+        "src", "vid_o"
+    )
+    pred = de.groupBy("dst").agg(F.count("*").alias("n_in")).withColumnRenamed(
+        "dst", "vid_i"
+    )
+    mutual = (
+        de.join(
+            de.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            ["src", "dst"],
+            "left_semi",
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("n_mut"))
+        .withColumnRenamed("src", "vid_m")
+    )
+    return (
+        succ.join(pred, succ["vid_o"] == pred["vid_i"], "full")
+        .select(
+            F.coalesce("vid_o", "vid_i").alias("vid"),
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+            F.coalesce("n_in", F.lit(0)).alias("n_in"),
+        )
+        .join(mutual, F.col("vid") == F.col("vid_m"), "left")
+        .select(
+            "vid",
+            (
+                2.0
+                * F.coalesce("n_mut", F.lit(0))
+                / (F.col("n_out") + F.col("n_in"))
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def overall_reciprocity(graph: LinkGraph) -> float:
+    """|{(u,v) : (v,u) ∈ E}| / |E| on the simple directed edge set."""
+    de = _simple_directed(graph).persist()
+    n_all = de.count()
+    rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_overlap = de.join(rev, ["src", "dst"], "left_semi").count()
+    de.unpersist()
+    return n_overlap / n_all if n_all else 0.0
+
+
+def s_metric(graph: LinkGraph) -> float:
+    """Σ_{(u,v) ∈ und} deg(u)·deg(v) (Li et al.; NetworkX ``s_metric``
+    with normalized=False) on the simple undirected graph."""
+    und = _simple_undirected(graph)
+    deg = _undirected_degrees(graph)
+    da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("degb"))
+    row = (
+        und.join(da, "a")
+        .join(db, "b")
+        .agg(F.sum(F.col("dega") * F.col("degb")).alias("s"))
+        .collect()[0]
+    )
+    return float(row["s"] or 0)
+
+
+def isolates(graph: LinkGraph) -> DataFrame:
+    """(vid) — vertices with no incident edge at all (self-loops count as
+    incidence, matching NetworkX)."""
+    touched = graph.edges.select(F.col("src").alias("vid")).unionByName(
+        graph.edges.select(F.col("dst").alias("vid"))
+    )
+    return graph.vertices.select("vid").join(touched, "vid", "left_anti")
+
+
+def rich_club_coefficient(graph: LinkGraph) -> DataFrame:
+    """(k, phi) for k = 0..max_deg-1 with ≥2 qualifying vertices —
+    unnormalized NetworkX ``rich_club_coefficient``: φ(k) = 2·E_k /
+    (N_k·(N_k−1)) where N_k = |{v : deg(v) > k}| and E_k = undirected
+    edges with both endpoints of degree > k. (The normalized variant
+    divides by a random-rewiring baseline — sampling-dependent, so not
+    exposed; this is the deterministic core.) Histogram-only plan: two
+    max-degree-sized aggregates + descending cumulative sums."""
+    deg = _undirected_degrees(graph)
+    und = _simple_undirected(graph)
+    da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("degb"))
+    # histogram of vertex degrees, and of per-edge MIN endpoint degree
+    hist_n = deg.groupBy("deg").agg(F.count("*").alias("cn"))
+    hist_e = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(F.least("dega", "degb").alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").alias("ce"))
+    )
+    # k domain 0..max_deg-1 from the (tiny) degree histogram
+    ks = hist_n.agg(F.max("deg").alias("mx")).select(
+        F.explode(F.sequence(F.lit(0), F.col("mx") - 1)).alias("k")
+    )
+    wn = Window.orderBy(F.col("deg").desc())
+    cum_n = hist_n.select(
+        (F.col("deg") - 1).alias("k"), F.sum("cn").over(wn).alias("nk")
+    )  # nk at k = deg-1 == |{deg > k}|; holes filled by the asof-style join
+    we = Window.orderBy(F.col("m").desc())
+    cum_e = hist_e.select(
+        (F.col("m") - 1).alias("k"), F.sum("ce").over(we).alias("ek")
+    )
+    # for arbitrary k: N_k = nk at the smallest histogram k' >= k
+    wk = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_of_k = (
+        ks.join(cum_n, "k", "left")
+        .select("k", F.last("nk", ignorenulls=True).over(wk).alias("nk"))
+    )
+    e_of_k = (
+        ks.join(cum_e, "k", "left")
+        .select("k", F.last("ek", ignorenulls=True).over(wk).alias("ek"))
+    )
+    return (
+        n_of_k.join(e_of_k, "k")
+        .where(F.col("nk") >= 2)
+        .select(
+            F.col("k").cast("long").alias("k"),
+            (
+                2.0
+                * F.coalesce("ek", F.lit(0))
+                / (F.col("nk") * (F.col("nk") - 1))
+            ).alias("phi"),
+        )
+    )
+
+
+def _all_pairs_dist(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
+    """(root, vid, dist) over the symmetrized simple graph, reachable
+    pairs only (root == vid rows included at dist 0)."""
+    from graphscope_spark.algorithms.closeness import multi_source_bfs
+
+    und = to_undirected(graph)
+    return multi_source_bfs(
+        und, graph.vertices.select("vid"), max_rounds=max_rounds
+    )
+
+
+def global_efficiency(graph: LinkGraph, max_rounds: int = 500) -> float:
+    """NetworkX ``global_efficiency``: mean of 1/d(u,v) over ordered pairs
+    u ≠ v on the undirected simple graph; unreachable pairs contribute 0."""
+    n = graph.vertices.count()
+    if n < 2:
+        return 0.0
+    pairs = _all_pairs_dist(graph, max_rounds)
+    s = (
+        pairs.where(F.col("root") != F.col("vid"))
+        .agg(F.sum(1.0 / F.col("dist")).alias("s"))
+        .collect()[0]["s"]
+    )
+    return float(s or 0.0) / (n * (n - 1))
+
+
+def wiener_index(graph: LinkGraph, max_rounds: int = 500) -> float:
+    """NetworkX ``wiener_index`` on the undirected simple graph: sum of
+    d(u,v) over unordered pairs; +inf if the graph is disconnected."""
+    n = graph.vertices.count()
+    pairs = _all_pairs_dist(graph, max_rounds)
+    row = (
+        pairs.where(F.col("root") != F.col("vid"))
+        .agg(F.count("*").alias("c"), F.sum("dist").alias("s"))
+        .collect()[0]
+    )
+    if (row["c"] or 0) < n * (n - 1):
+        return float("inf")
+    return float(row["s"] or 0) / 2.0
+
+
+def voronoi_cells(graph: LinkGraph, seeds: list[int]) -> DataFrame:
+    """(vid, center, dist) — each vertex assigned to its nearest seed by
+    undirected BFS distance (ties → smallest seed id, pinning NetworkX's
+    arbitrary tie-break); unreachable vertices are omitted (NetworkX puts
+    them in an 'unreachable' cell — derivable as the anti-join)."""
+    from graphscope_spark.algorithms.closeness import multi_source_bfs
+
+    und = to_undirected(graph)
+    spark = graph.edges.sparkSession
+    roots = spark.createDataFrame([(int(s),) for s in seeds], "vid long")
+    d = multi_source_bfs(und, roots)
+    w = Window.partitionBy("vid").orderBy(F.col("dist").asc(), F.col("root").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "vid", F.col("root").alias("center"), F.col("dist").cast("long").alias("dist")
+        )
+    )

@@ -1,0 +1,138 @@
+"""nxmetrics vs an independent pure-Python oracle on the corpus graph."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import pytest
+
+from graphscope_spark.algorithms.nxmetrics import (
+    global_efficiency,
+    isolates,
+    overall_reciprocity,
+    reciprocity,
+    rich_club_coefficient,
+    s_metric,
+    voronoi_cells,
+    wiener_index,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_graph):
+    E = [
+        (r["src"], r["dst"])
+        for r in corpus_graph.edges.select("src", "dst").distinct().collect()
+    ]
+    V = [r["vid"] for r in corpus_graph.vertices.collect()]
+    de = {(u, v) for u, v in E if u != v}
+    und = {(min(u, v), max(u, v)) for u, v in de}
+    deg = {v: 0 for v in V}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(s):
+        d = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for w in adj[u]:
+                    if w not in d:
+                        d[w] = d[u] + 1
+                        nq.append(w)
+            q = nq
+        return d
+
+    return {
+        "E": E, "V": V, "de": de, "und": und, "deg": deg,
+        "alld": {v: bfs(v) for v in V},
+    }
+
+
+def test_reciprocity(corpus_graph, oracle):
+    de = oracle["de"]
+    n_overlap = sum(1 for (u, v) in de if (v, u) in de)
+    assert overall_reciprocity(corpus_graph) == pytest.approx(
+        n_overlap / len(de)
+    )
+    pred, succ = {}, {}
+    for u, v in de:
+        succ.setdefault(u, set()).add(v)
+        pred.setdefault(v, set()).add(u)
+    want = {}
+    for x in set(pred) | set(succ):
+        p, s = pred.get(x, set()), succ.get(x, set())
+        want[x] = 2 * len(p & s) / (len(p) + len(s))
+    got = {r["vid"]: r["reciprocity"] for r in reciprocity(corpus_graph).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_s_metric_and_isolates(corpus_graph, oracle):
+    und, deg, E, V = (
+        oracle["und"], oracle["deg"], oracle["E"], oracle["V"]
+    )
+    assert s_metric(corpus_graph) == sum(deg[a] * deg[b] for a, b in und)
+    got = sorted(r["vid"] for r in isolates(corpus_graph).collect())
+    want = sorted(
+        v for v in V if not any(u == v or w == v for u, w in E)
+    )
+    assert got == want
+
+
+def test_rich_club(corpus_graph, oracle):
+    und, deg, V = oracle["und"], oracle["deg"], oracle["V"]
+    want = {}
+    for k in range(max(deg.values())):
+        nk = sum(1 for v in V if deg[v] > k)
+        if nk < 2:
+            continue
+        ek = sum(1 for a, b in und if deg[a] > k and deg[b] > k)
+        want[k] = 2 * ek / (nk * (nk - 1))
+    got = {
+        r["k"]: r["phi"] for r in rich_club_coefficient(corpus_graph).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_efficiency_and_wiener(corpus_graph, oracle):
+    V, alld = oracle["V"], oracle["alld"]
+    n = len(V)
+    want_ge = sum(
+        1.0 / d for v in V for u, d in alld[v].items() if u != v
+    ) / (n * (n - 1))
+    assert global_efficiency(corpus_graph) == pytest.approx(want_ge)
+    reach = sum(len(alld[v]) - 1 for v in V)
+    if reach < n * (n - 1):
+        assert math.isinf(wiener_index(corpus_graph))
+    else:
+        want_wi = (
+            sum(d for v in V for u, d in alld[v].items() if u != v) / 2
+        )
+        assert wiener_index(corpus_graph) == pytest.approx(want_wi)
+
+
+def test_voronoi(corpus_graph, oracle):
+    V, alld = oracle["V"], oracle["alld"]
+    seeds = sorted(V)[:3] + [sorted(V)[len(V) // 2]]
+    got = {
+        r["vid"]: (r["center"], r["dist"])
+        for r in voronoi_cells(corpus_graph, seeds).collect()
+    }
+    for v in V:
+        cands = [(alld[s][v], s) for s in seeds if v in alld[s]]
+        if not cands:
+            assert v not in got
+        else:
+            d, c = min(cands)
+            assert got[v] == (c, d)
