@@ -2633,6 +2633,126 @@ SELECT vid, center, dist FROM best WHERE rk = 1
 )
 
 
+def _q_structural_holes(spark, sf_dir):
+    """Burt structural holes: effective size + constraint
+    (algorithms/nxmetrics.py; reference forwards the upstream suite via
+    nx/algorithms/tests/forward/test_structuralholes.py)."""
+    from graphscope_spark.algorithms.nxmetrics import constraint, effective_size
+
+    g = _graph(spark, sf_dir)
+    # round-9 both sides: many vertices tie exactly on both metrics, and
+    # raw float noise would permute vid order inside tie groups between
+    # the two engines (the compare sorts rows by value columns first)
+    return (
+        effective_size(g)
+        .join(constraint(g), "vid")
+        .select(
+            "vid",
+            F.round("effective_size", 9).alias("effective_size"),
+            F.round("constraint", 9).alias("constraint"),
+        )
+    )
+
+
+_STRUCTURAL_HOLES_SQL = f"""
+WITH {_SQL_BASE},
+tri AS (
+  SELECT n1.s AS u, COUNT(*) AS t
+  FROM und e
+  JOIN sym n1 ON n1.t = e.a
+  JOIN sym n2 ON n2.t = e.b AND n2.s = n1.s
+  GROUP BY n1.s
+),
+es AS (
+  SELECT d.vid, d.deg - 2.0 * COALESCE(tri.t, 0) / d.deg AS effective_size
+  FROM udeg d LEFT JOIN tri ON tri.u = d.vid
+),
+ind AS (
+  SELECT uw.s AS u, wv.t AS v,
+         SUM(1.0 / (du.deg * dw.deg)) AS ind
+  FROM sym uw
+  JOIN sym wv ON wv.s = uw.t AND wv.t <> uw.s
+  JOIN udeg du ON du.vid = uw.s
+  JOIN udeg dw ON dw.vid = uw.t
+  WHERE EXISTS (SELECT 1 FROM sym a WHERE a.s = uw.s AND a.t = wv.t)
+  GROUP BY uw.s, wv.t
+),
+lc AS (
+  SELECT p.s AS u,
+         POWER(1.0 / du.deg + COALESCE(i.ind, 0.0), 2) AS lc
+  FROM sym p
+  JOIN udeg du ON du.vid = p.s
+  LEFT JOIN ind i ON i.u = p.s AND i.v = p.t
+)
+SELECT es.vid AS vid, ROUND(es.effective_size, 9) AS effective_size,
+       ROUND(c.cons, 9) AS constraint
+FROM es JOIN (SELECT u, SUM(lc) AS cons FROM lc GROUP BY u) c
+  ON c.u = es.vid
+"""
+
+
+def _q_flow_hierarchy(spark, sf_dir):
+    """NetworkX flow_hierarchy — fraction of distinct directed edges not
+    inside any SCC (nxmetrics.py reusing the log-round scc kernel;
+    reference forwards test_hierarchy)."""
+    from graphscope_spark.algorithms.nxmetrics import flow_hierarchy
+
+    return spark.createDataFrame(
+        [(float(flow_hierarchy(_graph(spark, sf_dir))),)],
+        "flow_hierarchy double",
+    )
+
+
+_FLOW_HIERARCHY_SQL = f"""
+WITH RECURSIVE {_SQL_BASE},
+de AS (SELECT src, dst FROM edges WHERE src <> dst),
+reach(v, w) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN de e ON e.src = r.w
+),
+comp AS (
+  SELECT r1.v AS vid, MIN(r1.w) AS comp
+  FROM reach r1 JOIN reach r2 ON r2.v = r1.w AND r2.w = r1.v
+  GROUP BY r1.v
+),
+alle AS (SELECT DISTINCT src, dst FROM edges)
+SELECT 1.0
+  - CAST((SELECT COUNT(*) FROM alle
+          JOIN comp a ON a.vid = alle.src
+          JOIN comp b ON b.vid = alle.dst
+          WHERE a.comp = b.comp) AS DOUBLE)
+    / (SELECT COUNT(*) FROM alle) AS flow_hierarchy
+"""
+
+
+def _q_distance_measures(spark, sf_dir):
+    """Exact per-component eccentricity / center / periphery on the
+    symmetrized graph (nxmetrics.py; reference forwards
+    test_distance_measures)."""
+    from graphscope_spark.algorithms.nxmetrics import distance_measures
+
+    return distance_measures(_graph(spark, sf_dir))
+
+
+_DIST_MEASURES_FINAL = """
+, pv AS (
+  SELECT root, MIN(vid) AS comp, MAX(dist) AS ecc
+  FROM {last} WHERE dist IS NOT NULL GROUP BY root
+),
+pc AS (
+  SELECT comp, MIN(ecc) AS radius, MAX(ecc) AS diameter
+  FROM pv GROUP BY comp
+)
+SELECT pv.root AS vid, pv.comp AS comp, CAST(pv.ecc AS BIGINT) AS ecc,
+       CAST(CASE WHEN pv.ecc = pc.radius THEN 1 ELSE 0 END AS BIGINT)
+         AS is_center,
+       CAST(CASE WHEN pv.ecc = pc.diameter THEN 1 ELSE 0 END AS BIGINT)
+         AS is_periphery
+FROM pv JOIN pc USING (comp)
+"""
+
+
 def _q_gie_edge_expand(spark, sf_dir):
     """Gremlin Expand edge steps (reference
     docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95):
@@ -4785,6 +4905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "efficiency_wiener": _q_efficiency_wiener,
         "voronoi": _q_voronoi,
+        "structural_holes": _q_structural_holes,
+        "flow_hierarchy": _q_flow_hierarchy,
+        "distance_measures": _q_distance_measures,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -4978,6 +5101,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         "graph_metrics": _GRAPH_METRICS_SQL,
         "rich_club": _RICH_CLUB_SQL,
         "efficiency_wiener": _multi_bfs_sql(8, "TRUE", _EFF_WIENER_FINAL, sym=True),
+        "structural_holes": _STRUCTURAL_HOLES_SQL,
+        "flow_hierarchy": _FLOW_HIERARCHY_SQL,
+        "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),
         "diameter_approx": _diameter_sql(12),
         "cut_points": _CUT_POINTS_SQL,

@@ -28,6 +28,10 @@ from graphscope_spark.algorithms.closeness import (
     multi_source_bfs,
 )
 from graphscope_spark.algorithms.nxmetrics import (
+    constraint,
+    distance_measures,
+    effective_size,
+    flow_hierarchy,
     global_efficiency,
     isolates,
     overall_reciprocity,
@@ -59,6 +63,10 @@ __all__ = [
     "harmonic_centrality",
     "multi_source_bfs",
     "neighborhood_function",
+    "constraint",
+    "distance_measures",
+    "effective_size",
+    "flow_hierarchy",
     "global_efficiency",
     "isolates",
     "overall_reciprocity",

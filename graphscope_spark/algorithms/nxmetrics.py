@@ -260,3 +260,127 @@ def voronoi_cells(graph: LinkGraph, seeds: list[int]) -> DataFrame:
             "vid", F.col("root").alias("center"), F.col("dist").cast("long").alias("dist")
         )
     )
+
+
+def effective_size(graph: LinkGraph) -> DataFrame:
+    """(vid, effective_size) — Burt's effective network size on the
+    unweighted undirected simple graph, via the Borgatti simplification
+    e(u) = deg(u) − 2·t(u)/deg(u) with t(u) = edges among u's neighbors
+    (= triangles through u, reusing the oriented-intersection kernel).
+    Degree-0 vertices are omitted (NetworkX yields NaN for them).
+    Reference surface: nx forward test_structuralholes."""
+    from graphscope_spark.algorithms.triangles import triangles
+
+    und_graph = LinkGraph(
+        graph.vertices, _simple_undirected(graph).select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ), graph.num_partitions,
+    )
+    tri = triangles(und_graph)
+    deg = _undirected_degrees(graph)
+    return (
+        deg.where(F.col("deg") > 0)
+        .join(tri, "vid", "left")
+        .select(
+            "vid",
+            (
+                F.col("deg")
+                - 2.0 * F.coalesce("tri", F.lit(0)) / F.col("deg")
+            ).alias("effective_size"),
+        )
+    )
+
+
+def constraint(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
+    """(vid, constraint) — Burt's constraint on the unweighted undirected
+    simple graph: c(u) = Σ_{v∈N(u)} (1/deg(u) + Σ_{w∈N(u)∩N(v)}
+    1/(deg(u)·deg(w)))².  Degree-0 vertices omitted (NaN in NetworkX).
+
+    The indirect term is a wedge join — inherently O(Σ_w deg(w)²) pairs,
+    the true cost of the definition. ``max_degree`` optionally drops
+    hub middles w above the cap (the `link_prediction` skew lever) at the
+    documented cost of undercounting hub-mediated redundancy; None = exact.
+    Reference surface: nx forward test_structuralholes."""
+    und = _simple_undirected(graph)
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = _undirected_degrees(graph).where(F.col("deg") > 0)
+    mid_deg = deg
+    if max_degree is not None:
+        mid_deg = deg.where(F.col("deg") <= max_degree)
+    # wedges u - w - v (w adjacent to both), keyed back to adjacent (u,v)
+    uw = sym.select(F.col("u"), F.col("v").alias("w")).join(
+        mid_deg.select(F.col("vid").alias("w"), F.col("deg").alias("degw")),
+        "w",
+    )
+    wv = sym.select(F.col("u").alias("w"), F.col("v"))
+    wedges = uw.join(wv, "w").where(F.col("u") != F.col("v"))
+    ind = (
+        wedges.join(sym, ["u", "v"], "left_semi")
+        .join(
+            deg.select(F.col("vid").alias("u"), F.col("deg").alias("degu")), "u"
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.sum(1.0 / (F.col("degu") * F.col("degw"))).alias("ind")
+        )
+    )
+    pairs = sym.join(
+        deg.select(F.col("vid").alias("u"), F.col("deg").alias("degu")), "u"
+    ).join(ind, ["u", "v"], "left")
+    lc = pairs.select(
+        "u",
+        F.pow(
+            1.0 / F.col("degu") + F.coalesce("ind", F.lit(0.0)), 2.0
+        ).alias("lc"),
+    )
+    return lc.groupBy("u").agg(F.sum("lc").alias("constraint")).select(
+        F.col("u").alias("vid"), "constraint"
+    )
+
+
+def flow_hierarchy(graph: LinkGraph) -> float:
+    """NetworkX ``flow_hierarchy``: fraction of DISTINCT directed edges
+    not participating in any cycle = edges whose endpoints lie in
+    different SCCs (self-loops are cycles). Reuses the log-round SCC
+    kernel. Reference surface: nx forward test_hierarchy."""
+    from graphscope_spark.algorithms.scc import scc
+
+    comp = scc(graph)
+    de = graph.edges.select("src", "dst").distinct().persist()
+    n_all = de.count()
+    ca = comp.select(F.col("vid").alias("src"), F.col("comp").alias("cs"))
+    cb = comp.select(F.col("vid").alias("dst"), F.col("comp").alias("cd"))
+    n_cyc = (
+        de.join(ca, "src").join(cb, "dst").where(F.col("cs") == F.col("cd")).count()
+    )
+    de.unpersist()
+    return 1.0 - n_cyc / n_all if n_all else 1.0
+
+
+def distance_measures(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
+    """(vid, comp, ecc, is_center, is_periphery) — exact eccentricity on
+    the symmetrized simple graph, computed PER COMPONENT (NetworkX raises
+    on disconnected input; the per-component generalization is the useful
+    contract at web scale, where the giant component coexists with
+    satellites). comp = min reachable vid; center/periphery flags compare
+    ecc to the component's radius/diameter. Reference surface: nx forward
+    test_distance_measures (eccentricity/center/periphery/radius/diameter)."""
+    pairs = _all_pairs_dist(graph, max_rounds)
+    per_v = pairs.groupBy("root").agg(
+        F.min("vid").alias("comp"), F.max("dist").alias("ecc")
+    )
+    per_c = per_v.groupBy("comp").agg(
+        F.min("ecc").alias("radius"), F.max("ecc").alias("diameter")
+    )
+    return (
+        per_v.join(per_c, "comp")
+        .select(
+            F.col("root").alias("vid"),
+            "comp",
+            F.col("ecc").cast("long").alias("ecc"),
+            (F.col("ecc") == F.col("radius")).cast("long").alias("is_center"),
+            (F.col("ecc") == F.col("diameter")).cast("long").alias("is_periphery"),
+        )
+    )

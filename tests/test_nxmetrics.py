@@ -136,3 +136,78 @@ def test_voronoi(corpus_graph, oracle):
         else:
             d, c = min(cands)
             assert got[v] == (c, d)
+
+
+def test_effective_size_and_constraint(corpus_graph, oracle):
+    from graphscope_spark.algorithms.nxmetrics import constraint, effective_size
+
+    und, V = oracle["und"], oracle["V"]
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in V}
+    es_want, c_want = {}, {}
+    for u in V:
+        if deg[u] == 0:
+            continue
+        t = sum(1 for a, b in und if a in adj[u] and b in adj[u])
+        es_want[u] = deg[u] - 2 * t / deg[u]
+        tot = 0.0
+        for v in adj[u]:
+            ind = sum(1.0 / (deg[u] * deg[w]) for w in adj[u] & adj[v])
+            tot += (1.0 / deg[u] + ind) ** 2
+        c_want[u] = tot
+    es_got = {
+        r["vid"]: r["effective_size"]
+        for r in effective_size(corpus_graph).collect()
+    }
+    c_got = {
+        r["vid"]: r["constraint"] for r in constraint(corpus_graph).collect()
+    }
+    assert es_got.keys() == es_want.keys() and c_got.keys() == c_want.keys()
+    for k in es_want:
+        assert es_got[k] == pytest.approx(es_want[k])
+        assert c_got[k] == pytest.approx(c_want[k])
+
+
+def test_flow_hierarchy_tiny(spark):
+    from graphscope_spark.algorithms.nxmetrics import flow_hierarchy
+    from graphscope_spark.graph import from_edge_df
+
+    # cycle 1->2->3->1 (3 cyclic edges), tail 3->4 (acyclic), self-loop 5
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (5, 5)], "src long, dst long"
+    )
+    g = from_edge_df(df, num_partitions=2)
+    # cyclic: the 3 cycle edges + the self-loop = 4 of 5
+    assert flow_hierarchy(g) == pytest.approx(1 / 5)
+
+
+def test_distance_measures(corpus_graph, oracle):
+    from graphscope_spark.algorithms.nxmetrics import distance_measures
+
+    V, alld = oracle["V"], oracle["alld"]
+    import collections
+
+    want = {}
+    for v in V:
+        d = alld[v]
+        want[v] = (min(d), max(d.values()))
+    rad = collections.defaultdict(lambda: 10**9)
+    dia = collections.defaultdict(int)
+    for v, (c_, e_) in want.items():
+        rad[c_] = min(rad[c_], e_)
+        dia[c_] = max(dia[c_], e_)
+    got = {
+        r["vid"]: (r["comp"], r["ecc"], r["is_center"], r["is_periphery"])
+        for r in distance_measures(corpus_graph).collect()
+    }
+    assert got.keys() == want.keys()
+    for v in V:
+        c_, e_ = want[v]
+        assert got[v] == (
+            c_, e_, 1 if e_ == rad[c_] else 0, 1 if e_ == dia[c_] else 0
+        )
