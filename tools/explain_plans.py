@@ -50,6 +50,9 @@ PICKS = {
     "lm_scores": "unigram-LM scoring — explode → vocab-bounded partial-agg count shuffle; the (token, −log2 p) model re-joins the token stream via BroadcastExchange; one mean per doc",
     "frequent_tokens": "heavy hitters — mapInPandas candidate nomination (per-batch SpaceSaving superset), exact counting pass semi-joined to the broadcast candidate set; the corpus-wide shuffle carries only candidate partial counts",
     "semdedup": "SemDeDup — broadcast-centroid GEMM assignment (mapInPandas), ONE exchange keyed on cluster id into the applyInPandas within-cluster cosine scan",
+    "dup_spans": "ExactSubstr duplicated spans — codegen transform+posexplode positional n-gram index, partial-agg hash count, semi-join back, ONE doc-keyed gaps-and-islands window",
+    "structural_holes": "Burt structural holes — triangle kernel for effective size; constraint's wedge join keyed on the middle vertex with partial-agg pair sums",
+    "rich_club": "rich club — histogram-only: two max-degree-sized aggregates + descending cumulative-sum windows, never a per-k pass",
     "repetition_scores": "Gopher repetition filters — two explode→partial-agg chains (lines, n-grams) keyed by doc_id, window co-partitioned with the 2-gram aggregate, zero UDFs. Deliberately scan-heavy/shuffle-light: the text column is re-scanned per chain (projection-pruned, sequential IO) so every aggregate keeps map-side partial aggregation — the shuffled bytes are distinct (doc, gram) counts, not the raw token stream a single-scan window formulation would have to sort-shuffle.",
 }
 
