@@ -2753,6 +2753,39 @@ FROM pv JOIN pc USING (comp)
 """
 
 
+def _q_degree_stats(spark, sf_dir):
+    """Sparse undirected degree histogram + the Clauset-Shalizi-Newman
+    power-law tail MLE as a constant column (nxmetrics.py — NetworkX
+    ``degree_histogram`` plus the standard web-graph heavy-tail summary;
+    histogram-sized plan)."""
+    from graphscope_spark.algorithms.nxmetrics import (
+        degree_histogram,
+        powerlaw_alpha,
+    )
+
+    g = _graph(spark, sf_dir)
+    alpha = powerlaw_alpha(g, k_min=2)
+    return degree_histogram(g).select(
+        "deg", "n", F.round(F.lit(alpha), 9).alias("alpha")
+    )
+
+
+_DEGREE_STATS_SQL = f"""
+WITH {_SQL_BASE},
+alldeg AS (
+  SELECT v.vid, COALESCE(u.deg, 0) AS deg
+  FROM verts v LEFT JOIN udeg u ON u.vid = v.vid
+),
+h AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n FROM alldeg GROUP BY deg),
+tail AS (
+  SELECT SUM(n) AS nt, SUM(n * LN(deg / 1.5)) AS s FROM h WHERE deg >= 2
+)
+SELECT CAST(h.deg AS BIGINT) AS deg, h.n,
+       ROUND(1.0 + tail.nt / tail.s, 9) AS alpha
+FROM h, tail
+"""
+
+
 def _q_gie_edge_expand(spark, sf_dir):
     """Gremlin Expand edge steps (reference
     docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95):
@@ -4908,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structural_holes": _q_structural_holes,
         "flow_hierarchy": _q_flow_hierarchy,
         "distance_measures": _q_distance_measures,
+        "degree_stats": _q_degree_stats,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5102,6 +5136,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "rich_club": _RICH_CLUB_SQL,
         "efficiency_wiener": _multi_bfs_sql(8, "TRUE", _EFF_WIENER_FINAL, sym=True),
         "structural_holes": _STRUCTURAL_HOLES_SQL,
+        "degree_stats": _DEGREE_STATS_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

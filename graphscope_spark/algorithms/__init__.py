@@ -29,6 +29,8 @@ from graphscope_spark.algorithms.closeness import (
 )
 from graphscope_spark.algorithms.nxmetrics import (
     constraint,
+    degree_histogram,
+    powerlaw_alpha,
     distance_measures,
     effective_size,
     flow_hierarchy,
@@ -64,6 +66,8 @@ __all__ = [
     "multi_source_bfs",
     "neighborhood_function",
     "constraint",
+    "degree_histogram",
+    "powerlaw_alpha",
     "distance_measures",
     "effective_size",
     "flow_hierarchy",

@@ -384,3 +384,33 @@ def distance_measures(graph: LinkGraph, max_rounds: int = 500) -> DataFrame:
             (F.col("ecc") == F.col("diameter")).cast("long").alias("is_periphery"),
         )
     )
+
+
+def degree_histogram(graph: LinkGraph) -> DataFrame:
+    """(deg, n) — NetworkX ``degree_histogram`` on the simple undirected
+    graph (zero-degree vertices included; zero-count degrees omitted —
+    the sparse form, since a web graph's max degree is huge)."""
+    return (
+        _undirected_degrees(graph)
+        .groupBy("deg")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("deg").cast("long").alias("deg"), F.col("n").cast("long").alias("n"))
+    )
+
+
+def powerlaw_alpha(graph: LinkGraph, k_min: int = 2) -> float:
+    """Hill/Clauset MLE for the power-law tail exponent of the undirected
+    degree distribution: alpha = 1 + n_tail / Σ_{deg≥k_min} ln(deg /
+    (k_min − 0.5)) (continuous approximation, Clauset-Shalizi-Newman 2009
+    eq. 3.7 — the standard web-graph heavy-tail summary). Runs on the
+    degree HISTOGRAM (max-degree-sized), not per-vertex rows."""
+    h = degree_histogram(graph).where(F.col("deg") >= k_min)
+    row = h.agg(
+        F.sum("n").alias("nt"),
+        F.sum(
+            F.col("n") * F.log(F.col("deg") / F.lit(k_min - 0.5))
+        ).alias("s"),
+    ).collect()[0]
+    if not row["nt"] or not row["s"]:
+        return float("nan")
+    return 1.0 + float(row["nt"]) / float(row["s"])

@@ -211,3 +211,28 @@ def test_distance_measures(corpus_graph, oracle):
         assert got[v] == (
             c_, e_, 1 if e_ == rad[c_] else 0, 1 if e_ == dia[c_] else 0
         )
+
+
+def test_degree_histogram_and_alpha(corpus_graph, oracle):
+    import math
+
+    from graphscope_spark.algorithms.nxmetrics import (
+        degree_histogram,
+        powerlaw_alpha,
+    )
+
+    und, V = oracle["und"], oracle["V"]
+    import collections
+
+    deg = collections.Counter()
+    touched = collections.Counter()
+    for a, b in und:
+        touched[a] += 1
+        touched[b] += 1
+    hist = collections.Counter(touched.get(v, 0) for v in V)
+    got = {r["deg"]: r["n"] for r in degree_histogram(corpus_graph).collect()}
+    assert got == dict(hist)
+    k_min = 2
+    nt = sum(n for d, n in hist.items() if d >= k_min)
+    s = sum(n * math.log(d / (k_min - 0.5)) for d, n in hist.items() if d >= k_min)
+    assert powerlaw_alpha(corpus_graph) == pytest.approx(1 + nt / s)
