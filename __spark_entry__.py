@@ -2786,6 +2786,36 @@ FROM h, tail
 """
 
 
+def _q_topo_generations(spark, sf_dir):
+    """Topological generations (longest-path level) on the acyclic
+    src<dst view of the link graph (nxmetrics.py; reference forwards the
+    upstream DAG suite via nx/algorithms/tests/forward/test_dag.py).
+    gen 0 = sources; `(gen, vid)` sorts to a deterministic topological
+    order; max(gen) is dag_longest_path_length."""
+    from graphscope_spark.algorithms.nxmetrics import topological_generations
+    from graphscope_spark.graph import LinkGraph
+
+    g = _graph(spark, sf_dir)
+    dag = LinkGraph(
+        g.vertices,
+        g.edges.where(F.col("src") < F.col("dst")),
+        g.num_partitions,
+    )
+    return topological_generations(dag)
+
+
+_TOPO_GEN_SQL = f"""
+WITH RECURSIVE {_SQL_BASE},
+dag AS (SELECT src, dst FROM edges WHERE src < dst),
+lp(v, d) AS (
+  SELECT vid, 0 FROM verts
+  UNION
+  SELECT e.dst, lp.d + 1 FROM lp JOIN dag e ON e.src = lp.v
+)
+SELECT v AS vid, CAST(MAX(d) AS BIGINT) AS gen FROM lp GROUP BY v
+"""
+
+
 def _q_gie_edge_expand(spark, sf_dir):
     """Gremlin Expand edge steps (reference
     docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95):
@@ -4942,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_hierarchy": _q_flow_hierarchy,
         "distance_measures": _q_distance_measures,
         "degree_stats": _q_degree_stats,
+        "topo_generations": _q_topo_generations,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5137,6 +5168,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "efficiency_wiener": _multi_bfs_sql(8, "TRUE", _EFF_WIENER_FINAL, sym=True),
         "structural_holes": _STRUCTURAL_HOLES_SQL,
         "degree_stats": _DEGREE_STATS_SQL,
+        "topo_generations": _TOPO_GEN_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

@@ -29,6 +29,8 @@ from graphscope_spark.algorithms.closeness import (
 )
 from graphscope_spark.algorithms.nxmetrics import (
     constraint,
+    dag_longest_path_length,
+    topological_generations,
     degree_histogram,
     powerlaw_alpha,
     distance_measures,
@@ -66,6 +68,8 @@ __all__ = [
     "multi_source_bfs",
     "neighborhood_function",
     "constraint",
+    "dag_longest_path_length",
+    "topological_generations",
     "degree_histogram",
     "powerlaw_alpha",
     "distance_measures",

@@ -414,3 +414,89 @@ def powerlaw_alpha(graph: LinkGraph, k_min: int = 2) -> float:
     if not row["nt"] or not row["s"]:
         return float("nan")
     return 1.0 + float(row["nt"]) / float(row["s"])
+
+
+def topological_generations(
+    graph: LinkGraph, max_rounds: int | None = None, fused_rounds: int = 8
+) -> DataFrame:
+    """(vid, gen) — NetworkX ``topological_generations`` index per vertex
+    on a DAG: gen(v) = length of the longest path from any source to v
+    (generation 0 = in-degree-0 vertices). Raises on cyclic input (some
+    level keeps growing past |V| rounds — Kahn's invariant).
+
+    BSP max-relax with a changed-frontier (the wcc shape): levels only
+    increase and quiet rounds stay quiet, so superstep fusion applies;
+    rounds = longest-path length, the inherent depth of the computation.
+    Reference surface: nx forward test_dag (topological_sort /
+    dag_longest_path family — any topological order sorted by (gen, vid)
+    is deterministic)."""
+    from graphscope_spark.bsp import run_bsp
+
+    P = graph.num_partitions
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+        .persist()
+    )
+    edges.count()
+    n = graph.vertices.count()
+    limit = max_rounds if max_rounds is not None else n + 1
+
+    state0 = graph.vertices.select(
+        "vid",
+        F.lit(0).cast("long").alias("gen"),
+        F.lit(True).alias("changed"),
+    )
+
+    def superstep(state: DataFrame, rnd: int) -> DataFrame:
+        frontier = state.where("changed").select(
+            F.col("vid").alias("src"), "gen"
+        )
+        msgs = (
+            frontier.join(edges, "src")
+            .groupBy("dst")
+            .agg((F.max("gen") + 1).alias("msg"))
+        )
+        return state.join(msgs, state["vid"] == msgs["dst"], "left").select(
+            state["vid"],
+            F.greatest(
+                state["gen"], F.coalesce(F.col("msg"), state["gen"])
+            ).alias("gen"),
+            (F.coalesce(F.col("msg"), state["gen"]) > state["gen"]).alias(
+                "changed"
+            ),
+        )
+
+    def scalar_fn(state: DataFrame) -> float:
+        return float(state.where("changed").count())
+
+    res = run_bsp(
+        state0,
+        superstep,
+        max_rounds=limit,
+        scalar_fn=scalar_fn,
+        converged_fn=lambda c, rnd: c == 0.0,
+        fused_rounds=fused_rounds,
+        meta={"algorithm": "topological_generations"},
+    )
+    edges.unpersist()
+    if not res.converged:
+        res.state.unpersist()
+        raise ValueError(
+            "topological_generations: levels still growing after "
+            f"{limit} rounds — the input graph has a cycle"
+        )
+    return res.state.select("vid", "gen")
+
+
+def dag_longest_path_length(graph: LinkGraph) -> int:
+    """NetworkX ``dag_longest_path_length``: edges on the longest path =
+    max generation index."""
+    row = (
+        topological_generations(graph)
+        .agg(F.max("gen").alias("m"))
+        .collect()[0]
+    )
+    return int(row["m"] or 0)

@@ -236,3 +236,55 @@ def test_degree_histogram_and_alpha(corpus_graph, oracle):
     nt = sum(n for d, n in hist.items() if d >= k_min)
     s = sum(n * math.log(d / (k_min - 0.5)) for d, n in hist.items() if d >= k_min)
     assert powerlaw_alpha(corpus_graph) == pytest.approx(1 + nt / s)
+
+
+def test_topological_generations(spark, corpus_graph, oracle):
+    from graphscope_spark.algorithms.nxmetrics import (
+        dag_longest_path_length,
+        topological_generations,
+    )
+    from graphscope_spark.graph import LinkGraph
+    import pyspark.sql.functions as F
+
+    g = corpus_graph
+    dag = LinkGraph(
+        g.vertices, g.edges.where(F.col("src") < F.col("dst")),
+        g.num_partitions,
+    )
+    de = {(u, v) for u, v in oracle["E"] if u < v}
+    import collections
+
+    preds = collections.defaultdict(list)
+    for u, v in de:
+        preds[v].append(u)
+    want = {}
+
+    def gen(v):
+        if v not in want:
+            want[v] = (
+                0 if not preds[v] else 1 + max(gen(u) for u in preds[v])
+            )
+        return want[v]
+
+    import sys
+
+    sys.setrecursionlimit(100000)
+    for v in oracle["V"]:
+        gen(v)
+    got = {
+        r["vid"]: r["gen"] for r in topological_generations(dag).collect()
+    }
+    assert got == want
+    assert dag_longest_path_length(dag) == max(want.values())
+
+
+def test_topological_generations_raises_on_cycle(spark):
+    from graphscope_spark.algorithms.nxmetrics import topological_generations
+    from graphscope_spark.graph import from_edge_df
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    g = from_edge_df(df, num_partitions=2)
+    with pytest.raises(ValueError, match="cycle"):
+        topological_generations(g, fused_rounds=2)
