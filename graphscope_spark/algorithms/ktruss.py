@@ -115,11 +115,17 @@ def edge_support(edges_ab: DataFrame, num_partitions: int) -> DataFrame:
 
 
 def _truss_fixpoint(
-    edges_ab: DataFrame, k: int, num_partitions: int, max_rounds: int
+    edges_ab: DataFrame,
+    k: int,
+    num_partitions: int,
+    max_rounds: int,
+    n_start: int | None = None,
 ) -> tuple[DataFrame, int]:
-    """Peel edges with support < k-2 to the fixpoint; returns (edges, count)."""
+    """Peel edges with support < k-2 to the fixpoint; returns (edges, count).
+    ``n_start`` lets a caller that already counted ``edges_ab`` skip the
+    redundant count action."""
     cur = edges_ab
-    n_cur = cur.count()
+    n_cur = cur.count() if n_start is None else n_start
     thresh = k - 2
     for _ in range(max_rounds):
         if n_cur == 0:
@@ -140,7 +146,12 @@ def _truss_fixpoint(
         if n_next == 0:
             break
     if n_cur > 0 and thresh > 0:
-        # the loop above either converged (returned) or ran out of budget
+        # the loop above either converged (returned) or ran out of budget;
+        # release the last round's blocks before raising — the documented
+        # recovery is retry-with-higher-budget in the same session, which
+        # would otherwise leak one frame per attempt
+        if cur is not edges_ab:
+            release_truncated(cur)
         raise RuntimeError(
             f"k_truss: no fixpoint within max_rounds={max_rounds} at k={k}; "
             "raise max_rounds"
@@ -164,48 +175,57 @@ def truss_decomposition(
 ) -> DataFrame:
     """(a, b, truss) — per-edge trussness, peeling k = 3, 4, … until the
     (k)-truss is empty.  Every simple edge appears; truss ≥ 2."""
+    from functools import reduce
+
     cur = _canonical_edges(graph).persist()
     n_cur = cur.count()
-    assigned: DataFrame | None = None
     spark = graph.edges.sparkSession
+    # Per-k dropped frames, each truncated at its own materialization (so
+    # lineage into the released edge sets is severed). Each row is written
+    # once here and once in the final consolidation — O(2·|E|) checkpoint
+    # IO total, versus re-checkpointing the whole growing accumulator every
+    # round (O(max_k·|E|)), the shape this function shipped with.
+    parts: list[DataFrame] = []
     k = 3
-    while n_cur > 0 and k <= max_k:
-        # nxt comes back truncate-backed and already materialized
-        nxt, n_next = _truss_fixpoint(cur, k, graph.num_partitions, max_rounds)
-        dropped = cur.join(nxt, ["a", "b"], "left_anti").select(
-            "a", "b", F.lit(k - 1).cast("long").alias("truss")
-        )
-        # Truncate (not just persist) the accumulator: a plain persist keeps
-        # lineage into `cur`, whose checkpoint blocks are released below —
-        # an eviction would then be unrecoverable. Truncation severs that
-        # lineage at this materialization, after which the previous
-        # accumulator and edge set are both safely releasable.
-        new_assigned = (
-            dropped if assigned is None else assigned.unionByName(dropped)
-        )
-        new_assigned = truncate_plan_lazy(new_assigned)
-        new_assigned.count()
-        if assigned is not None:
-            release_truncated(assigned)
-        assigned = new_assigned
-        if k == 3:
-            cur.unpersist()  # the initial plain-persisted canonical edge set
-        else:
+    try:
+        while n_cur > 0 and k <= max_k:
+            # nxt comes back truncate-backed and already materialized
+            nxt, n_next = _truss_fixpoint(
+                cur, k, graph.num_partitions, max_rounds, n_start=n_cur
+            )
+            parts.append(
+                truncate_plan(
+                    cur.join(nxt, ["a", "b"], "left_anti").select(
+                        "a", "b", F.lit(k - 1).cast("long").alias("truss")
+                    )
+                )
+            )
+            # each release is a no-op on the other kind of frame (plain
+            # persist at k=3, truncate-backed afterwards)
+            cur.unpersist()
             release_truncated(cur)
-        cur, n_cur = nxt, n_next
-        k += 1
-    if n_cur > 0:
-        raise RuntimeError(
-            f"truss_decomposition: {n_cur} edges still present at k={max_k}; "
-            "raise max_k"
-        )
-    # cur is the initial persisted frame if the loop never ran, else the
-    # last fixpoint's truncate-backed frame — each release is a no-op on
-    # the other kind.
+            cur, n_cur = nxt, n_next
+            k += 1
+        if n_cur > 0:
+            raise RuntimeError(
+                f"truss_decomposition: {n_cur} edges still present at "
+                f"k={max_k}; raise max_k"
+            )
+    except BaseException:
+        # the documented recovery is retry-with-higher-budget in the same
+        # session; leave nothing registered behind
+        for p in parts:
+            release_truncated(p)
+        cur.unpersist()
+        release_truncated(cur)
+        raise
     cur.unpersist()
     release_truncated(cur)
-    if assigned is None:
-        return spark.createDataFrame(
-            [], "a bigint, b bigint, truss bigint"
-        )
-    return assigned
+    if not parts:
+        return spark.createDataFrame([], "a bigint, b bigint, truss bigint")
+    # one final consolidation so the result is a single truncate-backed
+    # frame (releasable by the caller) instead of a union over ≤max_k leaves
+    out = truncate_plan(reduce(lambda x, y: x.unionByName(y), parts))
+    for p in parts:
+        release_truncated(p)
+    return out
