@@ -483,7 +483,7 @@ def topological_generations(
     )
     edges.unpersist()
     if not res.converged:
-        res.state.unpersist()
+        res.release()
         raise ValueError(
             "topological_generations: levels still growing after "
             f"{limit} rounds — the input graph has a cycle"

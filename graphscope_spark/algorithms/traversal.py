@@ -116,7 +116,17 @@ def shortest_path(
     the lookup loop is the honest cost model for "give me one route".
     """
     if weight is None:
-        weight = (F.pmod(F.col("src") + F.col("dst"), F.lit(10)) + 1).cast("double")
+        # (src+dst) mod 10 via (src%10 + dst%10) mod 10: same value by
+        # modular arithmetic (and same as the DuckDB oracle's (src+dst)%10
+        # on the gate's small ids) but hashed 64-bit vids cannot overflow
+        # the ANSI long add
+        weight = (
+            F.pmod(
+                F.pmod(F.col("src"), F.lit(10)) + F.pmod(F.col("dst"), F.lit(10)),
+                F.lit(10),
+            )
+            + 1
+        ).cast("double")
     res = sssp(
         graph, source, weight=weight, max_rounds=max_rounds, fused_rounds=fused_rounds
     )
@@ -178,7 +188,17 @@ def sssp(
     """
     P = graph.num_partitions
     if weight is None:
-        weight = (F.pmod(F.col("src") + F.col("dst"), F.lit(10)) + 1).cast("double")
+        # (src+dst) mod 10 via (src%10 + dst%10) mod 10: same value by
+        # modular arithmetic (and same as the DuckDB oracle's (src+dst)%10
+        # on the gate's small ids) but hashed 64-bit vids cannot overflow
+        # the ANSI long add
+        weight = (
+            F.pmod(
+                F.pmod(F.col("src"), F.lit(10)) + F.pmod(F.col("dst"), F.lit(10)),
+                F.lit(10),
+            )
+            + 1
+        ).cast("double")
     edges = (
         graph.edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst", weight.alias("w"))
@@ -266,29 +286,35 @@ def bfs_tree(
     return out
 
 
-def bfs_edges(graph: LinkGraph, source: int, max_rounds: int = 500) -> DataFrame:
+def bfs_edges(
+    graph: LinkGraph, source: int, max_rounds: int = 500, fused_rounds: int = 1
+) -> DataFrame:
     """(src, dst) — the tree edges of `bfs_tree` (parent → child), i.e. the
     NetworkX ``bfs_edges`` edge set under the min-vid parent convention."""
-    t = bfs_tree(graph, source, max_rounds=max_rounds)
+    t = bfs_tree(graph, source, max_rounds=max_rounds, fused_rounds=fused_rounds)
     return t.where(F.col("parent").isNotNull()).select(
         F.col("parent").alias("src"), F.col("vid").alias("dst")
     )
 
 
-def bfs_predecessors(graph: LinkGraph, source: int, max_rounds: int = 500) -> DataFrame:
+def bfs_predecessors(
+    graph: LinkGraph, source: int, max_rounds: int = 500, fused_rounds: int = 1
+) -> DataFrame:
     """(vid, pred) — each reached non-source vertex with its BFS-tree parent
     (NetworkX ``bfs_predecessors``)."""
-    t = bfs_tree(graph, source, max_rounds=max_rounds)
+    t = bfs_tree(graph, source, max_rounds=max_rounds, fused_rounds=fused_rounds)
     return t.where(F.col("parent").isNotNull()).select(
         "vid", F.col("parent").alias("pred")
     )
 
 
-def bfs_successors(graph: LinkGraph, source: int, max_rounds: int = 500) -> DataFrame:
+def bfs_successors(
+    graph: LinkGraph, source: int, max_rounds: int = 500, fused_rounds: int = 1
+) -> DataFrame:
     """(vid, successors) — each tree vertex with the sorted array of its
     children (NetworkX ``bfs_successors``; childless reached vertices are
     omitted, matching the generator semantics)."""
-    t = bfs_tree(graph, source, max_rounds=max_rounds)
+    t = bfs_tree(graph, source, max_rounds=max_rounds, fused_rounds=fused_rounds)
     return (
         t.where(F.col("parent").isNotNull())
         .groupBy(F.col("parent").alias("vid"))

@@ -56,10 +56,7 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
     constructor is unavailable.
     """
     sc = df.sparkSession.sparkContext
-    try:
-        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    except Exception:  # pragma: no cover - monitoring API unavailable
-        before = None
+    before = _persistent_ids(sc)
     ck = df.localCheckpoint(eager=eager)
     try:
         spark = ck.sparkSession
@@ -70,13 +67,55 @@ def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
         out = DataFrame(new_jdf, spark)
     except Exception:  # pragma: no cover - internal API moved/renamed
         out = ck
-    if before is not None:
-        try:
-            after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-            out._graft_ck_ids = sorted(after - before)
-        except Exception:  # pragma: no cover
-            pass
+    _tag_ck_ids(sc, before, out)
     return out
+
+
+def _persistent_ids(sc) -> set | None:
+    try:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    except Exception:  # pragma: no cover - monitoring API unavailable
+        return None
+
+
+def _tag_ck_ids(sc, before: set | None, df: DataFrame) -> None:
+    if before is None:
+        return
+    try:
+        after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        df._graft_ck_ids = sorted(after - before)
+    except Exception:  # pragma: no cover
+        pass
+
+
+def local_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``Dataset.localCheckpoint`` that RECORDS the RDD ids it registers
+    (``_graft_ck_ids``, same channel as ``truncate_plan``) so the blocks
+    are actually freeable later. ``Dataset.unpersist()`` is a
+    CacheManager-only call — measured a NO-OP on checkpoint-backed frames
+    (the checkpointed RDD stays in persistentRDDs), so a loop that
+    localCheckpoints every round and releases with unpersist retains every
+    round's state blocks. Registration happens at the localCheckpoint CALL
+    even with ``eager=False`` (verified), so the before/after delta is
+    race-free as long as no concurrent persist runs on the same session
+    (the driver loop is single-threaded)."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint(eager=eager)
+    _tag_ck_ids(sc, before, out)
+    return out
+
+
+def release_state(df: DataFrame) -> None:
+    """Release a spent loop state of ANY kind: plain ``persist`` frames
+    via unpersist (CacheManager), ``truncate_plan``/``local_checkpoint``
+    frames via their recorded checkpoint RDD ids. Safe to call on frames
+    of either kind — each path is a no-op on the other."""
+    try:
+        df.unpersist()
+    except Exception:  # pragma: no cover - best-effort release
+        pass
+    release_truncated(df)
 
 
 def release_truncated(df: DataFrame) -> None:
@@ -218,6 +257,23 @@ class BSPResult:
     supersteps: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
+    # checkpoint RDD ids behind the final state, captured at return time —
+    # algorithms typically re-select the state (dropping the DataFrame's
+    # _graft_ck_ids attribute), so the ids live here for release()
+    ck_ids: list = field(default_factory=list)
+
+    def release(self) -> None:
+        """Free the result state's cache/checkpoint blocks. Call when the
+        state has been consumed (written out / collected) — afterwards the
+        DataFrame is only recomputable from durable storage."""
+        try:
+            self.state.unpersist()
+        except Exception:  # pragma: no cover - best-effort release
+            pass
+        if self.ck_ids:
+            self.state._graft_ck_ids = self.ck_ids
+            release_truncated(self.state)
+            self.ck_ids = []
 
 
 def run_bsp(
@@ -246,7 +302,11 @@ def run_bsp(
     produce no messages), so the block-end convergence check is exact.
     NOT valid for fixed-round semantics (CDLP's exactly-10-rounds contract)
     where the round budget must be hit precisely — ``max_rounds`` is still
-    respected (the last block is truncated to fit). Checkpoint manifests
+    respected (the last block is truncated to fit). With k>1 the reported
+    ``BSPResult.supersteps`` (and the metrics' 'superstep' field) is the
+    BLOCK-END round — up to k-1 past the true convergence round; results
+    and resume are unaffected, but round counts are not comparable across
+    different ``fused_rounds`` settings. Checkpoint manifests
     store TRUE superstep numbers, so a run resumed with a different
     ``fused_rounds`` keeps a correct round budget (unlike a block-counting
     scheme, no cross-validation is needed).
@@ -293,6 +353,12 @@ def run_bsp(
         # Catalyst node carries leaf stats) so in-block self-join stats
         # can't multiply and optimizer time stays linear in k. The cuts
         # materialize together with the block's single convergence action.
+        # In-block trade-off: each superstep references the previous state
+        # twice (frontier + join base), so between cuts the composed plan
+        # re-executes uncut inner rounds up to 2^(fuse_cut_every-1) times.
+        # fuse_cut_every=4 caps that at 8x of the (cheap, frontier-sized)
+        # inner joins; the k-fold barrier saving dominates on sparse late
+        # rounds, which is where fusion is enabled (measured in BENCH).
         inner_cuts: list[DataFrame] = []
         for j in range(1, block + 1):
             new_state = superstep_fn(new_state, rnd + j)
@@ -329,7 +395,7 @@ def run_bsp(
                 # materializes this checkpoint — keeps the loop at ONE job
                 # per round (eager=True ran a separate materialization job
                 # before the scalar job: 2 scheduler barriers per round)
-                new_state = new_state.localCheckpoint(eager=False)
+                new_state = local_checkpoint(new_state, eager=False)
         else:
             new_state = new_state.persist()
             truncated = False
@@ -340,12 +406,15 @@ def run_bsp(
         if truncated:
             # new_state's lineage is severed: everything older is releasable,
             # including the in-block plan cuts (cached by the action above).
+            # release_state, not unpersist: most of these frames are
+            # checkpoint-backed, and unpersist alone leaves their blocks
+            # registered forever (one full state copy per round).
             for st in pending_unpersist:
-                st.unpersist()
+                release_state(st)
             pending_unpersist.clear()
-            state.unpersist()
+            release_state(state)
             for st in inner_cuts:
-                st.unpersist()
+                release_state(st)
         else:
             # new_state (merely persisted) still references `state`'s
             # lineage — deferring the unpersist keeps a cache eviction of
@@ -365,9 +434,9 @@ def run_bsp(
     # referenced by the final state's lineage — sever it once, then release
     # them (otherwise they leak in the session CacheManager).
     if pending_unpersist:
-        state = state.localCheckpoint(eager=True)
+        state = local_checkpoint(state, eager=True)
         for st in pending_unpersist:
-            st.unpersist()
+            release_state(st)
         pending_unpersist.clear()
     # Mark final only on true convergence: a max_rounds-bounded run must stay
     # resumable with a larger budget (e.g. PageRank stopped early by budget).
@@ -375,4 +444,7 @@ def run_bsp(
         state = save_checkpoint(state, checkpoint_dir, rnd, {**(meta or {}), "final": True})
     elif checkpoint_dir and rnd != last_durable:
         state = save_checkpoint(state, checkpoint_dir, rnd, meta)
-    return BSPResult(state=state, supersteps=rnd, converged=converged, metrics=metrics)
+    return BSPResult(
+        state=state, supersteps=rnd, converged=converged, metrics=metrics,
+        ck_ids=list(getattr(state, "_graft_ck_ids", None) or []),
+    )

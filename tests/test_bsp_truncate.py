@@ -29,3 +29,20 @@ def test_run_bsp_truncate_every_3(spark):
     assert res.converged and res.supersteps == 7
     vals = {r["x"] for r in res.state.collect()}
     assert vals == {7}
+
+
+def test_sssp_fused_overshoot_equivalence(corpus_graph):
+    """fused_rounds far past the fixpoint must not disturb SSSP distances
+    (the monotone-overshoot contract run_bsp's docstring claims)."""
+    from graphscope_spark.algorithms.traversal import sssp
+
+    src = corpus_graph.vertices.agg(F.min("vid")).collect()[0][0]
+    base = {
+        (r["vid"]): r["dist"]
+        for r in sssp(corpus_graph, source=src).state.collect()
+    }
+    fused = {
+        (r["vid"]): r["dist"]
+        for r in sssp(corpus_graph, source=src, fused_rounds=100).state.collect()
+    }
+    assert len(base) > 1 and base == fused
