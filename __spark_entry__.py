@@ -4790,13 +4790,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r1-r3 driver-green and stay in the full local matrix.
 
     Final round-4 window (see the reorder at the end of this function):
-    the first 50 slots are EXACTLY the 50 rows with no driver CORRECTNESS
-    row yet — after the round-4 gate, every one of the 143 queries has at
-    least one driver row across r01-r04. The displaced already-gated rows
+    the first 50 slots are EXACTLY the 50 rows that had no driver
+    CORRECTNESS row when the window froze — after the round-4 gate, every
+    query that existed at the freeze has at least one driver row across
+    r01-r04. Rows registered after the freeze (dup_spans, the nx-metrics
+    family, degree_stats, topo_generations) sit past slot 50, are verified
+    by the committed full matrix at round-4 HEAD (BENCH/GATE_FULL_r4.json),
+    and head the round-5 window queue. The displaced already-gated rows
     (flagship four, ann_lsh_topk with its strengthened oracle,
-    pagerank_dangling with its resume-validation change, and the rest)
-    are re-verified by the committed full matrix at round-4 HEAD
-    (BENCH/GATE_FULL_r4.json, 143/143)."""
+    pagerank_dangling with its resume-validation change, and the rest) are
+    likewise re-verified by the full matrix."""
     qs = {
         # ---- literal order is historical; the ACTUAL first-50 driver
         # ---- window is set by the never_gated reorder after this dict
