@@ -278,7 +278,10 @@ def main():
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.time()
-        df = overrides.get(name, qs[name])(spark, sf_dir)
+        fn = overrides.get(name)
+        if fn is None:
+            fn = qs[name]
+        df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
