@@ -158,8 +158,12 @@ def modularity_by_community(graph: LinkGraph, assignment: DataFrame) -> DataFram
     und = graph.undirected_edges().where(F.col("src") < F.col("dst"))
     m = und.count()
     if m == 0:
+        # derive comm's type from the assignment so empty and non-empty
+        # snapshots union cleanly (comm may be string-labelled)
+        comm_t = assignment.schema["comm"].dataType.simpleString()
         return assignment.sparkSession.createDataFrame(
-            [], "comm long, intra_edges long, degree_sum long, contrib double"
+            [],
+            f"comm {comm_t}, intra_edges long, degree_sum long, contrib double",
         )
     ca = assignment.select(F.col("vid").alias("src"), F.col("comm").alias("ca"))
     cb = assignment.select(F.col("vid").alias("dst"), F.col("comm").alias("cb"))

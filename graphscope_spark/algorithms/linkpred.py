@@ -41,8 +41,16 @@ def link_prediction(
     """(u, v, cn, jaccard, adamic_adar, resource_allocation,
     preferential_attachment) for all non-adjacent unordered pairs u < v
     with at least one common neighbor in the undirected simple graph."""
-    sym = graph.undirected_edges()  # (src, dst) both directions, loop-free
-    deg = graph.degrees()  # (vid, deg) undirected degree
+    # Persist the symmetrized edge set: it feeds FOUR branches of one plan
+    # (both wedge sides, the non-adjacency anti-join, and the degree
+    # aggregate) and its distinct() shuffle is the dominant cost at scale —
+    # unpersisted, Spark recomputes it per branch (the cdlp loop persists
+    # for the same reason). Cache lives for the session (the result plan
+    # references it lazily, so there is no safe in-function unpersist point).
+    sym = graph.undirected_edges().persist()  # (src, dst) both ways, loop-free
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )  # undirected degree, derived from the SAME cached frame
 
     mid_deg = deg.select(
         F.col("vid").alias("mid"), F.col("deg").alias("mid_deg")

@@ -86,10 +86,22 @@ def semantic_dedup(
         x = np.array(list(pdf["vec"]), dtype=np.float64)
         nrm = pdf["norm"].to_numpy()
         x /= np.where(nrm > 0, nrm, 1.0)[:, None]
-        sims = x @ x.T
-        # drop row i iff sims[i, j] >= thr for some j < i (smaller id wins)
-        tril = np.tril(sims >= thr, k=-1)
-        keep = ~tril.any(axis=1)
+        # drop row i iff sim(i, j) >= thr for some j < i (smaller id wins).
+        # CHUNKED GEMM: a full m x m sims matrix is 8·m² bytes — 320 GB at
+        # the cap — so the pairwise scan runs in row blocks sized to a
+        # ~1 GB similarity slab (chunk x m), making max_cluster_size an
+        # honest executor-memory bound instead of a number the allocation
+        # below would blow through.
+        drop = np.zeros(m, dtype=bool)
+        chunk = max(64, (1 << 27) // max(m, 1))
+        for a in range(1, m, chunk):
+            b = min(a + chunk, m)
+            block = x[a:b] @ x[:b].T  # rows a..b vs all earlier-or-self
+            earlier = (
+                np.arange(a, b)[:, None] > np.arange(b)[None, :]
+            )
+            drop[a:b] = ((block >= thr) & earlier).any(axis=1)
+        keep = ~drop
         return pd.DataFrame(
             {"id": pdf["id"], "cluster": pdf["cluster"], "keep": keep}
         )

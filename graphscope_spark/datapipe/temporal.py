@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from graphscope_spark.bsp import local_checkpoint
+
 
 def asof_join(
     left: DataFrame,
@@ -61,9 +63,26 @@ def asof_join(
         payload.alias("__p"),
         F.lit(None).cast("long").alias("__rowid"),
     )
-    # tag the left side ONCE; both the window input and the payload
-    # re-attach below derive from this single tagged plan, so the ids agree
-    left_id = left.withColumn("__rowid", F.monotonically_increasing_id())
+    # NULL join keys never match (the DuckDB/pandas ASOF contract):
+    # drop null-key right rows from the window input — null-key left rows
+    # then fall into a partition with no right rows and get null payloads
+    nn = None
+    for k in on:
+        c = F.col(k).isNotNull()
+        nn = c if nn is None else (nn & c)
+    if nn is not None:
+        r = r.where(nn)
+    # tag the left side ONCE and PIN it (eager localCheckpoint): the tagged
+    # plan feeds two branches (window input + payload re-attach), and
+    # monotonically_increasing_id depends on intra-partition row order,
+    # which is NOT stable across independent recomputations of a shuffled
+    # input — un-pinned, the rowid join could attach the wrong left
+    # payload. Checkpointing makes the ids a single materialized fact
+    # (and a lost block fails loudly instead of silently mismatching).
+    left_id = local_checkpoint(
+        left.withColumn("__rowid", F.monotonically_increasing_id()),
+        eager=True,
+    )
     l = left_id.select(
         *on,
         F.col(left_ts).alias("__t"),
@@ -120,7 +139,17 @@ def range_join(
     ``broadcast_threshold`` rows take the broadcast inequality-join path;
     larger ones take the bucketed equi-join path (fixed-width buckets
     derived from the global interval span, intervals exploded into the
-    buckets they cover)."""
+    buckets they cover).
+
+    ``how``: any Spark join type on the broadcast path; the bucketed path
+    supports only 'inner' — validated HERE, before any Spark job runs, so
+    an unsupported combination cannot burn two jobs on a large interval
+    table first (and so the answer does not silently depend on which side
+    of ``broadcast_threshold`` the table lands on)."""
+    allowed = {"inner", "left", "left_outer", "right", "right_outer",
+               "full", "full_outer", "cross", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(f"range_join: unknown join type how={how!r}")
     n_intervals = intervals.count()
     pred = (F.col(point_col) >= F.col(lo_col)) & (
         F.col(point_col) < F.col(hi_col)
@@ -128,6 +157,11 @@ def range_join(
     if n_intervals <= broadcast_threshold:
         return points.join(F.broadcast(intervals), pred, how)
 
+    if how != "inner":
+        raise NotImplementedError(
+            "bucketed range_join supports how='inner'; the broadcast path "
+            "covers outer joins for dimension-sized interval tables"
+        )
     span = intervals.agg(
         F.min(lo_col).alias("lo"), F.max(hi_col).alias("hi")
     ).collect()[0]
@@ -144,13 +178,7 @@ def range_join(
         "__bucket",
         F.floor((F.col(point_col) - F.lit(lo0)) / F.lit(width)),
     )
-    joined = pts.join(iv, "__bucket").where(pred).drop("__bucket")
-    if how == "inner":
-        return joined
-    raise NotImplementedError(
-        "bucketed range_join supports how='inner'; broadcast path covers "
-        "outer joins for dimension-sized interval tables"
-    )
+    return pts.join(iv, "__bucket").where(pred).drop("__bucket")
 
 
 def sliding_counts(

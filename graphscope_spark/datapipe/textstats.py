@@ -446,14 +446,28 @@ def frequent_tokens(
     cap = int(candidate_capacity)
 
     def nominate(it):
+        # ONE SpaceSaving summary per PARTITION, accumulated across Arrow
+        # batches and emitted once. (A per-batch top-cap nomination is a
+        # near-no-op: Arrow batches are ~10k rows, so almost every distinct
+        # token gets nominated and the "broadcast candidate set" becomes
+        # the full vocabulary.) Batched SpaceSaving merge: keys absorb
+        # exact batch counts; NEW keys enter at the last eviction floor
+        # (the overcount that preserves the heavy-hitter guarantee —
+        # mergeable-summaries semantics), and the summary prunes to `cap`
+        # keys, so per-partition memory is O(cap), not O(vocab).
+        summary: dict = {}
+        floor_ = 0
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            # SpaceSaving with pandas: exact per-batch counts capped to the
-            # top `cap` — a superset of SpaceSaving's guarantee per batch,
-            # merged across batches by the outer exact pass.
-            vc = pdf["tok"].value_counts()
-            yield pd.DataFrame({"tok": vc.index[:cap]})
+            for tok_, c in pdf["tok"].value_counts().items():
+                summary[tok_] = summary.get(tok_, floor_) + int(c)
+            if len(summary) > cap:
+                top = sorted(summary.items(), key=lambda kv: -kv[1])[:cap]
+                floor_ = top[-1][1]
+                summary = dict(top)
+        if summary:
+            yield pd.DataFrame({"tok": list(summary.keys())})
 
     cands = tok.mapInPandas(nominate, "tok string").distinct()
     return (
