@@ -24,8 +24,8 @@ Spark shape — ZERO Python in the loop:
   error 1.04/√64 ≈ 13% per vertex, far less on the NF sum — errors are
   independent across vertices) keeps the shuffled state at 64 B + vid.
 * Register init: bucket = low b bits of xxhash64(vid); rho = leading-zero
-  count of the remaining 58-bit stream + 1, computed EXACTLY with
-  `59 - length(bin(w))` (bin() is integer bit-length — no float log2
+  count of the remaining (64-b)-bit stream + 1, computed EXACTLY with
+  `(65-b) - length(bin(w))` (bin() is integer bit-length — no float log2
   boundary errors).
 * The per-round convergence aggregate IS the NF(t) estimate: the raw-HLL
   harmonic mean with the linear-counting small-range correction, one
@@ -74,7 +74,7 @@ def _estimate_expr(m: int) -> Column:
     )
     raw = F.lit(_alpha(m) * m * m) / inv_sum
     # linear-counting small-range correction (the only regime correction
-    # needed here: counts are bounded by |V| << 2^58)
+    # needed here: counts are bounded by |V| << 2^(64-b))
     small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     return F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), small).otherwise(raw)
 
@@ -107,9 +107,10 @@ def neighborhood_function(
     h = F.xxhash64(F.col("vid"))
     bucket = h.bitwiseAND(F.lit(m - 1))
     w = F.shiftrightunsigned(h, b)
-    # rho = (# leading zeros of the 58-bit stream) + 1; bin() has no
-    # leading zeros, so bit-length(w) = length(bin(w)) and rho = 59 - len.
-    rho = (F.lit(59) - F.length(F.bin(w))).cast("tinyint")
+    # rho = (# leading zeros of the (64-b)-bit stream) + 1; bin() has no
+    # leading zeros, so bit-length(w) = length(bin(w)) and
+    # rho = (64-b) - bitlen + 1 = (65-b) - len  (59 at the default b=6).
+    rho = (F.lit(65 - b) - F.length(F.bin(w))).cast("tinyint")
     regs = [f"r{j}" for j in range(m)]
     state0 = graph.vertices.select(
         "vid",
@@ -142,9 +143,8 @@ def neighborhood_function(
         # sum in decimal: addition is exact and order-independent, so the
         # NF estimate is bit-identical across partitionings (double sums
         # are not associative and would drift with the aggregation order)
-        return float(
-            state.agg(F.sum(est.cast("decimal(32,6)"))).collect()[0][0]
-        )
+        v = state.agg(F.sum(est.cast("decimal(32,6)"))).collect()[0][0]
+        return float(v) if v is not None else 0.0
 
     # NF(0) on the initial state (one extra aggregate before the loop)
     nfs.append(scalar_fn(state0))
@@ -156,7 +156,7 @@ def neighborhood_function(
             return False  # fixed-shape mode: run exactly t_max rounds
         return abs(nf - prev) <= rel_tol * max(abs(nf), 1.0)
 
-    run_bsp(
+    res = run_bsp(
         state0,
         superstep,
         max_rounds=t_max,
@@ -164,6 +164,10 @@ def neighborhood_function(
         converged_fn=converged,
         meta={"algorithm": "hyperanf"},
     )
+    # the NF numbers are already in `nfs`; free the 64-register-per-vertex
+    # final state (the widest BSP state in the suite) instead of retaining
+    # it for the session
+    res.release()
     edges.unpersist()
     return spark.createDataFrame(
         [(t, float(v)) for t, v in enumerate(nfs)], "t int, nf double"

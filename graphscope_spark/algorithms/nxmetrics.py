@@ -52,9 +52,14 @@ def _simple_undirected(graph: LinkGraph) -> DataFrame:
     )
 
 
-def _undirected_degrees(graph: LinkGraph) -> DataFrame:
-    """(vid, deg) on the simple undirected graph (degree-0 rows included)."""
-    und = _simple_undirected(graph)
+def _undirected_degrees(
+    graph: LinkGraph, und: DataFrame | None = None
+) -> DataFrame:
+    """(vid, deg) on the simple undirected graph (degree-0 rows included).
+    Pass a (persisted) ``und`` frame to avoid recomputing the distinct
+    edge-set shuffle when the caller already holds it."""
+    if und is None:
+        und = _simple_undirected(graph)
     ends = und.select(F.col("a").alias("vid")).unionByName(
         und.select(F.col("b").alias("vid"))
     )
@@ -119,8 +124,10 @@ def overall_reciprocity(graph: LinkGraph) -> float:
 def s_metric(graph: LinkGraph) -> float:
     """Σ_{(u,v) ∈ und} deg(u)·deg(v) (Li et al.; NetworkX ``s_metric``
     with normalized=False) on the simple undirected graph."""
-    und = _simple_undirected(graph)
-    deg = _undirected_degrees(graph)
+    # one distinct-edge shuffle, cached, feeding the edge scan AND both
+    # degree joins (unpersisted after the scalar collects)
+    und = _simple_undirected(graph).persist()
+    deg = _undirected_degrees(graph, und)
     da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("degb"))
     row = (
@@ -129,6 +136,7 @@ def s_metric(graph: LinkGraph) -> float:
         .agg(F.sum(F.col("dega") * F.col("degb")).alias("s"))
         .collect()[0]
     )
+    und.unpersist()
     return float(row["s"] or 0)
 
 
@@ -149,8 +157,13 @@ def rich_club_coefficient(graph: LinkGraph) -> DataFrame:
     divides by a random-rewiring baseline — sampling-dependent, so not
     exposed; this is the deterministic core.) Histogram-only plan: two
     max-degree-sized aggregates + descending cumulative sums."""
-    deg = _undirected_degrees(graph)
-    und = _simple_undirected(graph)
+    # the distinct edge set feeds the degree aggregate AND the per-edge
+    # min-degree histogram — cache it once (session-lifetime: the returned
+    # frame is lazy, so there is no safe in-function unpersist point; the
+    # result is only max-degree rows, collect it and the cache is the only
+    # retained cost)
+    und = _simple_undirected(graph).persist()
+    deg = _undirected_degrees(graph, und)
     da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("degb"))
     # histogram of vertex degrees, and of per-edge MIN endpoint degree
@@ -163,8 +176,12 @@ def rich_club_coefficient(graph: LinkGraph) -> DataFrame:
         .agg(F.count("*").alias("ce"))
     )
     # k domain 0..max_deg-1 from the (tiny) degree histogram
-    ks = hist_n.agg(F.max("deg").alias("mx")).select(
-        F.explode(F.sequence(F.lit(0), F.col("mx") - 1)).alias("k")
+    # guard mx=0 (edgeless graph): sequence(0, -1) DESCENDS in Spark and
+    # would emit a spurious k=-1 row — filter first so the domain is empty
+    ks = (
+        hist_n.agg(F.max("deg").alias("mx"))
+        .where(F.col("mx") >= 1)
+        .select(F.explode(F.sequence(F.lit(0), F.col("mx") - 1)).alias("k"))
     )
     wn = Window.orderBy(F.col("deg").desc())
     cum_n = hist_n.select(
@@ -271,13 +288,14 @@ def effective_size(graph: LinkGraph) -> DataFrame:
     Reference surface: nx forward test_structuralholes."""
     from graphscope_spark.algorithms.triangles import triangles
 
+    und = _simple_undirected(graph).persist()
     und_graph = LinkGraph(
-        graph.vertices, _simple_undirected(graph).select(
-            F.col("a").alias("src"), F.col("b").alias("dst")
-        ), graph.num_partitions,
+        graph.vertices,
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        graph.num_partitions,
     )
     tri = triangles(und_graph)
-    deg = _undirected_degrees(graph)
+    deg = _undirected_degrees(graph, und)
     return (
         deg.where(F.col("deg") > 0)
         .join(tri, "vid", "left")
@@ -301,11 +319,14 @@ def constraint(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
     hub middles w above the cap (the `link_prediction` skew lever) at the
     documented cost of undercounting hub-mediated redundancy; None = exact.
     Reference surface: nx forward test_structuralholes."""
-    und = _simple_undirected(graph)
+    # cache the distinct edge set: it feeds both wedge sides, the
+    # adjacency semi-join, and the degree aggregate (session-lifetime for
+    # the same reason as link_prediction — the result plan is lazy)
+    und = _simple_undirected(graph).persist()
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = _undirected_degrees(graph).where(F.col("deg") > 0)
+    deg = _undirected_degrees(graph, und).where(F.col("deg") > 0)
     mid_deg = deg
     if max_degree is not None:
         mid_deg = deg.where(F.col("deg") <= max_degree)
@@ -433,6 +454,11 @@ def topological_generations(
     from graphscope_spark.bsp import run_bsp
 
     P = graph.num_partitions
+    if graph.edges.where(F.col("src") == F.col("dst")).limit(1).count() > 0:
+        raise ValueError(
+            "topological_generations: the input graph has a self-loop — "
+            "a cycle (NetworkX raises NetworkXUnfeasible here)"
+        )
     edges = (
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))

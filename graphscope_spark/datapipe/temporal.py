@@ -121,7 +121,13 @@ def asof_join(
     rest = [c for c in left.columns if c not in set(on) | {left_ts}]
     if rest:
         out = out.join(left_id.select("__rowid", *rest), "__rowid")
-    return out.drop("__rowid")
+    out = out.drop("__rowid")
+    # the result lazily references the pinned left snapshot, so its blocks
+    # must outlive the result; hand the checkpoint ids to the caller —
+    # after consuming the result, bsp.release_truncated(result) frees the
+    # snapshot (otherwise it lives for the session, one copy per call)
+    out._graft_ck_ids = list(getattr(left_id, "_graft_ck_ids", None) or [])
+    return out
 
 
 def range_join(
@@ -146,9 +152,12 @@ def range_join(
     an unsupported combination cannot burn two jobs on a large interval
     table first (and so the answer does not silently depend on which side
     of ``broadcast_threshold`` the table lands on)."""
-    allowed = {"inner", "left", "left_outer", "right", "right_outer",
-               "full", "full_outer", "cross", "left_semi", "left_anti"}
-    if how not in allowed:
+    # normalize the same aliases Spark's JoinType parser accepts
+    canon = how.lower().replace("_", "")
+    allowed = {"inner", "cross", "outer", "full", "fullouter",
+               "left", "leftouter", "right", "rightouter",
+               "semi", "leftsemi", "anti", "leftanti"}
+    if canon not in allowed:
         raise ValueError(f"range_join: unknown join type how={how!r}")
     n_intervals = intervals.count()
     pred = (F.col(point_col) >= F.col(lo_col)) & (
@@ -157,7 +166,7 @@ def range_join(
     if n_intervals <= broadcast_threshold:
         return points.join(F.broadcast(intervals), pred, how)
 
-    if how != "inner":
+    if canon != "inner":
         raise NotImplementedError(
             "bucketed range_join supports how='inner'; the broadcast path "
             "covers outer joins for dimension-sized interval tables"

@@ -48,7 +48,7 @@ PICKS = {
     "asof_join": "as-of join — tagged union + ONE key-partitioned window (last non-null right payload); no range self-join, the only exchange is the key shuffle; left payload re-attached by a narrow rowid join",
     "range_join": "range join (bucketed path) — intervals exploded into covered fixed-width buckets, plain equi-join on bucket + residual predicate; fan-out bounded by interval_width/bucket_width",
     "lm_scores": "unigram-LM scoring — explode → vocab-bounded partial-agg count shuffle; the (token, −log2 p) model re-joins the token stream via BroadcastExchange; one mean per doc",
-    "frequent_tokens": "heavy hitters — mapInPandas candidate nomination (per-batch SpaceSaving superset), exact counting pass semi-joined to the broadcast candidate set; the corpus-wide shuffle carries only candidate partial counts",
+    "frequent_tokens": "heavy hitters — mapInPandas candidate nomination (ONE per-partition SpaceSaving summary accumulated across Arrow batches, O(capacity) memory and candidates), exact counting pass semi-joined to the broadcast candidate set; the corpus-wide shuffle carries only candidate partial counts",
     "semdedup": "SemDeDup — broadcast-centroid GEMM assignment (mapInPandas), ONE exchange keyed on cluster id into the applyInPandas within-cluster cosine scan",
     "dup_spans": "ExactSubstr duplicated spans — codegen transform+posexplode positional n-gram index, partial-agg hash count, semi-join back, ONE doc-keyed gaps-and-islands window",
     "structural_holes": "Burt structural holes — triangle kernel for effective size; constraint's wedge join keyed on the middle vertex with partial-agg pair sums",
