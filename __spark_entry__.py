@@ -2816,6 +2816,56 @@ SELECT v AS vid, CAST(MAX(d) AS BIGINT) AS gen FROM lp GROUP BY v
 """
 
 
+_TRUST_SEEDS = [0, 7, 23]
+
+
+def _q_trustrank(spark, sf_dir):
+    """TrustRank over a 3-seed trusted set (algorithms/centrality.py —
+    Gyöngyi et al. VLDB'04; directed out-link propagation, dangling mass
+    re-teleported to seeds, 10 power rounds), the web-spam ranking this
+    tier's Common-Crawl link graph exists for."""
+    from graphscope_spark.algorithms.centrality import trustrank
+
+    return trustrank(
+        _graph(spark, sf_dir), seeds=_TRUST_SEEDS, alpha=0.85, rounds=10
+    ).select("vid", F.round("trust", 9).alias("trust"))
+
+
+def _trustrank_sql(rounds: int, alpha: float, seeds: list[int]) -> str:
+    ns = float(len(seeds))
+    inlist = ", ".join(str(s) for s in seeds)
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),",
+        "od AS (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS od"
+        " FROM de GROUP BY src),",
+        f"""sv AS (
+  SELECT v.vid, od.od,
+         CASE WHEN v.vid IN ({inlist}) THEN 1.0 ELSE 0.0 END AS s
+  FROM verts v LEFT JOIN od ON od.vid = v.vid),""",
+        f"r0 AS (SELECT vid, od, s, s / {ns} AS val FROM sv),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""r{k + 1} AS (
+  SELECT p.vid, p.od, p.s,
+         COALESCE(m.c, 0)
+         + p.s * ({1.0 - alpha} + {alpha} *
+             COALESCE((SELECT SUM(val) FROM r{k} WHERE od IS NULL), 0))
+           / {ns} AS val
+  FROM r{k} p LEFT JOIN (
+    SELECT e.dst, SUM({alpha} * q.val / q.od) AS c
+    FROM r{k} q JOIN de e ON e.src = q.vid
+    WHERE q.od IS NOT NULL GROUP BY e.dst
+  ) m ON m.dst = p.vid),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return (
+        sql
+        + f"\nSELECT vid, ROUND(val, 9) AS trust FROM r{rounds}"
+    )
+
+
 def _q_gie_edge_expand(spark, sf_dir):
     """Gremlin Expand edge steps (reference
     docs/interactive_engine/tinkerpop/supported_gremlin_steps.md:46-95):
@@ -4976,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_measures": _q_distance_measures,
         "degree_stats": _q_degree_stats,
         "topo_generations": _q_topo_generations,
+        "trustrank": _q_trustrank,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5172,6 +5223,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "structural_holes": _STRUCTURAL_HOLES_SQL,
         "degree_stats": _DEGREE_STATS_SQL,
         "topo_generations": _TOPO_GEN_SQL,
+        "trustrank": _trustrank_sql(10, 0.85, _TRUST_SEEDS),
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

@@ -49,6 +49,7 @@ from graphscope_spark.algorithms.hyperanf import (
     effective_diameter,
     neighborhood_function,
 )
+from graphscope_spark.algorithms.centrality import trustrank
 from graphscope_spark.algorithms.louvain import louvain, modularity
 from graphscope_spark.algorithms.voterank import voterank
 from graphscope_spark.algorithms.paths import is_simple_path, all_simple_edge_paths
@@ -83,6 +84,7 @@ __all__ = [
     "s_metric",
     "voronoi_cells",
     "wiener_index",
+    "trustrank",
     "louvain",
     "modularity",
     "voterank",

@@ -242,3 +242,78 @@ def eigenvector_centrality(graph: LinkGraph, rounds: int = 20) -> DataFrame:
         state = state.withColumn("x", F.col("x") / F.lit(norm))
     edges.unpersist()
     return state.select("vid", F.col("x").alias("ec"))
+
+
+def trustrank(
+    graph: LinkGraph,
+    seeds: list[int],
+    alpha: float = 0.85,
+    rounds: int = 10,
+) -> DataFrame:
+    """(vid, trust) — TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB'04): PageRank whose teleport vector is uniform over a trusted
+    SEED SET instead of all vertices — the classic web-spam-demotion
+    ranking on exactly this tier's Common-Crawl link graph. Directed
+    out-link propagation, dangling mass re-teleported to the seeds,
+    fixed ``rounds`` power iterations (the paper's M=20 methodology;
+    the single-source ``personalized_pagerank`` is the flash `ppr.h`
+    undirected variant — different reference semantics, kept separate).
+
+    Scale shape = `pagerank`: the edge list persists hash-partitioned on
+    the join key, each round shuffles only the rank column, and the
+    dangling aggregate is the one driver scalar per round."""
+    spark = graph.edges.sparkSession
+    de = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+        .persist()
+    )
+    de.count()
+    od = de.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").cast("double").alias("od")
+    )
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in seeds], "vid long"
+    )
+    ns = float(len(seeds))
+    verts = graph.vertices.select("vid")
+    state = (
+        verts.join(od, "vid", "left")
+        .join(seed_df.withColumn("__seed", F.lit(1)), "vid", "left")
+        .select(
+            "vid",
+            "od",
+            F.coalesce("__seed", F.lit(0)).alias("is_seed"),
+            (F.coalesce("__seed", F.lit(0)) / F.lit(ns)).alias("val"),
+        )
+    )
+    for r in range(rounds):
+        dang = (
+            state.where(F.col("od").isNull())
+            .agg(F.sum("val"))
+            .collect()[0][0]
+            or 0.0
+        )
+        m = (
+            state.where(F.col("od").isNotNull())
+            .select(F.col("vid").alias("src"), "od", "val")
+            .join(de, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.lit(alpha) * F.col("val") / F.col("od")).alias("s"))
+        )
+        teleport = (1.0 - alpha) + alpha * float(dang)
+        state = state.join(m, state["vid"] == m["dst"], "left").select(
+            state["vid"],
+            "od",
+            "is_seed",
+            (
+                F.coalesce(F.col("s"), F.lit(0.0))
+                + F.col("is_seed") * F.lit(teleport / ns)
+            ).alias("val"),
+        )
+        if (r + 1) % 3 == 0:
+            state = state.transform(truncate_plan)
+    de.unpersist()
+    return state.select("vid", F.col("val").alias("trust"))

@@ -5,6 +5,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from graphscope_spark.algorithms.centrality import articlerank, personalized_pagerank
@@ -85,3 +86,41 @@ def test_lpa_u2i_matches_python(spark):
     got = {r["uid"]: r["val"] for r in lpa_u2i(l_df, e_df, rounds=4).collect()}
     for u in val:
         assert np.isclose(got[u], val[u], atol=1e-9), (u, got[u], val[u])
+
+
+def test_trustrank_matches_python_oracle(corpus_graph):
+    from graphscope_spark.algorithms.centrality import trustrank
+
+    E = {
+        (r["src"], r["dst"])
+        for r in corpus_graph.edges.select("src", "dst").distinct().collect()
+        if r["src"] != r["dst"]
+    }
+    V = [r["vid"] for r in corpus_graph.vertices.collect()]
+    seeds = sorted(V)[:3]
+    alpha, rounds = 0.85, 10
+    out = {}
+    for u, v in E:
+        out.setdefault(u, []).append(v)
+    ns = len(seeds)
+    val = {v: (1.0 / ns if v in set(seeds) else 0.0) for v in V}
+    for _ in range(rounds):
+        dang = sum(val[v] for v in V if v not in out)
+        nxt = {v: 0.0 for v in V}
+        for u, targets in out.items():
+            share = alpha * val[u] / len(targets)
+            for t in targets:
+                nxt[t] += share
+        tele = (1.0 - alpha) + alpha * dang
+        for s in seeds:
+            nxt[s] += tele / ns
+        val = nxt
+    got = {
+        r["vid"]: r["trust"]
+        for r in trustrank(corpus_graph, seeds=seeds).collect()
+    }
+    assert got.keys() == val.keys()
+    for v in V:
+        assert got[v] == pytest.approx(val[v], abs=1e-9)
+    # total trust mass is conserved at 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
