@@ -2831,6 +2831,60 @@ def _q_trustrank(spark, sf_dir):
     ).select("vid", F.round("trust", 9).alias("trust"))
 
 
+def _q_node_embeddings(spark, sf_dir):
+    """DeepWalk node embeddings (learning.train_node_embeddings: corpus
+    walks → pyspark.ml Word2Vec skip-gram — Perozzi et al. 2014, the
+    classical counterpart of GLE's GNN training surface, SURVEY §2.9).
+    Word2Vec's SGD initialization is seeded but not oracle-replicable in
+    SQL, so — the ann_lsh_topk contract — the gate pins corpus-derived
+    invariants plus quality BITS computed Spark-side: every vertex gets a
+    vector of the asked dimension, ≥99% are non-degenerate (nonzero norm),
+    and mean cosine across true edges exceeds mean cosine across
+    hash-derangement control pairs (homophily: embeddings encode
+    adjacency). Determinism of the whole pipeline for a fixed seed is
+    pinned by tests/test_learning.py."""
+    from graphscope_spark.learning import embedding_homophily, train_node_embeddings
+
+    g = _graph(spark, sf_dir)
+    dim = 16
+    emb = train_node_embeddings(
+        g, dim=dim, walk_length=6, num_walks=4, seed=7
+    ).persist()
+    nz = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
+    stats = emb.agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            (F.min(F.size("embedding")) == dim)
+            & (F.max(F.size("embedding")) == dim)
+        ).alias("dim_ok"),
+        (F.avg(nz.cast("double")) >= 0.99).alias("trained_ok"),
+    ).collect()[0]
+    hom = embedding_homophily(g, emb).collect()[0]
+    emb.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n"]),
+                bool(stats["dim_ok"]),
+                bool(stats["trained_ok"]),
+                bool(hom["homophily_ok"]),
+            )
+        ],
+        "n long, dim_ok boolean, trained_ok boolean, homophily_ok boolean",
+    )
+
+
+_NODE_EMBEDDINGS_SQL = """
+-- Invariant oracle (ann_lsh_topk contract): n is recomputed from the
+-- corpus (one embedding per document vertex); the dim/trained/homophily
+-- bits are asserted by the Spark side and pinned TRUE here. Word2Vec's
+-- trained weights are not SQL-replicable; pipeline determinism is pinned
+-- by tests/test_learning.py instead.
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n,
+       TRUE AS dim_ok, TRUE AS trained_ok, TRUE AS homophily_ok
+"""
+
+
 def _trustrank_sql(rounds: int, alpha: float, seeds: list[int]) -> str:
     ns = float(len(seeds))
     inlist = ", ".join(str(s) for s in seeds)
@@ -5027,6 +5081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": _q_degree_stats,
         "topo_generations": _q_topo_generations,
         "trustrank": _q_trustrank,
+        "node_embeddings": _q_node_embeddings,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5224,6 +5279,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "degree_stats": _DEGREE_STATS_SQL,
         "topo_generations": _TOPO_GEN_SQL,
         "trustrank": _trustrank_sql(10, 0.85, _TRUST_SEEDS),
+        "node_embeddings": _NODE_EMBEDDINGS_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

@@ -479,3 +479,145 @@ def negative_sample(
     verts.unpersist()
     edges.unpersist()
     return out
+
+
+def walk_sentences(walks: DataFrame) -> DataFrame:
+    """(root, w, walk: array<string>) — fold the long-form walk table
+    (root, w, step, vid) emitted by ``random_walks``/``node2vec_walks``
+    into step-ordered token sequences, the corpus shape skip-gram training
+    consumes. Vids become string tokens (Word2Vec's vocabulary is string);
+    the array is ordered by step via an in-group struct sort, never a
+    global sort."""
+    return walks.groupBy("root", "w").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("step", "vid"))),
+            lambda s: s["vid"].cast("string"),
+        ).alias("walk")
+    )
+
+
+def train_node_embeddings(
+    graph: LinkGraph,
+    dim: int = 32,
+    walk_length: int = 8,
+    num_walks: int = 4,
+    window: int = 4,
+    max_iter: int = 1,
+    num_partitions: int = 1,
+    seed: int = 0,
+    walks: DataFrame | None = None,
+) -> DataFrame:
+    """(vid, embedding: array<float>) — DeepWalk node embeddings (Perozzi
+    et al. 2014: truncated random walks + skip-gram), the training step GLE
+    feeds from its samplers (learning_engine/graph-learn README; SURVEY
+    §2.9 places the GNN engine out of scope — this is the classical
+    embedding counterpart, expressed entirely with Spark primitives).
+
+    Pipeline: hash-deterministic walks from EVERY vertex
+    (``random_walks``; pass ``walks=`` to plug in ``node2vec_walks`` biased
+    corpora) → step-ordered sentences (``walk_sentences``) → distributed
+    skip-gram via ``pyspark.ml.feature.Word2Vec`` (hierarchical softmax;
+    JVM-side, per-partition SGD with weight averaging per iteration).
+
+    Scale shape: the walk corpus is (n·num_walks) rows of ≤ walk_length+1
+    tokens — linear in vertices, never edges; Word2Vec's driver memory is
+    O(vocab·dim) floats (the model), the same budget any embedding
+    consumer needs, and training shuffles only sentence partitions. At
+    cluster scale raise ``num_partitions``/``max_iter`` (Spark averages
+    partition-local updates per iteration); the default 1 keeps the fit
+    bit-deterministic for a fixed seed, which is what tests and the gate
+    pin. Isolated vertices never appear in any context window and so have
+    no trained vector; they are emitted with the zero vector to keep the
+    output total over ``graph.vertices``.
+    """
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    if walks is None:
+        walks = random_walks(
+            graph,
+            graph.vertices.select("vid"),
+            length=walk_length,
+            num_walks=num_walks,
+            seed=seed,
+        )
+    corpus = walk_sentences(walks).persist()
+    try:
+        model = Word2Vec(
+            vectorSize=dim,
+            windowSize=window,
+            minCount=0,
+            maxIter=max_iter,
+            numPartitions=num_partitions,
+            seed=seed,
+            inputCol="walk",
+            outputCol="vec",
+        ).fit(corpus)
+        vecs = model.getVectors().select(
+            F.col("word").cast("long").alias("vid"),
+            vector_to_array(F.col("vector"), "float32").alias("embedding"),
+        )
+        out = truncate_plan(
+            graph.vertices.select("vid")
+            .join(vecs, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce(
+                    "embedding",
+                    F.array_repeat(F.lit(0.0).cast("float"), dim),
+                ).alias("embedding"),
+            )
+        )
+    finally:
+        corpus.unpersist()
+    return out
+
+
+def embedding_homophily(graph: LinkGraph, emb: DataFrame) -> DataFrame:
+    """One row (edge_cos, rand_cos, homophily_ok) — mean cosine similarity
+    across true edges vs. across hash-derangement pairs (vid → next vid in
+    hash order), the standard sanity check that walk embeddings encode
+    adjacency. Zero-norm embeddings (isolated vertices) contribute cosine
+    0 to both sides. All arithmetic is codegen (`zip_with`/`aggregate`),
+    no UDFs; both means are single partial aggregates. (The derangement
+    uses one global hash-order window — this is a VERIFIER over the
+    embedding table, run once per audit, not a pipeline operator; swap in
+    a per-partition lead if auditing at full corpus scale.)"""
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = F.when(
+        (norm("ea") > 0) & (norm("eb") > 0), dot / (norm("ea") * norm("eb"))
+    ).otherwise(F.lit(0.0))
+
+    def mean_cos(pairs: DataFrame) -> DataFrame:
+        ea = emb.select(F.col("vid").alias("src"), F.col("embedding").alias("ea"))
+        eb = emb.select(F.col("vid").alias("dst"), F.col("embedding").alias("eb"))
+        return pairs.join(ea, "src").join(eb, "dst").agg(
+            F.avg(cos).alias("c")
+        )
+
+    edges = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    # hash-derangement control pairs: sort vids by md5 hash, pair each with
+    # its successor (cyclic) — deterministic, structure-blind
+    w = Window.orderBy(F.col("h"))
+    hashed = graph.vertices.select(
+        "vid", _hkey(0, F.col("vid").cast("string")).alias("h")
+    )
+    ctrl = (
+        hashed.withColumn("nxt", F.lead("vid", 1).over(w))
+        .where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("vid")))
+        .select(F.col("vid").alias("src"), F.col("nxt").alias("dst"))
+    )
+    e = mean_cos(edges).collect()[0]["c"] or 0.0
+    r = mean_cos(ctrl).collect()[0]["c"] or 0.0
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(float(e), float(r), bool(e > r))],
+        "edge_cos double, rand_cos double, homophily_ok boolean",
+    )

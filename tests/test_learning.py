@@ -173,3 +173,46 @@ def test_negative_sample_rejects_edges(tiny_graph):
     assert len({(r.src, r.neg) for r in neg}) == len(neg)
     again = sorted(map(tuple, negative_sample(tiny_graph, k=3, oversample=4).collect()))
     assert again == sorted(map(tuple, neg))
+
+
+def test_walk_sentences_step_ordered(spark, tiny_graph):
+    from graphscope_spark.learning import walk_sentences
+
+    walks = random_walks(tiny_graph, tiny_graph.vertices, length=4, num_walks=2, seed=1)
+    sent = {
+        (r.root, r.w): [int(t) for t in r.walk]
+        for r in walk_sentences(walks).collect()
+    }
+    long_form = {
+        (r.root, r.w, r.step): r.vid for r in walks.collect()
+    }
+    for (root, w), toks in sent.items():
+        assert toks[0] == root  # step 0 is the root
+        for step, tok in enumerate(toks):
+            assert long_form[(root, w, step)] == tok
+
+
+def test_train_node_embeddings_shape_determinism_homophily(spark, tiny_graph):
+    from graphscope_spark.learning import (
+        embedding_homophily,
+        train_node_embeddings,
+    )
+
+    emb = train_node_embeddings(
+        tiny_graph, dim=8, walk_length=6, num_walks=6, seed=3
+    )
+    rows = emb.collect()
+    assert {r.vid for r in rows} == TINY_VERTICES  # total over vertices
+    assert all(len(r.embedding) == 8 for r in rows)
+    # fixed seed + numPartitions=1 → bit-deterministic end to end
+    again = {
+        r.vid: list(r.embedding)
+        for r in train_node_embeddings(
+            tiny_graph, dim=8, walk_length=6, num_walks=6, seed=3
+        ).collect()
+    }
+    first = {r.vid: list(r.embedding) for r in rows}
+    assert first == again
+    # walk corpus encodes adjacency: edge cosine beats derangement cosine
+    h = embedding_homophily(tiny_graph, emb).collect()[0]
+    assert h.homophily_ok and h.edge_cos > h.rand_cos
