@@ -1660,12 +1660,9 @@ FROM rts r LEFT JOIN agg a ON a.root = r.vid
 """
 
 
-def _betweenness_sql(maxd: int, roots_pred: str) -> str:
-    """Unrolled Brandes over the undirected view, mirroring
-    algorithms/betweenness.py: forward levels carry (root, vid, dist, sigma),
-    backward levels finalize delta per decreasing dist. ``maxd`` only needs
-    to be ≥ the true eccentricity bound — extra levels are no-ops
-    (fixpoint-tested)."""
+def _brandes_cte_sql(maxd: int, roots_pred: str) -> str:
+    """Shared unrolled-Brandes CTE chain (forward bs0..bs{maxd}, backward
+    bd0..bd{maxd-1}) for the vertex and edge betweenness oracles."""
     parts = [
         f"WITH {_SQL_BASE},",
         f"bs0 AS (SELECT vid AS root, vid, CAST(0 AS BIGINT) AS dist,"
@@ -1702,12 +1699,40 @@ def _betweenness_sql(maxd: int, roots_pred: str) -> str:
     GROUP BY n.root, e.s
   ) m ON m.root = c.root AND m.vid = c.vid),"""
         )
-    sql = "\n".join(parts).rstrip(",")
-    return sql + f"""
+    return "\n".join(parts).rstrip(",")
+
+
+def _betweenness_sql(maxd: int, roots_pred: str) -> str:
+    """Unrolled Brandes over the undirected view, mirroring
+    algorithms/betweenness.py: forward levels carry (root, vid, dist, sigma),
+    backward levels finalize delta per decreasing dist. ``maxd`` only needs
+    to be ≥ the true eccentricity bound — extra levels are no-ops
+    (fixpoint-tested)."""
+    return _brandes_cte_sql(maxd, roots_pred) + f"""
 SELECT v.vid, ROUND(COALESCE(b.bc, 0.0), 6) AS bc
 FROM verts v LEFT JOIN (
   SELECT vid, SUM(delta) AS bc FROM bd{maxd - 1} WHERE dist > 0 GROUP BY vid
 ) b ON b.vid = v.vid
+"""
+
+
+def _edge_betweenness_sql(maxd: int, roots_pred: str) -> str:
+    """Edge betweenness from the same Brandes tables
+    (algorithms/betweenness.py::edge_betweenness_sampled): flow over tree
+    edge v→w is sigma(v)/sigma(w)·(1+delta(w)); predecessors at dist-1 come
+    from the forward table bs{maxd} (the backward table bd excludes the
+    dist-0 roots, which carry no delta but do carry sigma)."""
+    return _brandes_cte_sql(maxd, roots_pred) + f"""
+SELECT e.a, e.b, ROUND(COALESCE(x.bc, 0.0), 6) AS bc
+FROM und e LEFT JOIN (
+  SELECT LEAST(p.vid, n.vid) AS a, GREATEST(p.vid, n.vid) AS b,
+         SUM(p.sigma / n.sigma * (1.0 + n.delta)) AS bc
+  FROM bd{maxd - 1} n
+  JOIN sym s ON s.t = n.vid
+  JOIN bs{maxd} p ON p.root = n.root AND p.vid = s.s AND p.dist = n.dist - 1
+  WHERE n.dist > 0
+  GROUP BY 1, 2
+) x ON x.a = e.a AND x.b = e.b
 """
 
 
@@ -3473,6 +3498,18 @@ def _q_betweenness(spark, sf_dir):
     )
 
 
+def _q_edge_betweenness(spark, sf_dir):
+    """Edge betweenness (Brandes 2008 / Girvan–Newman edge scores) over
+    the landmark root sample — one extra join chain over the shared
+    Brandes pair tables, no extra supersteps."""
+    from graphscope_spark.algorithms.betweenness import edge_betweenness_sampled
+
+    g = _graph(spark, sf_dir)
+    return edge_betweenness_sampled(g, _roots(g)).select(
+        "a", "b", F.round("bc", 6).alias("bc")
+    )
+
+
 def _q_voterank(spark, sf_dir):
     from graphscope_spark.algorithms.voterank import voterank
 
@@ -5082,6 +5119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_generations": _q_topo_generations,
         "trustrank": _q_trustrank,
         "node_embeddings": _q_node_embeddings,
+        "edge_betweenness": _q_edge_betweenness,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5280,6 +5318,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "topo_generations": _TOPO_GEN_SQL,
         "trustrank": _trustrank_sql(10, 0.85, _TRUST_SEEDS),
         "node_embeddings": _NODE_EMBEDDINGS_SQL,
+        "edge_betweenness": _edge_betweenness_sql(30, "vid % 97 = 0"),
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

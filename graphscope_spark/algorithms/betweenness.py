@@ -36,14 +36,15 @@ from graphscope_spark.bsp import truncate_plan, truncate_plan_lazy
 from graphscope_spark.graph import LinkGraph
 
 
-def betweenness_sampled(
-    graph: LinkGraph, roots: DataFrame, max_rounds: int = 200
-) -> DataFrame:
-    """(vid, bc) — Σ over sampled roots of Brandes dependencies δ_root(vid).
-
-    ``roots`` is a (vid) DataFrame. Vertices unreached from every root get
-    bc = 0. Deterministic: σ/δ are sums of doubles; callers round.
-    """
+def _brandes_tables(
+    graph: LinkGraph, roots: DataFrame, max_rounds: int
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Shared Brandes engine: returns (edges, settled, deltas, level) —
+    the persisted symmetric edge table, the forward BFS pair table
+    (root, vid, dist, sigma), the finalized backward dependencies
+    (root, vid, delta) for 0 < dist < level (the deepest level's delta is
+    identically 0 and is omitted; consumers coalesce), and the deepest
+    level reached. Caller owns ``edges`` and must unpersist it."""
     edges = (
         graph.undirected_edges(drop_self_loops=True)
         .repartition(F.col("src"))
@@ -110,11 +111,91 @@ def betweenness_sampled(
         )
         deltas = deltas.unionByName(lvl).transform(truncate_plan)
 
+    return edges, settled, deltas, level
+
+
+def betweenness_sampled(
+    graph: LinkGraph, roots: DataFrame, max_rounds: int = 200
+) -> DataFrame:
+    """(vid, bc) — Σ over sampled roots of Brandes dependencies δ_root(vid).
+
+    ``roots`` is a (vid) DataFrame. Vertices unreached from every root get
+    bc = 0. Deterministic: σ/δ are sums of doubles; callers round.
+    """
+    edges, _settled, deltas, _level = _brandes_tables(graph, roots, max_rounds)
     bc = deltas.groupBy("vid").agg(F.sum("delta").alias("bc"))
     out = (
         graph.vertices.select("vid")
         .join(bc, "vid", "left")
         .select("vid", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+    )
+    edges.unpersist()
+    return out
+
+
+def edge_betweenness_sampled(
+    graph: LinkGraph, roots: DataFrame, max_rounds: int = 200
+) -> DataFrame:
+    """(a, b, bc) — edge betweenness over the undirected simple view
+    (a < b), Brandes (2008) §3.2 / NetworkX ``edge_betweenness_centrality``
+    (un-normalized): for each root, the flow over tree edge v→w
+    (dist(w) = dist(v)+1) is σ(v)/σ(w) · (1 + δ(w)); summed over roots.
+    Reference semantics: the centrality family of
+    `analytical_engine/apps/centrality/` — the edge-valued variant the
+    vertex kernel (`betweenness_centrality.h`) implies; community
+    splitting (Girvan–Newman) consumes exactly this table.
+
+    Same 100 TB shape as ``betweenness_sampled`` — the edge contributions
+    are ONE extra join chain over the already-computed forward/backward
+    pair tables, no additional supersteps. Every undirected edge appears
+    (bc = 0 if no shortest path crosses it)."""
+    edges, settled, deltas, _level = _brandes_tables(graph, roots, max_rounds)
+    # (root, w, sigma_w, delta_w) for every settled non-root w; deepest
+    # level's delta is 0 by construction (omitted from deltas)
+    succ = (
+        settled.where(F.col("dist") > 0)
+        .join(deltas, ["root", "vid"], "left")
+        .select(
+            "root",
+            F.col("vid").alias("w"),
+            F.col("dist").alias("dw"),
+            F.col("sigma").alias("sigma_w"),
+            F.coalesce("delta", F.lit(0.0)).alias("delta_w"),
+        )
+    )
+    # tree edges: v→w with dist(v) = dist(w) - 1, over the symmetric table
+    # rename every pred-side column (root included) so the self-join of two
+    # frames cut from the same `settled` lineage is name-unambiguous
+    pred = settled.select(
+        F.col("root").alias("p_root"),
+        F.col("vid").alias("v"),
+        F.col("dist").alias("dv"),
+        F.col("sigma").alias("sigma_v"),
+    )
+    contrib = (
+        succ.join(edges, succ["w"] == edges["dst"])
+        .join(
+            pred,
+            (F.col("p_root") == F.col("root"))
+            & (F.col("v") == F.col("src"))
+            & (F.col("dv") == F.col("dw") - 1),
+        )
+        .select(
+            F.least("v", "w").alias("a"),
+            F.greatest("v", "w").alias("b"),
+            (
+                F.col("sigma_v")
+                / F.col("sigma_w")
+                * (F.lit(1.0) + F.col("delta_w"))
+            ).alias("c"),
+        )
+    )
+    ebc = contrib.groupBy("a", "b").agg(F.sum("c").alias("bc"))
+    und = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    out = und.join(ebc, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("bc", F.lit(0.0)).alias("bc")
     )
     edges.unpersist()
     return out
