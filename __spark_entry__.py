@@ -4865,6 +4865,65 @@ FROM toks k JOIN model m USING (tok) GROUP BY k.doc_id
 """
 
 
+def _q_dsir_select(spark, sf_dir):
+    """DSIR data selection (datapipe/dsir.py — Xie et al. NeurIPS 2023):
+    importance log-weights of every document under hashed unigram+bigram
+    multinomials fitted on the lang='en' target slice vs the whole corpus,
+    then Gumbel-top-50 resampling (∝ exp(log_w), without replacement,
+    hash-derived noise). Full-value oracle: DuckDB recomputes the entire
+    model + weights + resampling; log() is pinned by ROUND(...,6), the
+    lm_scores contract."""
+    from graphscope_spark.datapipe.dsir import dsir_resample, dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_weights(docs, docs.where(F.col("lang") == "en"), buckets=512)
+    return dsir_resample(w, k=50, seed=5).select(
+        "doc_id", F.round("log_w", 6).alias("log_w"), "rank"
+    )
+
+
+_DSIR_SQL = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t, lang FROM documents),
+fa AS (SELECT doc_id, lang,
+              list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '') AS a
+       FROM d),
+grams AS (
+  SELECT doc_id, lang, unnest(a) AS g FROM fa
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, array_length(a)),
+                               i -> a[i] || chr(31) || a[i + 1])) AS g
+  FROM fa),
+gb AS (SELECT doc_id, lang, {_H60.format(x='g')} % 512 AS b FROM grams),
+dbuck AS (SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS c FROM gb GROUP BY doc_id, b),
+tagg AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS c FROM gb WHERE lang = 'en' GROUP BY b),
+ragg AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS c FROM gb GROUP BY b),
+tt AS (SELECT COALESCE(SUM(c), 0) + 512 AS s FROM tagg),
+rt AS (SELECT COALESCE(SUM(c), 0) + 512 AS s FROM ragg),
+spine AS (SELECT CAST(r.range AS BIGINT) AS b FROM range(0, 512) r),
+llr AS (
+  SELECT s.b,
+         ln(COALESCE(t.c + 1, 1.0) / (SELECT s FROM tt))
+       - ln(COALESCE(ra.c + 1, 1.0) / (SELECT s FROM rt)) AS llr
+  FROM spine s
+  LEFT JOIN tagg t ON t.b = s.b
+  LEFT JOIN ragg ra ON ra.b = s.b),
+wts AS (SELECT doc_id, SUM(c * llr) AS log_w
+        FROM dbuck JOIN llr USING (b) GROUP BY doc_id),
+allw AS (SELECT d.doc_id, COALESCE(w.log_w, 0.0) AS log_w
+         FROM d LEFT JOIN wts w USING (doc_id)),
+keyed AS (
+  SELECT doc_id, log_w,
+         log_w + (-ln(-ln(({_H60.format(x="CONCAT('5:', CAST(doc_id AS VARCHAR))")} + 1.0)
+                          / 1152921504606846976.0))) AS key
+  FROM allw)
+SELECT doc_id, ROUND(log_w, 6) AS log_w,
+       CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
+FROM keyed
+QUALIFY rank <= 50
+"""
+
+
 def _q_frequent_tokens(spark, sf_dir):
     from graphscope_spark.datapipe.textstats import frequent_tokens
 
@@ -5120,6 +5179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": _q_trustrank,
         "node_embeddings": _q_node_embeddings,
         "edge_betweenness": _q_edge_betweenness,
+        "dsir_select": _q_dsir_select,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5319,6 +5379,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "trustrank": _trustrank_sql(10, 0.85, _TRUST_SEEDS),
         "node_embeddings": _NODE_EMBEDDINGS_SQL,
         "edge_betweenness": _edge_betweenness_sql(30, "vid % 97 = 0"),
+        "dsir_select": _DSIR_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

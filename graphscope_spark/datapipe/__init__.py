@@ -45,6 +45,10 @@ from graphscope_spark.datapipe.textstats import (
     repetition_scores,
     bm25_rank,
 )
+from graphscope_spark.datapipe.dsir import (
+    dsir_weights,
+    dsir_resample,
+)
 from graphscope_spark.datapipe.sketches import (
     hll_distinct,
     hll_partial,
@@ -84,4 +88,6 @@ __all__ = [
     "deterministic_split",
     "stratified_sample",
     "contamination_check",
+    "dsir_weights",
+    "dsir_resample",
 ]

@@ -125,3 +125,53 @@ def test_contamination_check(spark):
     assert not out[2]["contaminated"] and out[2]["n_grams"] == 3
     assert not out[3]["contaminated"] and out[3]["n_grams"] == 0
     assert out[0]["n_grams"] == 2
+
+
+class TestDSIR:
+    """DSIR importance resampling (datapipe/dsir.py)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat", "en"),
+                (2, "le chat est sur le tapis", "fr"),
+                (3, "the dog ran in the park", "en"),
+                (4, "un chien dans le parc", "fr"),
+                (5, "cats and dogs in the park", "en"),
+                (6, "", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+
+    def test_weights_direction_and_totality(self, spark):
+        from graphscope_spark.datapipe.dsir import dsir_weights
+
+        docs = self._docs(spark)
+        w = {
+            r.doc_id: r
+            for r in dsir_weights(
+                docs, docs.where("lang = 'en'"), buckets=64
+            ).collect()
+        }
+        assert set(w) == {1, 2, 3, 4, 5, 6}  # total, incl. the empty doc
+        assert w[6].n_feats == 0 and w[6].log_w == 0.0
+        en = sum(w[i].log_w for i in (1, 3, 5)) / 3
+        fr = sum(w[i].log_w for i in (2, 4)) / 2
+        assert en > 0 > fr  # toward-target docs up-weighted
+
+    def test_resample_topk_deterministic(self, spark):
+        from graphscope_spark.datapipe.dsir import dsir_resample, dsir_weights
+
+        docs = self._docs(spark)
+        w = dsir_weights(docs, docs.where("lang = 'en'"), buckets=64)
+        top = dsir_resample(w, k=3, seed=1).collect()
+        assert [r.rank for r in sorted(top, key=lambda r: r.rank)] == [1, 2, 3]
+        # strong signal: the 3 selected docs are the 3 English ones
+        assert {r.doc_id for r in top} == {1, 3, 5}
+        again = dsir_resample(w, k=3, seed=1).collect()
+        assert sorted((r.doc_id, r.rank) for r in again) == sorted(
+            (r.doc_id, r.rank) for r in top
+        )
+        # a different seed may reorder (noise changes) but stays weighted
+        other = dsir_resample(w, k=3, seed=2).collect()
+        assert len(other) == 3
