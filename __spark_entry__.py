@@ -462,10 +462,24 @@ f{hop} AS (SELECT DISTINCT root, dst AS vid FROM s{hop}),"""
     return sql + "\n" + final
 
 
-def _random_walks_sql(length: int, num_walks: int, roots_pred: str, seed: int) -> str:
+def _random_walks_sql(
+    length: int,
+    num_walks: int,
+    roots_pred: str,
+    seed: int,
+    reverse: bool = False,
+) -> str:
+    """Unrolled deterministic-walk chain (learning.random_walks).
+    ``reverse=True`` walks the transposed edge table — what simrank_mc's
+    coupled reverse walks use."""
+    de = (
+        "SELECT dst AS src, src AS dst FROM edges WHERE src <> dst"
+        if reverse
+        else "SELECT src, dst FROM edges WHERE src <> dst"
+    )
     parts = [
         f"WITH {_SQL_BASE},",
-        "de AS (SELECT src, dst FROM edges WHERE src <> dst),",
+        f"de AS ({de}),",
         f"""w0 AS (SELECT vid AS root, CAST(g.w AS BIGINT) AS w,
              CAST(0 AS BIGINT) AS step, vid
       FROM verts, (SELECT UNNEST(range({num_walks})) AS w) g
@@ -484,9 +498,36 @@ def _random_walks_sql(length: int, num_walks: int, roots_pred: str, seed: int) -
     FROM w{k - 1} q JOIN de e ON e.src = q.vid
   ) WHERE rn = 1),"""
         )
-    sql = "\n".join(parts).rstrip(",")
-    final = " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(length + 1))
-    return sql + "\n" + final
+    union = " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(length + 1))
+    parts.append(f"wa AS ({union}),")
+    return "\n".join(parts)
+
+
+def _random_walks_final(length: int, num_walks: int, roots_pred: str, seed: int) -> str:
+    return (
+        _random_walks_sql(length, num_walks, roots_pred, seed).rstrip().rstrip(",")
+        + "\nSELECT * FROM wa"
+    )
+
+
+def _simrank_sql(
+    length: int, num_walks: int, seed: int, c: float, queries_pred: str
+) -> str:
+    """Monte-Carlo SimRank mirror (algorithms/simrank.py): reverse-walk
+    chain shared with the random_walks oracle, first-meeting per
+    (q, v, walk), score = mean over walks of c^tau."""
+    return (
+        _random_walks_sql(length, num_walks, "TRUE", seed, reverse=True)
+        + f"""
+qw AS (SELECT root AS q, w, step, vid FROM wa WHERE {queries_pred}),
+meet AS (
+  SELECT qw.q, wa.root AS v, qw.w, MIN(qw.step) AS tau
+  FROM qw JOIN wa ON wa.w = qw.w AND wa.step = qw.step AND wa.vid = qw.vid
+  GROUP BY qw.q, wa.root, qw.w)
+SELECT q, v AS vid, ROUND(SUM(POWER({c}, tau)) / {num_walks}, 6) AS score
+FROM meet GROUP BY q, v
+"""
+    )
 
 
 def _negative_sample_sql(k: int, oversample: int, seed: int) -> str:
@@ -2856,6 +2897,23 @@ def _q_trustrank(spark, sf_dir):
     ).select("vid", F.round("trust", 9).alias("trust"))
 
 
+_SIMRANK_QUERIES = [0, 1, 2, 250]
+
+
+def _q_simrank(spark, sf_dir):
+    """Monte-Carlo SimRank (algorithms/simrank.py — Jeh & Widom 2002 via
+    Fogaras & Rácz 2005 coupled reverse walks) for 4 query vertices; the
+    walk draws are hash-deterministic, so DuckDB replicates the entire
+    estimate exactly (same contract as the random_walks oracle)."""
+    from graphscope_spark.algorithms.simrank import simrank_mc
+
+    g = _graph(spark, sf_dir)
+    qs = spark.createDataFrame([(v,) for v in _SIMRANK_QUERIES], "vid long")
+    return simrank_mc(g, qs, c=0.6, walk_length=5, num_walks=8, seed=11).select(
+        "q", "vid", F.round("score", 6).alias("score")
+    )
+
+
 def _q_node_embeddings(spark, sf_dir):
     """DeepWalk node embeddings (learning.train_node_embeddings: corpus
     walks → pyspark.ml Word2Vec skip-gram — Perozzi et al. 2014, the
@@ -5180,6 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_embeddings": _q_node_embeddings,
         "edge_betweenness": _q_edge_betweenness,
         "dsir_select": _q_dsir_select,
+        "simrank": _q_simrank,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5297,7 +5356,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gen_labels": _GEN_LABELS_SQL,
         "gen_edge_labels": _GEN_EDGE_LABELS_SQL,
         "neighbor_sample": _neighbor_sample_sql([3, 2], "vid % 97 = 0", 42),
-        "random_walks": _random_walks_sql(4, 2, "vid % 97 = 0", 0),
+        "random_walks": _random_walks_final(4, 2, "vid % 97 = 0", 0),
         "negative_sample": _negative_sample_sql(3, 4, 0),
         "pii_redaction": _PII_SQL,
         "c4_filters": _C4_SQL,
@@ -5380,6 +5439,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         "node_embeddings": _NODE_EMBEDDINGS_SQL,
         "edge_betweenness": _edge_betweenness_sql(30, "vid % 97 = 0"),
         "dsir_select": _DSIR_SQL,
+        "simrank": _simrank_sql(
+            5, 8, 11, 0.6, "root IN (0, 1, 2, 250)"
+        ),
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

@@ -124,3 +124,33 @@ def test_trustrank_matches_python_oracle(corpus_graph):
         assert got[v] == pytest.approx(val[v], abs=1e-9)
     # total trust mass is conserved at 1
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_simrank_mc_properties(spark, tiny_graph):
+    """MC SimRank: self-similarity 1, component-locality, determinism,
+    scores in (0, 1]."""
+    from graphscope_spark.algorithms.simrank import simrank_mc
+
+    q = spark.createDataFrame([(3,), (10,)], "vid long")
+    res = {
+        (r.q, r.vid): r.score
+        for r in simrank_mc(
+            tiny_graph, q, c=0.6, walk_length=5, num_walks=8, seed=2
+        ).collect()
+    }
+    assert res[(3, 3)] == 1.0 and res[(10, 10)] == 1.0
+    assert all(0.0 < s <= 1.0 for s in res.values())
+    # walks never cross components: q=10's matches stay in {10,11,12}
+    assert all(v >= 10 for (qq, v) in res if qq == 10)
+    assert all(v < 10 for (qq, v) in res if qq == 3)
+    again = {
+        (r.q, r.vid): r.score
+        for r in simrank_mc(
+            tiny_graph, q, c=0.6, walk_length=5, num_walks=8, seed=2
+        ).collect()
+    }
+    assert res == again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simrank_mc(tiny_graph, q, c=1.5)
