@@ -2897,6 +2897,51 @@ def _q_trustrank(spark, sf_dir):
     ).select("vid", F.round("trust", 9).alias("trust"))
 
 
+def _q_feature_propagation(spark, sf_dir):
+    """SGC feature smoothing (learning.feature_propagation — Wu et al.
+    ICML 2019): X ← Ŝ²X, Ŝ = D̃^{-1/2}(A+I)D̃^{-1/2}, with the embeddings
+    table as node features over the document graph. Output long-form
+    (vid, i, x) so the DuckDB mirror recomputes every propagated value."""
+    from graphscope_spark.learning import feature_propagation
+
+    g = _graph(spark, sf_dir)
+    feats = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").cast("long").alias("vid"), F.col("embedding"))
+    )
+    out = feature_propagation(g, feats, rounds=2, dim=64, feat_col="embedding")
+    return out.select(
+        "vid", F.posexplode("x").alias("i0", "v")
+    ).select(
+        "vid",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        F.round("v", 6).alias("x"),
+    )
+
+
+_FEATPROP_SQL = f"""
+WITH {{base}},
+emb AS (SELECT CAST(vec_id AS BIGINT) AS vid, embedding FROM embeddings),
+dt AS (SELECT v.vid, COALESCE(u.deg, 0) + 1.0 AS dt
+       FROM verts v LEFT JOIN udeg u USING (vid)),
+we AS (
+  SELECT s.s AS src, s.t AS dst, 1.0 / sqrt(d1.dt * d2.dt) AS w
+  FROM sym s JOIN dt d1 ON d1.vid = s.s JOIN dt d2 ON d2.vid = s.t
+  UNION ALL
+  SELECT vid, vid, 1.0 / dt FROM dt),
+x0 AS (
+  SELECT v.vid, t.i, COALESCE(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE), 0.0) AS v
+  FROM verts v
+  CROSS JOIN (SELECT CAST(r.range AS BIGINT) AS i FROM range(1, 65) r) t
+  LEFT JOIN emb e ON e.vid = v.vid),
+x1 AS (SELECT w.dst AS vid, x.i, SUM(x.v * w.w) AS v
+       FROM we w JOIN x0 x ON x.vid = w.src GROUP BY w.dst, x.i),
+x2 AS (SELECT w.dst AS vid, x.i, SUM(x.v * w.w) AS v
+       FROM we w JOIN x1 x ON x.vid = w.src GROUP BY w.dst, x.i)
+SELECT vid, i, ROUND(v, 6) AS x FROM x2
+"""
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5239,6 +5284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness": _q_edge_betweenness,
         "dsir_select": _q_dsir_select,
         "simrank": _q_simrank,
+        "feature_propagation": _q_feature_propagation,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5442,6 +5488,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "simrank": _simrank_sql(
             5, 8, 11, 0.6, "root IN (0, 1, 2, 250)"
         ),
+        "feature_propagation": _FEATPROP_SQL.format(base=_SQL_BASE),
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

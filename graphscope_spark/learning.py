@@ -621,3 +621,95 @@ def embedding_homophily(graph: LinkGraph, emb: DataFrame) -> DataFrame:
         [(float(e), float(r), bool(e > r))],
         "edge_cos double, rand_cos double, homophily_ok boolean",
     )
+
+
+def feature_propagation(
+    graph: LinkGraph,
+    features: DataFrame,
+    rounds: int = 2,
+    dim: int | None = None,
+    id_col: str = "vid",
+    feat_col: str = "x",
+) -> DataFrame:
+    """(vid, x: array<double>) — SGC/LightGCN-style linear feature
+    smoothing (Wu et al. ICML 2019 "Simplifying Graph Convolutional
+    Networks"): X ← Ŝ^K X with Ŝ = D̃^{-1/2} (A + I) D̃^{-1/2} over the
+    undirected simple view with self-loops (D̃ = D + I). This is the
+    message-passing aggregation GLE's GNN layers perform, stripped of the
+    nonlinearity — the standard "precompute propagation offline, train a
+    linear head" pipeline, and a pure-DataFrame operator here.
+
+    Scale shape: state is ONE row per vertex with a dim-array column; each
+    round is one edge join + one groupBy(dst) with ``dim`` independent
+    SUM aggregates (JVM codegen, map-side partial aggregation — no
+    collect_list, so a hot vertex never materializes its neighborhood).
+    Shuffle volume is n·dim doubles per round, the same class as
+    pagerank's n. ``dim`` must be modest (≤ a few hundred) since it
+    becomes the aggregate-column count; vertices missing from
+    ``features`` start at the zero vector."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if dim is None:
+        probe = features.select(F.size(feat_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("features is empty and dim was not given")
+        dim = probe["d"]
+    und = graph.undirected_edges(drop_self_loops=True)
+    deg = und.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").cast("double").alias("d")
+    )
+    dt = (
+        graph.vertices.select("vid")
+        .join(deg, "vid", "left")
+        .select("vid", (F.coalesce("d", F.lit(0.0)) + 1.0).alias("dt"))
+    )
+    # weighted Ŝ edge list incl. self-loops: w_uv = 1/sqrt(dt_u · dt_v)
+    ds = dt.select(F.col("vid").alias("src"), F.col("dt").alias("dts"))
+    dd = dt.select(F.col("vid").alias("dst"), F.col("dt").alias("dtd"))
+    w_edges = (
+        und.join(ds, "src")
+        .join(dd, "dst")
+        .select("src", "dst", (1.0 / F.sqrt(F.col("dts") * F.col("dtd"))).alias("w"))
+        .unionByName(
+            dt.select(
+                F.col("vid").alias("src"),
+                F.col("vid").alias("dst"),
+                (1.0 / F.col("dt")).alias("w"),
+            )
+        )
+        .repartition(F.col("src"))
+        .persist()
+    )
+    w_edges.count()
+    state = (
+        graph.vertices.select("vid")
+        .join(
+            features.select(
+                F.col(id_col).alias("vid"),
+                F.transform(F.col(feat_col), lambda v: v.cast("double")).alias("x"),
+            ),
+            "vid",
+            "left",
+        )
+        .select(
+            "vid",
+            F.coalesce("x", F.array_repeat(F.lit(0.0), dim)).alias("x"),
+        )
+        .transform(truncate_plan)
+    )
+    sums = [
+        F.sum(F.element_at("x", i + 1) * F.col("w")).alias(f"_f{i}")
+        for i in range(dim)
+    ]
+    for _ in range(rounds):
+        state = (
+            w_edges.join(state.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(*sums)
+            .select(
+                "vid", F.array(*[F.col(f"_f{i}") for i in range(dim)]).alias("x")
+            )
+            .transform(truncate_plan)
+        )
+    w_edges.unpersist()
+    return state

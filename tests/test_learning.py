@@ -216,3 +216,38 @@ def test_train_node_embeddings_shape_determinism_homophily(spark, tiny_graph):
     # walk corpus encodes adjacency: edge cosine beats derangement cosine
     h = embedding_homophily(tiny_graph, emb).collect()[0]
     assert h.homophily_ok and h.edge_cos > h.rand_cos
+
+
+def test_feature_propagation_matches_hand_sgc(spark):
+    """X <- S^2 X on a triangle + isolated vertex, vs a NumPy hand-roll of
+    the SGC operator S = D~^-1/2 (A+I) D~^-1/2."""
+    import numpy as np
+    from graphscope_spark.graph import LinkGraph
+    from graphscope_spark.learning import feature_propagation
+
+    g = LinkGraph(
+        vertices=spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "vid long"),
+        edges=spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long"),
+        num_partitions=2,
+    )
+    feats = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vid long, x array<double>",
+    )
+    out = {
+        r.vid: list(r.x)
+        for r in feature_propagation(g, feats, rounds=2, dim=2).collect()
+    }
+    vids = [1, 2, 3, 4]
+    A = np.zeros((4, 4))
+    for u, v in [(1, 2), (2, 3), (3, 1)]:
+        A[vids.index(u), vids.index(v)] = A[vids.index(v), vids.index(u)] = 1
+    At = A + np.eye(4)
+    Dm = np.diag(1.0 / np.sqrt(At.sum(1)))
+    S = Dm @ At @ Dm
+    X = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [0.0, 0.0]])
+    want = S @ (S @ X)
+    for v in vids:
+        assert np.allclose(out[v], want[vids.index(v)], atol=1e-12), v
+    # missing-feature vertices start at the zero vector (4 got zeros)
+    assert out[4] == list(want[3])
