@@ -2942,6 +2942,36 @@ SELECT vid, i, ROUND(v, 6) AS x FROM x2
 """
 
 
+def _q_bipartite_projection(spark, sf_dir):
+    """Overlap-weighted one-mode projection (algorithms/bipartite.py — the
+    nx `weighted/overlap_weighted_projected_graph` parity surface) of the
+    order↔part two-mode table onto parts: parts are connected by how many
+    orders they co-occur in, with Jaccard overlap normalization."""
+    from graphscope_spark.algorithms.bipartite import bipartite_projection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").cast("long").alias("src"),
+        F.col("l_orderkey").cast("long").alias("dst"),
+    )
+    return bipartite_projection(
+        li, weight="jaccard", min_weight=2
+    ).select("a", "b", "w", F.round("jaccard", 9).alias("jaccard"))
+
+
+_BIPROJ_SQL = """
+WITH e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS l,
+                           CAST(l_orderkey AS BIGINT) AS r FROM lineitem),
+ldeg AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS ld FROM e GROUP BY l),
+pairs AS (
+  SELECT x.l AS a, y.l AS b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM e x JOIN e y ON x.r = y.r AND x.l < y.l
+  GROUP BY x.l, y.l HAVING COUNT(*) >= 2)
+SELECT p.a, p.b, p.w,
+       ROUND(p.w / CAST(da.ld + db.ld - p.w AS DOUBLE), 9) AS jaccard
+FROM pairs p JOIN ldeg da ON da.l = p.a JOIN ldeg db ON db.l = p.b
+"""
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5285,6 +5315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "simrank": _q_simrank,
         "feature_propagation": _q_feature_propagation,
+        "bipartite_projection": _q_bipartite_projection,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5489,6 +5520,7 @@ def _raw_oracle_sql() -> dict[str, str]:
             5, 8, 11, 0.6, "root IN (0, 1, 2, 250)"
         ),
         "feature_propagation": _FEATPROP_SQL.format(base=_SQL_BASE),
+        "bipartite_projection": _BIPROJ_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

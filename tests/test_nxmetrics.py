@@ -288,3 +288,44 @@ def test_topological_generations_raises_on_cycle(spark):
     g = from_edge_df(df, num_partitions=2)
     with pytest.raises(ValueError, match="cycle"):
         topological_generations(g, fused_rounds=2)
+
+
+def test_bipartite_projection_vs_networkx(spark):
+    """Overlap-weighted projection vs networkx's bipartite module, plus
+    the hot-right-vertex cap and min_weight filter."""
+    import networkx as nx
+    from networkx.algorithms import bipartite as nxb
+
+    from graphscope_spark.algorithms.bipartite import bipartite_projection
+
+    edges = [
+        (1, 101), (1, 102), (2, 101), (2, 102), (2, 103),
+        (3, 103), (3, 104), (4, 104), (4, 101), (1, 101),  # dup row
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.a, r.b): (r.w, r.jaccard)
+        for r in bipartite_projection(df, weight="jaccard").collect()
+    }
+    g = nx.Graph()
+    left = {1, 2, 3, 4}
+    g.add_nodes_from(left, bipartite=0)
+    g.add_nodes_from({e[1] for e in edges}, bipartite=1)
+    g.add_edges_from(set(edges))
+    jp = nxb.overlap_weighted_projected_graph(g, left, jaccard=True)
+    wp = nxb.weighted_projected_graph(g, left)
+    assert set(got) == {(min(u, v), max(u, v)) for u, v in jp.edges}
+    for u, v, d in jp.edges(data=True):
+        a, b = min(u, v), max(u, v)
+        assert abs(got[(a, b)][1] - d["weight"]) < 1e-12
+        assert got[(a, b)][0] == wp[u][v]["weight"]
+    # cap: with max_degree=1 every shared right vertex is dropped
+    assert (
+        bipartite_projection(df, weight="count", max_degree=1).count() == 0
+    )
+    # min_weight=2 keeps only the double-shared pair (1,2)
+    strong = {
+        (r.a, r.b)
+        for r in bipartite_projection(df, min_weight=2).collect()
+    }
+    assert strong == {(1, 2)}
