@@ -2972,6 +2972,77 @@ FROM pairs p JOIN ldeg da ON da.l = p.a JOIN ldeg db ON db.l = p.b
 """
 
 
+def _q_local_community(spark, sf_dir):
+    """ACL local clustering (algorithms/localcluster.py — Andersen, Chung
+    & Lang 2006): truncated lazy-walk PPR mass around seed doc 0, sweep by
+    p/d, per-prefix conductance, best-cut membership. Deterministic power
+    series (no push thresholds) → full-value DuckDB mirror."""
+    from graphscope_spark.algorithms.localcluster import local_community
+
+    g = _graph(spark, sf_dir)
+    return local_community(g, 0, alpha=0.15, rounds=6).select(
+        "vid",
+        "rank",
+        F.round("p", 9).alias("p"),
+        F.round("cond", 6).alias("cond"),
+        "in_best",
+    )
+
+
+def _local_community_sql(seed: int, alpha: float, rounds: int) -> str:
+    a, h = alpha, (1.0 - alpha) / 2
+    parts = [
+        f"WITH {_SQL_BASE},",
+        f"r0 AS (SELECT CAST({seed} AS BIGINT) AS vid, 1.0 AS r),",
+    ]
+    for k in range(rounds - 1):
+        parts.append(
+            f"""r{k + 1} AS (
+  SELECT vid, SUM(m) AS r FROM (
+    SELECT q.vid, CASE WHEN COALESCE(u.deg, 0) > 0 THEN {h} * q.r
+                       ELSE {2 * h} * q.r END AS m
+    FROM r{k} q LEFT JOIN udeg u USING (vid)
+    UNION ALL
+    SELECT s.t AS vid, {h} * q.r / u.deg AS m
+    FROM r{k} q JOIN udeg u USING (vid) JOIN sym s ON s.s = q.vid
+    WHERE u.deg > 0
+  ) GROUP BY vid),"""
+        )
+    runion = " UNION ALL ".join(f"SELECT * FROM r{k}" for k in range(rounds))
+    parts.append(
+        f"""pm AS (SELECT vid, {a} * SUM(r) AS p FROM ({runion}) GROUP BY vid),
+sup AS (
+  SELECT p.vid, p.p, CAST(COALESCE(u.deg, 0) AS DOUBLE) AS d,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY p.p / GREATEST(CAST(COALESCE(u.deg, 0) AS DOUBLE), 1.0) DESC,
+                    p.vid ASC) AS BIGINT) AS rank
+  FROM pm p LEFT JOIN udeg u USING (vid) WHERE p.p > 0),
+inc AS (SELECT ra.rank AS ra, rb.rank AS rb
+        FROM sym s JOIN sup ra ON ra.vid = s.s LEFT JOIN sup rb ON rb.vid = s.t),
+ev AS (SELECT ra AS k,
+              CASE WHEN rb IS NULL THEN 1 WHEN ra < rb THEN 1 ELSE -1 END AS e
+       FROM inc),
+cuts AS (SELECT k, CAST(SUM(e) AS DOUBLE) AS dc FROM ev GROUP BY k),
+m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM sym),
+acc AS (
+  SELECT s.vid, s.rank, s.p,
+         SUM(s.d) OVER (ORDER BY s.rank) AS vol,
+         SUM(COALESCE(c.dc, 0.0)) OVER (ORDER BY s.rank) AS cut
+  FROM sup s LEFT JOIN cuts c ON c.k = s.rank),
+cond AS (
+  SELECT vid, rank, p,
+         CASE WHEN LEAST(vol, (SELECT v FROM m2) - vol) > 0
+              THEN cut / LEAST(vol, (SELECT v FROM m2) - vol)
+              ELSE 1.0 END AS cond
+  FROM acc),
+best AS (SELECT rank AS k FROM cond ORDER BY cond ASC, rank ASC LIMIT 1)
+SELECT vid, rank, ROUND(p, 9) AS p, ROUND(cond, 6) AS cond,
+       rank <= (SELECT k FROM best) AS in_best
+FROM cond"""
+    )
+    return "\n".join(parts)
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5316,6 +5387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank": _q_simrank,
         "feature_propagation": _q_feature_propagation,
         "bipartite_projection": _q_bipartite_projection,
+        "local_community": _q_local_community,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5521,6 +5593,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         ),
         "feature_propagation": _FEATPROP_SQL.format(base=_SQL_BASE),
         "bipartite_projection": _BIPROJ_SQL,
+        "local_community": _local_community_sql(0, 0.15, 6),
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

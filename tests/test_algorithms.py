@@ -182,3 +182,49 @@ def test_pagerank_weighted(tiny_graph):
         pagerank(tiny_graph, alpha=0.85, tol=0.0, max_rounds=8).state, "vid", "rank"
     )
     assert all(np.isclose(a[v], b[v], atol=1e-12) for v in b)
+
+
+def test_local_community_sweep_hand_check(spark, tiny_graph):
+    """ACL sweep on the tiny graph: PPR masses from a NumPy power-series
+    hand-roll, conductances from the by-hand prefix cuts."""
+    import numpy as np
+    from collections import defaultdict
+
+    from graphscope_spark.algorithms.localcluster import local_community
+
+    res = {r.vid: r for r in local_community(tiny_graph, 1, alpha=0.15, rounds=6).collect()}
+    # NumPy replication of the truncated lazy-walk series
+    vids = sorted(TINY_VERTICES)
+    idx = {v: i for i, v in enumerate(vids)}
+    adj = defaultdict(set)
+    for u, v in TINY_EDGES:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    n = len(vids)
+    W = np.zeros((n, n))
+    for v in vids:
+        if adj[v]:
+            W[idx[v], idx[v]] = 0.5
+            for u in adj[v]:
+                W[idx[u], idx[v]] = 0.5 / len(adj[v])  # column-stochastic
+        else:
+            W[idx[v], idx[v]] = 1.0
+    r = np.zeros(n)
+    r[idx[1]] = 1.0
+    p = np.zeros(n)
+    for _ in range(6):
+        p += 0.15 * r
+        r = 0.85 * (W @ r)
+    for v, row in res.items():
+        assert np.isclose(row.p, p[idx[v]], atol=1e-12), v
+    # ordering is by p/deg desc; ranks are a permutation of 1..support
+    ranks = sorted(r.rank for r in res.values())
+    assert ranks == list(range(1, len(res) + 1))
+    # conductance spot-checks computed by hand (2m = 26 incl. both comps)
+    by_rank = {r.rank: r for r in res.values()}
+    assert np.isclose(by_rank[2].cond, 4 / 6)     # S={1,2}
+    assert np.isclose(by_rank[5].cond, 2 / 12)    # S={1,2,4,3,8}
+    # the disconnected second component makes the full first component a
+    # zero-cut prefix -> it is the best sweep set
+    assert all(r.in_best for r in res.values())
