@@ -2135,6 +2135,33 @@ def _q_incremental_wcc(spark, sf_dir):
     )
 
 
+def _q_incremental_triangles(spark, sf_dir):
+    """Incremental triangle counting (streaming.IncrementalTriangles):
+    fold the graph's edges in THREE deterministic slices ((src+dst) mod 3)
+    as arriving microbatches; the running total after the last batch must
+    equal the batch triangle count of the full graph — the oracle counts
+    a < b < c closed walks over the canonical undirected view, making the
+    inclusion–exclusion delta logic (ΔT = m1 − m2 + m3) independently
+    checkable."""
+    from graphscope_spark.streaming import IncrementalTriangles
+
+    g = _graph(spark, sf_dir)
+    inc = IncrementalTriangles(num_partitions=g.num_partitions)
+    total = 0
+    for k in range(3):
+        total = inc.update(g.edges.where((F.col("src") + F.col("dst")) % 3 == k))
+    return spark.createDataFrame([(int(total),)], "total long")
+
+
+_INC_TRIANGLES_SQL = f"""
+WITH {_SQL_BASE}
+SELECT CAST(COUNT(*) AS BIGINT) AS total
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 def _q_incremental_pagerank(spark, sf_dir):
     """Incremental PageRank maintenance (streaming.IncrementalPageRank):
     fold the doc-derived edges in a realistic crawl shape — one 90% bulk
@@ -5388,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_propagation": _q_feature_propagation,
         "bipartite_projection": _q_bipartite_projection,
         "local_community": _q_local_community,
+        "incremental_triangles": _q_incremental_triangles,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5594,6 +5622,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "feature_propagation": _FEATPROP_SQL.format(base=_SQL_BASE),
         "bipartite_projection": _BIPROJ_SQL,
         "local_community": _local_community_sql(0, 0.15, 6),
+        "incremental_triangles": _INC_TRIANGLES_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

@@ -244,6 +244,19 @@ def main():
         # (64 tinyint register columns/vertex; stresses wide-row shuffle)
         "truss_decomposition",
         "hyperanf",
+        # round 4 (session 2): walk-derived similarity + embedding training
+        # (simrank: collision join over the coupled reverse-walk corpus;
+        # node_embeddings: walk corpus -> Word2Vec fit, driver O(vocab·dim)),
+        # the shared-Brandes edge scores, DSIR selection (scan + broadcast
+        # bucket-model join), SGC propagation (per-dim SUM aggregates), and
+        # the ACL sweep (sparse K-ball PPR + windowed prefix conductance)
+        "simrank",
+        "edge_betweenness",
+        "dsir_select",
+        "feature_propagation",
+        "local_community",
+        "node_embeddings",
+        "bipartite_projection",
     ]
     # The gate wrappers for these rows pin max_driver_edges=0 so DuckDB
     # always cross-checks the DISTRIBUTED loops; the bench measures the

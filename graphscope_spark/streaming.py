@@ -395,3 +395,113 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+class IncrementalTriangles:
+    """Incremental global triangle counting: keep the running triangle
+    count of the accumulated undirected simple graph current as edge
+    batches arrive, touching only batch-local neighborhoods.
+
+    The reference counts triangles per run (`apps/` triangle kernels,
+    batch-only like the rest of GAE); a continuously-crawled link graph
+    wants the delta formulation. Per batch, with U = old ∪ batch and the
+    batch deduplicated against the accumulated canonical (a < b) edge
+    table, every triangle gaining its FIRST batch edge must be counted
+    exactly once. Triangles with k ∈ {1,2,3} batch edges appear k times
+    among (batch edge, common-U-neighbor) wedges, C(k,2) times among
+    batch-edge pairs closed by a U edge, and [k=3] times among pure-batch
+    triangles — so
+
+        ΔT = m1 − m2 + m3      (inclusion–exclusion: k − C(k,2) + [k=3] = 1)
+
+    where m1 joins the batch against the accumulated adjacency twice
+    (work ∝ Σ_batch deg), m2 pairs batch edges sharing a vertex and
+    semi-joins the closing edge against U, and m3 counts triangles inside
+    the batch alone. Nothing rescans old∖batch neighborhoods, so per-batch
+    cost scales with the batch's wedge count, not the graph. The edge
+    table is re-checkpointed per batch (`truncate_plan`) to keep lineage
+    flat across thousands of batches.
+
+    Correctness invariant (tests + gate): after any batch sequence,
+    ``total`` equals batch ``total_triangles`` over the union of all
+    batches.
+    """
+
+    def __init__(self, num_partitions: int = 32):
+        self.num_partitions = num_partitions
+        self.edges: DataFrame | None = None  # canonical (a, b), a < b
+        self.total: int = 0
+
+    def update(self, new_edges: DataFrame) -> int:
+        """Fold one batch of (src, dst) edges in; returns the new total."""
+        from graphscope_spark.bsp import release_truncated, truncate_plan
+
+        canon = (
+            new_edges.select(
+                F.least(F.col("src"), F.col("dst")).cast("long").alias("a"),
+                F.greatest(F.col("src"), F.col("dst")).cast("long").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .distinct()
+        )
+        fresh = (
+            canon
+            if self.edges is None
+            else canon.join(self.edges, ["a", "b"], "anti")
+        ).persist()
+        if fresh.count() == 0:
+            fresh.unpersist()
+            return self.total
+        union = (
+            fresh if self.edges is None else self.edges.unionByName(fresh)
+        ).persist()
+        usym = union.select(
+            F.col("a").alias("s"), F.col("b").alias("t")
+        ).unionByName(union.select(F.col("b").alias("s"), F.col("a").alias("t")))
+        # m1: batch edge (a,b) + common neighbor c in U (wedge close ×2)
+        ua = usym.select(F.col("s").alias("a"), F.col("t").alias("c"))
+        ub = usym.select(F.col("s").alias("b"), F.col("t").alias("c"))
+        m1 = fresh.join(ua, "a").join(ub, ["b", "c"]).count()
+        # m2: two batch edges sharing v, (x, y) closed by any U edge
+        fsym = fresh.select(
+            F.col("a").alias("v"), F.col("b").alias("x")
+        ).unionByName(fresh.select(F.col("b").alias("v"), F.col("a").alias("x")))
+        pairs = (
+            fsym.join(fsym.withColumnRenamed("x", "y"), "v")
+            .where(F.col("x") < F.col("y"))
+            .select(
+                F.col("x").alias("a"), F.col("y").alias("b")
+            )
+        )
+        m2 = pairs.join(union, ["a", "b"], "semi").count()
+        # m3: triangles entirely inside the batch (a < b < c canonical walk)
+        e1 = fresh
+        e2 = fresh.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = fresh.select(F.col("a").alias("a"), F.col("b").alias("c"))
+        m3 = e1.join(e2, "b").join(e3, ["a", "c"], "semi").count()
+        self.total += m1 - m2 + m3
+        prev = self.edges
+        self.edges = truncate_plan(
+            union.repartition(self.num_partitions, F.col("a"))
+        )
+        if prev is not None:
+            release_truncated(prev)
+        union.unpersist()
+        fresh.unpersist()
+        return self.total
+
+
+def incremental_triangles_stream(
+    edge_stream: DataFrame, state: IncrementalTriangles, checkpoint: str
+):
+    """Streaming surface twin of ``incremental_wcc_stream``: fold each
+    microbatch into the triangle-count state via foreachBatch."""
+    return (
+        edge_stream.writeStream.foreachBatch(
+            lambda batch_df, _id: (state.update(batch_df), None)[1]
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -282,3 +282,27 @@ def test_incremental_pagerank_stream(spark, tmp_path):
     want = {r["vid"]: r["rank"] for r in cold.state.collect()}
     assert set(got) == set(want)
     assert max(abs(got[v] - want[v]) for v in got) < 1e-6
+
+
+def test_incremental_triangles_matches_batch(spark):
+    """Replay edges in 3 uneven batches (with dups and reversed repeats);
+    after every batch the running total equals batch total_triangles over
+    the union so far."""
+    from graphscope_spark.algorithms import total_triangles
+    from graphscope_spark.graph import from_edge_df
+    from graphscope_spark.streaming import IncrementalTriangles
+
+    batches = [
+        [(1, 2), (2, 3), (3, 1), (3, 4)],                # one triangle
+        [(4, 5), (5, 3), (1, 4), (2, 1)],                # closes 3-4-5, 1-3-4; dup 1-2
+        [(5, 6), (6, 7), (7, 7), (10, 11), (11, 12), (12, 10), (4, 1)],
+    ]
+    inc = IncrementalTriangles(num_partitions=4)
+    seen: list = []
+    for b in batches:
+        seen += b
+        total = inc.update(spark.createDataFrame(b, "src long, dst long"))
+        g = from_edge_df(spark.createDataFrame(seen, "src long, dst long"), 4)
+        assert total == total_triangles(g), seen
+    # an all-duplicate batch is a no-op
+    assert inc.update(spark.createDataFrame(batches[0], "src long, dst long")) == total
