@@ -3070,6 +3070,58 @@ FROM cond"""
     return "\n".join(parts)
 
 
+def _q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (datapipe/kmeans.py — the deterministic
+    contract path; ivf_assignments is the GEMM performance path): 3
+    (assign, update) rounds + final assignment over the embeddings table,
+    first-k init, ties to the lowest cluster id. Every round is replayed
+    exactly by the DuckDB oracle."""
+    from graphscope_spark.datapipe.kmeans import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_lloyd(emb, k=8, rounds=3).select(
+        "id", "cluster", F.round("dist", 6).alias("dist")
+    )
+
+
+def _kmeans_sql(k: int, rounds: int, dim: int) -> str:
+    parts = [
+        f"""WITH x AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, CAST(t.i AS BIGINT) AS i,
+         CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, (SELECT UNNEST(range(1, {dim + 1})) AS i) t),
+ck AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS c
+       FROM (SELECT DISTINCT id FROM x ORDER BY id LIMIT {k})),
+c0 AS (SELECT kk.c, x.i, x.v AS cv FROM ck kk JOIN x USING (id)),"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS (
+  SELECT x.id, c.c, SUM((x.v - c.cv) * (x.v - c.cv)) AS d
+  FROM x JOIN c{r} c USING (i) GROUP BY x.id, c.c),
+a{r} AS (
+  SELECT id, c AS cluster FROM (
+    SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, c) AS rn
+    FROM d{r}) WHERE rn = 1),
+u{r} AS (SELECT a.cluster AS c, x.i, AVG(x.v) AS cv
+         FROM a{r} a JOIN x USING (id) GROUP BY a.cluster, x.i),
+c{r + 1} AS (
+  SELECT * FROM u{r}
+  UNION ALL
+  SELECT * FROM c{r}
+  WHERE c NOT IN (SELECT DISTINCT c FROM u{r})),"""
+        )
+    parts.append(
+        f"""df AS (
+  SELECT x.id, c.c, SUM((x.v - c.cv) * (x.v - c.cv)) AS d
+  FROM x JOIN c{rounds} c USING (i) GROUP BY x.id, c.c)
+SELECT id, c AS cluster, ROUND(d, 6) AS dist FROM (
+  SELECT id, c, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, c) AS rn
+  FROM df) WHERE rn = 1"""
+    )
+    return "\n".join(parts)
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5416,6 +5468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_projection": _q_bipartite_projection,
         "local_community": _q_local_community,
         "incremental_triangles": _q_incremental_triangles,
+        "kmeans": _q_kmeans,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5623,6 +5676,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "bipartite_projection": _BIPROJ_SQL,
         "local_community": _local_community_sql(0, 0.15, 6),
         "incremental_triangles": _INC_TRIANGLES_SQL,
+        "kmeans": _kmeans_sql(8, 3, 64),
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

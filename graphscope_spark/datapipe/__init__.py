@@ -45,6 +45,7 @@ from graphscope_spark.datapipe.textstats import (
     repetition_scores,
     bm25_rank,
 )
+from graphscope_spark.datapipe.kmeans import kmeans_lloyd
 from graphscope_spark.datapipe.dsir import (
     dsir_weights,
     dsir_resample,
@@ -90,4 +91,5 @@ __all__ = [
     "contamination_check",
     "dsir_weights",
     "dsir_resample",
+    "kmeans_lloyd",
 ]

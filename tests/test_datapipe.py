@@ -541,3 +541,33 @@ def test_duplicated_spans_islands_and_policy(spark):
     )
     # 3 (frac 1.0), 5 (11/16), and 6 (7/12) all exceed 0.5
     assert kept == [0, 1, 2, 4]
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    """Lloyd contract path vs a NumPy replication: first-k init, ties to
+    lowest cluster, empty clusters keep their centroid."""
+    import numpy as np
+    from graphscope_spark.datapipe.kmeans import kmeans_lloyd
+
+    rng = np.random.RandomState(7)
+    X = np.vstack(
+        [rng.randn(20, 4) + 5, rng.randn(20, 4) - 5, rng.randn(10, 4)]
+    )
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.id: (r.cluster, r.dist)
+        for r in kmeans_lloyd(emb, k=3, rounds=3).collect()
+    }
+    C = X[:3].copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)  # argmin takes the lowest index on ties
+        for c in range(3):
+            if (a == c).any():
+                C[c] = X[a == c].mean(0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    a = d.argmin(1)
+    for i in range(len(X)):
+        assert got[i][0] == a[i], i
+        assert np.isclose(got[i][1], d[i, a[i]], atol=1e-9), i
