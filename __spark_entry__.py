@@ -3122,6 +3122,53 @@ SELECT id, c AS cluster, ROUND(d, 6) AS dist FROM (
     return "\n".join(parts)
 
 
+def _q_label_spreading(spark, sf_dir):
+    """Clamped-seed label spreading (algorithms/labelspread.py — Zhu &
+    Ghahramani 2002; the seeded variant of the cdlp kernel): ground-truth
+    classes from the embeddings table on every 5th vertex, 4 synchronous
+    majority rounds, ties to the smallest label, seeds immutable."""
+    from graphscope_spark.algorithms.labelspread import label_spreading
+
+    g = _graph(spark, sf_dir)
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") % 5 == 0)
+        .select(
+            F.col("vec_id").cast("long").alias("vid"),
+            F.col("label").cast("long").alias("label"),
+        )
+    )
+    return label_spreading(g, seeds, rounds=4)
+
+
+def _label_spreading_sql(rounds: int) -> str:
+    parts = [
+        f"WITH {_SQL_BASE},",
+        """sds AS (SELECT CAST(vec_id AS BIGINT) AS vid, CAST(label AS BIGINT) AS label
+        FROM embeddings WHERE vec_id % 5 = 0),
+l0 AS (SELECT v.vid, s.label FROM verts v LEFT JOIN sds s USING (vid)),""",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""v{k} AS (
+  SELECT s.t AS vid, l.label, COUNT(*) AS n
+  FROM sym s JOIN l{k} l ON l.vid = s.s
+  WHERE l.label IS NOT NULL GROUP BY s.t, l.label),
+w{k} AS (
+  SELECT vid, label AS win FROM (
+    SELECT vid, label,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY n DESC, label ASC) AS rn
+    FROM v{k}) WHERE rn = 1),
+l{k + 1} AS (
+  SELECT l.vid, COALESCE(sd.label, w.win, l.label) AS label
+  FROM l{k} l
+  LEFT JOIN sds sd USING (vid)
+  LEFT JOIN w{k} w USING (vid)),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT vid, label FROM l{rounds}"
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5469,6 +5516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_community": _q_local_community,
         "incremental_triangles": _q_incremental_triangles,
         "kmeans": _q_kmeans,
+        "label_spreading": _q_label_spreading,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5677,6 +5725,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "local_community": _local_community_sql(0, 0.15, 6),
         "incremental_triangles": _INC_TRIANGLES_SQL,
         "kmeans": _kmeans_sql(8, 3, 64),
+        "label_spreading": _label_spreading_sql(4),
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

@@ -228,3 +228,28 @@ def test_local_community_sweep_hand_check(spark, tiny_graph):
     # the disconnected second component makes the full first component a
     # zero-cut prefix -> it is the best sweep set
     assert all(r.in_best for r in res.values())
+
+
+def test_label_spreading_clamped_majority(spark, tiny_graph):
+    """Seeds stay fixed; unlabeled vertices adopt the neighbor majority
+    with min-label ties; unreachable vertices stay NULL."""
+    from graphscope_spark.algorithms.labelspread import label_spreading
+
+    seeds = spark.createDataFrame([(1, 7), (5, 9)], "vid long, label long")
+    out = {
+        r.vid: r.label
+        for r in label_spreading(tiny_graph, seeds, rounds=4).collect()
+    }
+    assert out[1] == 7 and out[5] == 9          # clamped
+    assert out[2] == 7 and out[4] == 7          # nearer seed 1 (2: nbr {1,3,8})
+    # 3 is adjacent to both seeds from round 1: tie 7 vs 9 -> min label 7
+    assert out[3] == 7
+    assert out[6] == 9 and out[7] == 9          # tail behind 5
+    assert out[8] == 7                          # behind 2
+    assert out[10] is None and out[11] is None and out[12] is None
+    # determinism
+    again = {
+        r.vid: r.label
+        for r in label_spreading(tiny_graph, seeds, rounds=4).collect()
+    }
+    assert out == again
