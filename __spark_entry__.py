@@ -3169,6 +3169,60 @@ l{k + 1} AS (
     return sql + f"\nSELECT vid, label FROM l{rounds}"
 
 
+def _q_gie_repeat(spark, sf_dir):
+    """Gremlin loop step (traversal.Traversal.repeat — reference
+    supported_gremlin_steps.md Loop section):
+    g.V().has('lang','en').repeat(out('links')).until(has('lang','fr')).times(3)
+    .groupCount() — do-while: after each hop, traversers landing on a
+    French page exit with their multiplicity; survivors loop up to 3
+    hops. The oracle unrolls the same bag-semantics recursion with
+    per-vertex multiplicity counts."""
+    from graphscope_spark.graph import edges_from_documents
+    from graphscope_spark.property_graph import PropertyGraph
+    from graphscope_spark.traversal import P, traversal
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("vid"), "lang"
+    )
+    pg = (
+        PropertyGraph(num_partitions=NUM_PARTITIONS)
+        .add_vertices("page", docs)
+        .add_edges("page", "links", "page", edges_from_documents(spark, sf_dir))
+    )
+    t = (
+        traversal(pg, "page")
+        .has("lang", "en")
+        .repeat(lambda tr: tr.out("links"), times=3, until=("lang", P.eq("fr")))
+    )
+    return t.group_count().select(
+        F.col("key").alias("vid"), F.col("count").cast("long").alias("n")
+    )
+
+
+def _gie_repeat_sql(rounds: int) -> str:
+    parts = [
+        f"WITH {_SQL_BASE},",
+        """dl AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents),
+c0 AS (SELECT vid, CAST(1 AS BIGINT) AS n FROM dl WHERE lang = 'en'),""",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""s{k} AS (
+  SELECT e.dst AS vid, SUM(c.n) AS n
+  FROM c{k} c JOIN edges e ON e.src = c.vid GROUP BY e.dst),
+x{k} AS (SELECT s.vid, s.n FROM s{k} s JOIN dl ON dl.vid = s.vid
+         WHERE dl.lang = 'fr'),
+c{k + 1} AS (SELECT s.vid, s.n FROM s{k} s JOIN dl ON dl.vid = s.vid
+             WHERE dl.lang <> 'fr'),"""
+        )
+    sql = "\n".join(parts).rstrip(",")
+    exits = " UNION ALL ".join(f"SELECT * FROM x{k}" for k in range(rounds))
+    return (
+        sql
+        + f"\nSELECT vid, CAST(SUM(n) AS BIGINT) AS n FROM ({exits}) GROUP BY vid"
+    )
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5517,6 +5571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_triangles": _q_incremental_triangles,
         "kmeans": _q_kmeans,
         "label_spreading": _q_label_spreading,
+        "gie_repeat": _q_gie_repeat,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5726,6 +5781,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "incremental_triangles": _INC_TRIANGLES_SQL,
         "kmeans": _kmeans_sql(8, 3, 64),
         "label_spreading": _label_spreading_sql(4),
+        "gie_repeat": _gie_repeat_sql(3),
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

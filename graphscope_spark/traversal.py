@@ -505,6 +505,53 @@ class Traversal:
             head_label=next(iter(lbls)) if len(lbls) == 1 else None,
         )
 
+    def repeat(
+        self,
+        body,
+        times: int | None = None,
+        until: tuple | None = None,
+        max_times: int = 20,
+        emit: bool = False,
+    ) -> "Traversal":
+        """Gremlin ``repeat(body).times(n)`` / ``repeat(body).until(pred)``
+        (+ ``emit()``) — the loop step (reference
+        docs/interactive_engine/tinkerpop/supported_gremlin_steps.md, Loop
+        section; PathExpand covers the fixed-hop special case, this is the
+        general form).
+
+        ``body`` is a callable ``Traversal -> Traversal`` (e.g.
+        ``lambda t: t.out('links')``). Do-while semantics (TinkerPop's
+        ``repeat().until()``): after each application, traversers whose
+        head satisfies ``until = (prop, P-pred)`` EXIT with their current
+        state; the rest loop, up to ``times`` (or ``max_times``)
+        applications. ``emit=True`` additionally outputs every
+        intermediate traverser. With no ``until``, traversers surviving
+        ``times`` applications are the result. Traversers whose head
+        property is NULL drop at the until-check (the ``has`` contract).
+        Bounded unrolling — each application composes the body's joins
+        into the one declarative plan; no driver round-trips."""
+        if times is None and until is None:
+            raise ValueError("repeat() needs times= and/or until=")
+        bound = times if times is not None else max_times
+        if bound < 1:
+            raise ValueError(f"need at least one application, got {bound}")
+        parts: list[DataFrame] = []
+        cur = self
+        for k in range(bound):
+            cur = body(cur)
+            if emit and (k < bound - 1 or until is not None):
+                parts.append(cur.frame)
+            if until is not None:
+                prop, pred = until
+                parts.append(cur.has(prop, pred).frame)
+                cur = cur.has(prop, P.not_(pred))
+        if until is None:
+            parts.append(cur.frame)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return replace(self, frame=out, head_label=cur.head_label)
+
     # -- GREMLIN_TO_SUBGRAPH ---------------------------------------------------
 
     def to_subgraph(self, edge_label: str | None = None):

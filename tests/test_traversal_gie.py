@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphscope_spark.property_graph import PropertyGraph
-from graphscope_spark.traversal import traversal
+from graphscope_spark.traversal import P, traversal
 
 
 @pytest.fixture(scope="module")
@@ -489,3 +489,32 @@ def test_match_not_pattern(pg):
     p_far = trav(pg, "person").as_("x").out("knows").as_("y")
     with _pytest.raises(ValueError):
         match_patterns(p1, anti=(p_far,))
+
+
+def test_repeat_until_and_times(pg):
+    """repeat(out).until(pred): do-while exits with bag multiplicity;
+    repeat(out).times(n): pure n-hop expansion; emit adds intermediates."""
+    # times only == 2-hop expansion (bag)
+    t2 = traversal(pg, "person").repeat(lambda t: t.out("knows"), times=2)
+    manual = traversal(pg, "person").out("knows").out("knows")
+    assert sorted(r.v for r in t2.frame.collect()) == sorted(
+        r.v for r in manual.frame.collect()
+    )
+    # until: every exiting traverser satisfies the predicate (age == 27)
+    tu = traversal(pg, "person").repeat(
+        lambda t: t.out("knows"), times=3, until=("age", P.eq(27))
+    )
+    ages = {r.age for r in tu.values("age").collect()}
+    assert ages <= {27} and ages
+    # first-hop exits: ann->bob(27), cat->... ; every exit head is bob or dan
+    heads = {r.v for r in tu.frame.collect()}
+    assert heads <= {2, 4}
+    # emit includes intermediates -> at least as many traversers as plain
+    te = traversal(pg, "person").repeat(
+        lambda t: t.out("knows"), times=2, emit=True
+    )
+    assert te.frame.count() >= t2.frame.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        traversal(pg, "person").repeat(lambda t: t.out("knows"))
