@@ -3223,6 +3223,38 @@ c{k + 1} AS (SELECT s.vid, s.n FROM s{k} s JOIN dl ON dl.vid = s.vid
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Sliding-context-window chunking (datapipe.textstats.chunk_documents):
+    the corpus → training-sample step (max 64 tokens, 8-token overlap);
+    scan + generate only, no shuffle. The oracle mirrors the window
+    arithmetic with DuckDB list slicing."""
+    from graphscope_spark.datapipe.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=64, overlap=8)
+
+
+_CHUNK_SQL = """
+WITH fa AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents),
+nn AS (
+  SELECT doc_id, ts, array_length(ts) AS n,
+         CASE WHEN array_length(ts) <= 0 THEN 0
+              ELSE 1 + CAST(CEIL(GREATEST(array_length(ts) - 64, 0) / 56.0) AS INT)
+         END AS nc
+  FROM fa),
+ch AS (
+  SELECT doc_id, CAST(g.k AS BIGINT) AS chunk_id,
+         ts[(CAST(g.k AS INT) * 56 + 1):(CAST(g.k AS INT) * 56 + 64)] AS win
+  FROM nn, UNNEST(range(nn.nc)) g(k)
+  WHERE nc > 0)
+SELECT doc_id, chunk_id, CAST(array_length(win) AS BIGINT) AS n_tokens,
+       array_to_string(win, ' ') AS chunk
+FROM ch
+"""
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5572,6 +5604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "label_spreading": _q_label_spreading,
         "gie_repeat": _q_gie_repeat,
+        "chunk_documents": _q_chunk_documents,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5782,6 +5815,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "kmeans": _kmeans_sql(8, 3, 64),
         "label_spreading": _label_spreading_sql(4),
         "gie_repeat": _gie_repeat_sql(3),
+        "chunk_documents": _CHUNK_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

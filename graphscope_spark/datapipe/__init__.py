@@ -44,6 +44,7 @@ from graphscope_spark.datapipe.textstats import (
     tfidf_top_terms,
     repetition_scores,
     bm25_rank,
+    chunk_documents,
 )
 from graphscope_spark.datapipe.kmeans import kmeans_lloyd
 from graphscope_spark.datapipe.dsir import (
@@ -92,4 +93,5 @@ __all__ = [
     "dsir_weights",
     "dsir_resample",
     "kmeans_lloyd",
+    "chunk_documents",
 ]

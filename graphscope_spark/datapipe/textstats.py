@@ -477,3 +477,65 @@ def frequent_tokens(
         .orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(k)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk) — fixed-size token windows with
+    overlap: the corpus → training-sample step every pre-training pipeline
+    runs after curation (sliding context windows with stride
+    ``max_tokens − overlap``). Chunk k covers token indices
+    [k·stride, k·stride + max_tokens); the last window is the first one
+    reaching the end of the document (shorter tails are emitted, empty
+    docs produce no chunks). Whitespace tokenization (the ``token_counts``
+    contract); chunks re-join tokens with single spaces, so byte offsets
+    are not preserved — token identity is.
+
+    Scale shape: pure codegen — one ``split``, one in-row ``sequence`` →
+    ``transform`` → ``explode``; no shuffle at all (a scan + generate),
+    and the explode fan-out is ⌈n_tokens/stride⌉ rows per doc, exactly the
+    training-sample count. Deterministic → exact DuckDB mirror via the
+    same list-slicing arithmetic."""
+    if max_tokens < 1 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"need max_tokens >= 1 and 0 <= overlap < max_tokens, "
+            f"got {max_tokens}, {overlap}"
+        )
+    stride = max_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - max_tokens, 0) / stride)
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(
+        1 + F.ceil(F.greatest(n - max_tokens, F.lit(0)) / stride).cast("int")
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), toks.alias("ts"), n_chunks.alias("nc")
+        )
+        .where(F.col("nc") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+            "ts",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                "ts", F.col("chunk_id") * stride + 1, max_tokens
+            ).alias("win"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("win").cast("long").alias("n_tokens"),
+            F.array_join("win", " ").alias("chunk"),
+        )
+    )

@@ -571,3 +571,31 @@ def test_kmeans_lloyd_matches_numpy(spark):
     for i in range(len(X)):
         assert got[i][0] == a[i], i
         assert np.isclose(got[i][1], d[i, a[i]], atol=1e-9), i
+
+
+def test_chunk_documents_windows(spark):
+    from graphscope_spark.datapipe.textstats import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk)
+        for r in chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    )
+    # doc 1: stride 3 -> windows [0:4),[3:7),[6:10) -> 1+ceil(6/3)=3 chunks
+    assert [(d, c) for d, c, _, _ in out] == [(1, 0), (1, 1), (1, 2), (2, 0)]
+    assert out[0][3] == "t0 t1 t2 t3"
+    assert out[1][3] == "t3 t4 t5 t6"
+    assert out[2][3] == "t6 t7 t8 t9"
+    assert out[3][2:] == (2, "a b")  # short doc -> one short chunk
+    # empty / whitespace-only docs produce no chunks (asserted by the
+    # doc/chunk list above)
+    # consecutive windows overlap by exactly `overlap` tokens
+    assert out[0][3].split()[-1:] == out[1][3].split()[:1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
