@@ -3255,6 +3255,46 @@ FROM ch
 """
 
 
+def _q_winnow(spark, sf_dir):
+    """Winnowing fingerprint sets (datapipe.textstats.winnow_fingerprints
+    — Schleimer et al. SIGMOD 2003 / MOSS): k=8 char grams, window w=4,
+    rightmost-min selection; any shared substring of length ≥ 11 between
+    two docs shares a fingerprint. Exact DuckDB mirror via the same
+    packed (hash, rightmost-pos) window-min key."""
+    from graphscope_spark.datapipe.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
+_WINNOW_SQL = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t FROM documents),
+gpos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, GREATEST(length(t) - 7, 0))) AS p
+  FROM d),
+gh AS (
+  SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+         CAST(CONCAT('0x', SUBSTR(md5(substr(t, p, 8)), 1, 15)) AS BIGINT) AS g
+  FROM gpos WHERE length(substr(t, p, 8)) = 8),
+keyed AS (
+  SELECT doc_id, pos,
+         LPAD(CAST(g AS VARCHAR), 19, '0') ||
+         LPAD(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS key
+  FROM gh),
+wmin AS (
+  SELECT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nwin
+  FROM keyed)
+SELECT DISTINCT doc_id,
+       1000000000 - CAST(SUBSTR(sel, 20, 10) AS BIGINT) AS pos,
+       CAST(SUBSTR(sel, 1, 19) AS BIGINT) AS fp
+FROM wmin WHERE nwin = 4
+"""
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5605,6 +5645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spreading": _q_label_spreading,
         "gie_repeat": _q_gie_repeat,
         "chunk_documents": _q_chunk_documents,
+        "winnow_fingerprints": _q_winnow,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5816,6 +5857,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "label_spreading": _label_spreading_sql(4),
         "gie_repeat": _gie_repeat_sql(3),
         "chunk_documents": _CHUNK_SQL,
+        "winnow_fingerprints": _WINNOW_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

@@ -45,6 +45,7 @@ from graphscope_spark.datapipe.textstats import (
     repetition_scores,
     bm25_rank,
     chunk_documents,
+    winnow_fingerprints,
 )
 from graphscope_spark.datapipe.kmeans import kmeans_lloyd
 from graphscope_spark.datapipe.dsir import (
@@ -94,4 +95,5 @@ __all__ = [
     "dsir_resample",
     "kmeans_lloyd",
     "chunk_documents",
+    "winnow_fingerprints",
 ]

@@ -539,3 +539,62 @@ def chunk_documents(
             F.array_join("win", " ").alias("chunk"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing fingerprint selection (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm; the principled
+    upgrade of ``fingerprints``' single min/max pair): over the rolling
+    character-k-gram hash sequence, every window of ``w`` consecutive
+    hashes selects its minimum (rightmost on ties), and the selected
+    (position, hash) pairs — deduplicated — are the document's
+    fingerprint set. Guarantee: any shared substring of length ≥ k+w−1
+    between two documents yields at least one shared fingerprint, while
+    density stays ~2/(w+1).
+
+    Spark shape: one regexp gram extraction + posexplode, then ONE window
+    min per gram partitioned BY DOCUMENT (never a global window) with the
+    (hash, rightmost-pos) tie order packed into a fixed-width string key —
+    an encoding both engines minimize identically, keeping the operator
+    exactly DuckDB-mirrorable. Work is O(doc length) per document."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got {k}, {w}")
+    gram_arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(rf"(?s)(?=(.{{{k}}}))."), F.lit(1)
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(gram_arr).alias("pos", "gram")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        portable_hash60(F.col("gram")).alias("g"),
+    )
+    # fixed-width sort key: min ⇒ smallest hash, ties ⇒ rightmost position
+    key = F.concat(
+        F.lpad(F.col("g").cast("string"), 19, "0"),
+        F.lpad((F.lit(1_000_000_000) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        grams.withColumn("sel", F.min(key).over(win))
+        .withColumn("nwin", F.count("*").over(win))
+        .where(F.col("nwin") == w)  # full windows only
+        .select(
+            "doc_id",
+            (
+                F.lit(1_000_000_000)
+                - F.substring("sel", 20, 10).cast("long")
+            ).alias("pos"),
+            F.substring("sel", 1, 19).cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel

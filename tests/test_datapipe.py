@@ -599,3 +599,34 @@ def test_chunk_documents_windows(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing invariants: selected positions are window minima, density
+    is bounded, and two docs sharing a long substring share a fingerprint
+    (the k+w-1 guarantee)."""
+    from graphscope_spark.datapipe.textstats import winnow_fingerprints
+
+    shared = "abcdefghijklmnop"  # 16 chars >= k+w-1 = 11
+    docs = spark.createDataFrame(
+        [
+            (1, "xxx " + shared + " yyyy"),
+            (2, "zz2 " + shared + " 2wwz"),
+            (3, "no overlap here at all!"),
+            (4, "tiny"),  # shorter than k -> no grams -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert 4 not in by_doc
+    assert by_doc[1] & by_doc[2]          # shared substring -> shared fp
+    assert not (by_doc[1] & by_doc[2] & by_doc[3])
+    # density: at most one selection per window start, dedup cuts further
+    n_grams_1 = len(docs.collect()[0].text) - 7
+    assert len(by_doc[1]) <= n_grams_1 - 3
+    # determinism
+    again = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints(docs, k=8, w=4).collect()}
+    assert again == {(r.doc_id, r.pos, r.fp) for r in out}
