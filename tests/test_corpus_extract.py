@@ -196,3 +196,40 @@ def test_dedup_by_canonical_url(spark):
         "http://a.test/p?x=1": (3, 1),
         "https://a.test/p?x=1&y=2": (4, 1),
     }
+
+
+def test_warc_round_trip_and_malformed(spark, tmp_path):
+    """read_warc parses ISO 28500 records written by write_warc, strips
+    HTTP headers, filters by record type, and skips malformed records."""
+    from graphscope_spark.sources import read_warc, write_warc
+
+    rows = [
+        ("http://a.example/", "2026-01-01T00:00:00Z", b"<html>A</html>"),
+        ("http://b.example/x", "2026-01-02T00:00:00Z", b"<html>B \xe2\x9c\x93</html>"),
+    ]
+    p = tmp_path / "crawl"
+    p.mkdir()
+    write_warc(rows, str(p / "part0.warc"))
+    # append garbage + a request-type record: both must be ignored
+    with open(p / "part0.warc", "ab") as f:
+        f.write(b"garbage bytes not a record\r\n")
+        f.write(
+            b"WARC/1.0\r\nWARC-Type: request\r\n"
+            b"WARC-Target-URI: http://req.example/\r\n"
+            b"WARC-Date: 2026-01-03T00:00:00Z\r\nContent-Length: 3\r\n\r\nGET\r\n\r\n"
+        )
+        # truncated record (declared longer than remaining bytes)
+        f.write(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://trunc.example/\r\n"
+            b"WARC-Date: 2026-01-04T00:00:00Z\r\nContent-Length: 99999\r\n\r\nshort"
+        )
+    got = sorted(
+        (r.url, r.warc_ts, bytes(r.html))
+        for r in read_warc(spark, str(p)).collect()
+    )
+    assert got == sorted(rows)
+    # request records are reachable when asked for
+    reqs = read_warc(spark, str(p), record_types=("request",)).collect()
+    assert [r.url for r in reqs] == ["http://req.example/"]
+    assert bytes(reqs[0].html) == b"GET"
