@@ -3295,6 +3295,77 @@ FROM wmin WHERE nwin = 4
 """
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch Reading Ease per document (datapipe.textstats
+    .readability_scores — Flesch 1948 with pinned sentence/syllable
+    heuristics); a curation-side quality feature, scan-only."""
+    from graphscope_spark.datapipe.textstats import readability_scores
+
+    return readability_scores(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_sents",
+        "n_words",
+        "n_syll",
+        F.round("flesch", 6).alias("flesch"),
+    )
+
+
+_READABILITY_SQL = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '')) AS nw,
+         len(regexp_extract_all(t, '[.!?]+')) AS sr,
+         len(regexp_extract_all(t, '[aeiouy]+')) AS vg
+  FROM d)
+SELECT doc_id,
+       CAST(CASE WHEN nw > 0 THEN GREATEST(sr, 1) ELSE 0 END AS BIGINT) AS n_sents,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(CASE WHEN nw > 0 THEN GREATEST(vg, nw) ELSE 0 END AS BIGINT) AS n_syll,
+       ROUND(CASE WHEN nw > 0 THEN
+         206.835
+         - 1.015 * (CAST(nw AS DOUBLE) / GREATEST(sr, 1))
+         - 84.6 * (CAST(GREATEST(vg, nw) AS DOUBLE) / nw)
+       END, 6) AS flesch
+FROM c
+"""
+
+
+def _q_token_zipf(spark, sf_dir):
+    """Zipf rank-frequency OLS over the corpus vocabulary
+    (datapipe.textstats.token_zipf) — slope ≈ −1 for natural language;
+    the corpus-level twin of degree_stats' power-law tail MLE."""
+    from graphscope_spark.datapipe.textstats import token_zipf
+
+    return token_zipf(_docs(spark, sf_dir), top_k=1000).select(
+        "n_types",
+        "n_tokens",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+_TOKEN_ZIPF_SQL = """
+WITH d AS (SELECT lower(text) AS t FROM documents),
+toks AS (SELECT u.tok FROM d, unnest(regexp_split_to_array(t, '\\s+')) AS u(tok)
+         WHERE u.tok <> ''),
+freq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS f FROM toks GROUP BY tok),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(f) AS BIGINT) AS n_tokens FROM freq),
+top AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS r
+        FROM freq ORDER BY f DESC, tok ASC LIMIT 1000),
+xy AS (SELECT log10(CAST(r AS DOUBLE)) AS x, log10(f) AS y FROM top),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy FROM xy)
+SELECT st.n_types, st.n_tokens,
+       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       ROUND((sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n, 6) AS intercept,
+       ROUND(POWER(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM stats st, s
+"""
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5646,6 +5717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_repeat": _q_gie_repeat,
         "chunk_documents": _q_chunk_documents,
         "winnow_fingerprints": _q_winnow,
+        "readability_scores": _q_readability,
+        "token_zipf": _q_token_zipf,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5858,6 +5931,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_repeat": _gie_repeat_sql(3),
         "chunk_documents": _CHUNK_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "readability_scores": _READABILITY_SQL,
+        "token_zipf": _TOKEN_ZIPF_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

@@ -46,6 +46,8 @@ from graphscope_spark.datapipe.textstats import (
     bm25_rank,
     chunk_documents,
     winnow_fingerprints,
+    readability_scores,
+    token_zipf,
 )
 from graphscope_spark.datapipe.kmeans import kmeans_lloyd
 from graphscope_spark.datapipe.dsir import (
@@ -96,4 +98,6 @@ __all__ = [
     "kmeans_lloyd",
     "chunk_documents",
     "winnow_fingerprints",
+    "readability_scores",
+    "token_zipf",
 ]

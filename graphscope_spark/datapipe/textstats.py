@@ -598,3 +598,98 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def readability_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_sents, n_words, n_syll, flesch) — Flesch Reading Ease
+    (Flesch 1948: 206.835 − 1.015·words/sentences − 84.6·syllables/word),
+    the classic curation-side readability signal (a C4/Gopher-family
+    quality feature computable without any model).
+
+    Heuristics, pinned so both engines agree bit-for-bit: sentences =
+    maximal runs of [.!?], floored at 1 whenever the doc has words (an
+    unterminated doc is one sentence); words = whitespace tokens;
+    syllables = vowel groups ([aeiouy]+) over the text, floored at one
+    per word. Pure codegen (regexp counts over the scan, zero shuffles);
+    docs with no words emit NULL flesch."""
+    t = F.lower(F.col(text_col))
+    toks = _tokens(F.col(text_col))
+    n_words = F.size(toks)
+    sent_runs = F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0)))
+    n_sents = F.when(n_words > 0, F.greatest(sent_runs, F.lit(1))).otherwise(
+        F.lit(0)
+    )
+    # vowel groups across the whole text, but never fewer than one per word
+    vgroups = F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), F.lit(0)))
+    n_syll = F.when(n_words > 0, F.greatest(vgroups, n_words)).otherwise(F.lit(0))
+    flesch = F.when(
+        n_words > 0,
+        206.835
+        - 1.015 * (n_words.cast("double") / n_sents.cast("double"))
+        - 84.6 * (n_syll.cast("double") / n_words.cast("double")),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_sents.cast("long").alias("n_sents"),
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syll"),
+        flesch.alias("flesch"),
+    )
+
+
+def token_zipf(
+    docs: DataFrame,
+    top_k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_types, n_tokens, slope, intercept, r2) — Zipf rank-
+    frequency fit over the corpus vocabulary: OLS of log10(freq) on
+    log10(rank) across the ``top_k`` most frequent tokens (ties broken by
+    token asc so ranks are deterministic). A healthy natural-language
+    corpus fits slope ≈ −1; synthetic/templated corpora diverge — the
+    corpus-level twin of `degree_stats`' power-law tail MLE.
+
+    Shape: one token explode → (token, freq) aggregate; ranking the top-k
+    is a TakeOrderedAndProject (never a global sort); the regression is
+    one aggregate over k rows."""
+    toks = docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").cast("double").alias("f"))
+    stats = freq.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+    )
+    top = freq.orderBy(F.col("f").desc(), F.col("tok").asc()).limit(top_k)
+    from pyspark.sql.window import Window
+
+    ranked = top.withColumn(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("tok").asc()))
+        .cast("double"),
+    ).select(F.log10("r").alias("x"), F.log10("f").alias("y"))
+    sums = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    reg = sums.select(
+        slope.alias("slope"),
+        ((F.col("sy") - F.col("sx") * slope) / F.col("n")).alias("intercept"),
+        (
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )
+    return stats.crossJoin(F.broadcast(reg))

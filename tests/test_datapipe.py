@@ -630,3 +630,36 @@ def test_winnow_fingerprints_guarantee(spark):
     # determinism
     again = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints(docs, k=8, w=4).collect()}
     assert again == {(r.doc_id, r.pos, r.fp) for r in out}
+
+
+def test_readability_and_zipf(spark):
+    import math
+
+    from graphscope_spark.datapipe.textstats import readability_scores, token_zipf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran! Did it?"),
+            (2, "word"),            # no terminator -> one sentence
+            (3, ""),                # no words -> NULL flesch
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in readability_scores(docs).collect()}
+    assert (r[1].n_sents, r[1].n_words) == (3, 8)
+    # syllable floor: every word has >= 1
+    assert r[1].n_syll >= r[1].n_words
+    w = r[1].n_words / r[1].n_sents
+    s = r[1].n_syll / r[1].n_words
+    assert math.isclose(r[1].flesch, 206.835 - 1.015 * w - 84.6 * s, rel_tol=1e-9)
+    assert (r[2].n_sents, r[2].n_words) == (1, 1)
+    assert r[3].flesch is None and r[3].n_words == 0
+    # zipf: perfect power law f = 60/r (exact integers for r=1..5)
+    # -> slope exactly -1, r2 = 1
+    rows = [(0, " ".join(f"w{r}" for r in range(1, 6) for _ in range(60 // r)))]
+    z = token_zipf(
+        spark.createDataFrame(rows, "doc_id long, text string"), top_k=10
+    ).collect()[0]
+    assert z.n_types == 5
+    assert math.isclose(z.slope, -1.0, rel_tol=1e-6)
+    assert math.isclose(z.r2, 1.0, rel_tol=1e-9)
