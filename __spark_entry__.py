@@ -3366,6 +3366,63 @@ FROM stats st, s
 """
 
 
+def _q_clustering_agreement(spark, sf_dir):
+    """Partition-agreement metrics (algorithms/nxmetrics
+    .clustering_agreement — ARI, Hubert & Arabie 1985, + NMI): WCC
+    components vs the documents' language labels, the comparison a
+    community pipeline runs against ground truth. Both inputs are
+    deterministic; the oracle recomputes the components via the recursive
+    closure and the metrics from the same contingency sums."""
+    from graphscope_spark.algorithms.nxmetrics import clustering_agreement
+    from graphscope_spark.algorithms.wcc import wcc
+
+    g = _graph(spark, sf_dir)
+    comps = wcc(g).state.select("vid", F.col("comp").alias("label"))
+    langs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("vid"),
+        F.xxhash64("lang").alias("label"),
+    )
+    return clustering_agreement(comps, langs).select(
+        "n", F.round("nmi", 6).alias("nmi"), F.round("ari", 6).alias("ari")
+    )
+
+
+_CLUST_AGREE_SQL = f"""
+WITH RECURSIVE {_SQL_BASE},
+reach(v, w) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT r.v, s.t FROM reach r JOIN sym s ON s.s = r.w
+),
+comp AS (SELECT v AS vid, MIN(w) AS la FROM reach GROUP BY v),
+lab AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang AS lb FROM documents),
+j AS (SELECT c.vid, c.la, l.lb FROM comp c JOIN lab l USING (vid)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM j),
+cells AS (SELECT la, lb, CAST(COUNT(*) AS DOUBLE) AS c FROM j GROUP BY la, lb),
+am AS (SELECT la, CAST(COUNT(*) AS DOUBLE) AS ca FROM j GROUP BY la),
+bm AS (SELECT lb, CAST(COUNT(*) AS DOUBLE) AS cb FROM j GROUP BY lb),
+sums AS (
+  SELECT (SELECT n FROM nn) AS n,
+         (SELECT COALESCE(SUM(c * (c - 1) / 2), 0) FROM cells) AS sc,
+         (SELECT COALESCE(SUM(ca * (ca - 1) / 2), 0) FROM am) AS sa,
+         (SELECT COALESCE(SUM(cb * (cb - 1) / 2), 0) FROM bm) AS sb,
+         (SELECT SUM((c.c / (SELECT n FROM nn)) *
+                     ln(c.c * (SELECT n FROM nn) / (a.ca * b.cb)))
+          FROM cells c JOIN am a USING (la) JOIN bm b USING (lb)) AS mi,
+         (SELECT -SUM((ca / (SELECT n FROM nn)) * ln(ca / (SELECT n FROM nn)))
+          FROM am) AS ha,
+         (SELECT -SUM((cb / (SELECT n FROM nn)) * ln(cb / (SELECT n FROM nn)))
+          FROM bm) AS hb)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN ha + hb > 0 THEN 2.0 * mi / (ha + hb) END, 6) AS nmi,
+       ROUND(CASE WHEN 0.5 * (sa + sb) - sa * sb / (n * (n - 1) / 2) <> 0
+                  THEN (sc - sa * sb / (n * (n - 1) / 2))
+                       / (0.5 * (sa + sb) - sa * sb / (n * (n - 1) / 2)) END,
+             6) AS ari
+FROM sums
+"""
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5719,6 +5776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "readability_scores": _q_readability,
         "token_zipf": _q_token_zipf,
+        "clustering_agreement": _q_clustering_agreement,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5933,6 +5991,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_SQL,
         "readability_scores": _READABILITY_SQL,
         "token_zipf": _TOKEN_ZIPF_SQL,
+        "clustering_agreement": _CLUST_AGREE_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

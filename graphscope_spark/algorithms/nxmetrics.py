@@ -526,3 +526,66 @@ def dag_longest_path_length(graph: LinkGraph) -> int:
         .collect()[0]
     )
     return int(row["m"] or 0)
+
+
+def clustering_agreement(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One row (n, nmi, ari) — agreement between two vertex partitions
+    (vid, label): Adjusted Rand Index (Hubert & Arabie 1985) and
+    Normalized Mutual Information (2I/(H_a+H_b), natural logs) over their
+    contingency table. The evaluation every community pipeline needs when
+    comparing detectors (louvain vs cdlp vs ground truth) — the nx-layer
+    twin of sklearn.metrics' pair, built from three aggregates.
+
+    Shape: ONE inner join of the label tables on vid (vertices absent
+    from either side are excluded) → contingency counts (cells bounded by
+    the smaller partition's support), then marginal and cell aggregates —
+    every sum is map-side combinable; nothing driver-side but the final
+    scalars. Degenerate denominators (a partition with one cluster, or
+    every vertex alone) yield NULL for that metric."""
+    la = a.select(F.col("vid"), F.col("label").alias("la"))
+    lb = b.select(F.col("vid"), F.col("label").alias("lb"))
+    j = la.join(lb, "vid").persist()
+    n = j.count()
+    if n == 0:
+        j.unpersist()
+        return a.sparkSession.createDataFrame(
+            [(0, None, None)], "n long, nmi double, ari double"
+        )
+    cells = j.groupBy("la", "lb").agg(F.count("*").cast("double").alias("c"))
+    am = j.groupBy("la").agg(F.count("*").cast("double").alias("ca"))
+    bm = j.groupBy("lb").agg(F.count("*").cast("double").alias("cb"))
+    c2 = lambda c: c * (c - 1) / 2.0
+    sum_cells = cells.agg(F.sum(c2(F.col("c")))).collect()[0][0] or 0.0
+    sum_a = am.agg(F.sum(c2(F.col("ca")))).collect()[0][0] or 0.0
+    sum_b = bm.agg(F.sum(c2(F.col("cb")))).collect()[0][0] or 0.0
+    nC2 = n * (n - 1) / 2.0
+    exp = sum_a * sum_b / nC2 if nC2 > 0 else 0.0
+    ari_den = 0.5 * (sum_a + sum_b) - exp
+    ari = (sum_cells - exp) / ari_den if ari_den != 0 else None
+    # NMI: I = Σ_ij p_ij ln(p_ij/(p_i p_j)); H = −Σ p ln p
+    mi = (
+        cells.join(am, "la")
+        .join(bm, "lb")
+        .agg(
+            F.sum(
+                (F.col("c") / n)
+                * F.log((F.col("c") * n) / (F.col("ca") * F.col("cb")))
+            )
+        )
+        .collect()[0][0]
+        or 0.0
+    )
+    ha = am.agg(-F.sum((F.col("ca") / n) * F.log(F.col("ca") / n))).collect()[0][0] or 0.0
+    hb = bm.agg(-F.sum((F.col("cb") / n) * F.log(F.col("cb") / n))).collect()[0][0] or 0.0
+    nmi = 2.0 * mi / (ha + hb) if (ha + hb) > 0 else None
+    j.unpersist()
+    return a.sparkSession.createDataFrame(
+        [
+            (
+                int(n),
+                float(nmi) if nmi is not None else None,
+                float(ari) if ari is not None else None,
+            )
+        ],
+        "n long, nmi double, ari double",
+    )

@@ -329,3 +329,40 @@ def test_bipartite_projection_vs_networkx(spark):
         for r in bipartite_projection(df, min_weight=2).collect()
     }
     assert strong == {(1, 2)}
+
+
+def test_clustering_agreement_known_values(spark):
+    """ARI/NMI vs hand-computed values: identical partitions -> 1/1;
+    a known split case matches the textbook contingency formulas; and the
+    metrics are label-name invariant."""
+    import math
+
+    from graphscope_spark.algorithms.nxmetrics import clustering_agreement
+
+    mk = lambda pairs: spark.createDataFrame(pairs, "vid long, label long")
+    a = mk([(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)])
+    same = clustering_agreement(a, mk([(i, l + 7) for i, l in
+                                       [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)]])).collect()[0]
+    assert same.n == 6 and math.isclose(same.ari, 1.0) and math.isclose(same.nmi, 1.0)
+    # b splits a's second cluster: contingency {(0,0):3, (1,1):2, (1,2):1}
+    b = mk([(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 2)])
+    got = clustering_agreement(a, b).collect()[0]
+    n = 6
+    sc = 3 + 1 + 0       # C(3,2)+C(2,2)+C(1,2)
+    sa = 3 + 3           # C(3,2)+C(3,2)
+    sb = 3 + 1 + 0
+    nC2 = n * (n - 1) / 2
+    exp = sa * sb / nC2
+    ari = (sc - exp) / (0.5 * (sa + sb) - exp)
+    assert math.isclose(got.ari, ari, rel_tol=1e-9)
+    p = lambda c: c / n
+    mi = sum(
+        p(c) * math.log(c * n / (ca * cb))
+        for c, ca, cb in [(3, 3, 3), (2, 3, 2), (1, 3, 1)]
+    )
+    ha = -sum(p(c) * math.log(p(c)) for c in (3, 3))
+    hb = -sum(p(c) * math.log(p(c)) for c in (3, 2, 1))
+    assert math.isclose(got.nmi, 2 * mi / (ha + hb), rel_tol=1e-9)
+    # disjoint vid sets -> n = 0, NULL metrics
+    empty = clustering_agreement(a, mk([(99, 1)])).collect()[0]
+    assert empty.n == 0 and empty.nmi is None and empty.ari is None
