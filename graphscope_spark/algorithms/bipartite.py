@@ -45,31 +45,44 @@ def bipartite_projection(
         F.col(left_col).alias("l"), F.col(right_col).alias("r")
     ).distinct()
     rdeg = e.groupBy("r").agg(F.count("*").alias("rd"))
-    kept = e.join(rdeg.where(F.col("rd") <= max_degree).select("r"), "r")
-    a = kept.select(F.col("l").alias("a"), "r")
-    b = kept.select(F.col("l").alias("b"), "r")
-    pairs = (
-        a.join(b, "r")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("w"))
-        .where(F.col("w") >= min_weight)
-    )
-    if weight == "count":
-        return pairs
-    ldeg = kept.groupBy("l").agg(F.count("*").cast("long").alias("ld"))
-    da = ldeg.select(F.col("l").alias("a"), F.col("ld").alias("da"))
-    db = ldeg.select(F.col("l").alias("b"), F.col("ld").alias("db"))
-    return (
-        pairs.join(da, "a")
-        .join(db, "b")
-        .select(
-            "a",
-            "b",
-            "w",
-            (
-                F.col("w")
-                / (F.col("da") + F.col("db") - F.col("w")).cast("double")
-            ).alias("jaccard"),
+    # the capped edge set feeds three branches (pair join twice + the
+    # left-degree table) — persist it once instead of re-deriving the
+    # distinct + cap subtree per branch
+    kept = e.join(
+        rdeg.where(F.col("rd") <= max_degree).select("r"), "r"
+    ).persist()
+    try:
+        a = kept.select(F.col("l").alias("a"), "r")
+        b = kept.select(F.col("l").alias("b"), "r")
+        pairs = (
+            a.join(b, "r")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("w"))
+            .where(F.col("w") >= min_weight)
         )
-    )
+        if weight == "count":
+            from graphscope_spark.bsp import truncate_plan
+
+            return truncate_plan(pairs)
+        ldeg = kept.groupBy("l").agg(F.count("*").cast("long").alias("ld"))
+        da = ldeg.select(F.col("l").alias("a"), F.col("ld").alias("da"))
+        db = ldeg.select(F.col("l").alias("b"), F.col("ld").alias("db"))
+        out = (
+            pairs.join(da, "a")
+            .join(db, "b")
+            .select(
+                "a",
+                "b",
+                "w",
+                (
+                    F.col("w")
+                    / (F.col("da") + F.col("db") - F.col("w")).cast("double")
+                ).alias("jaccard"),
+            )
+        )
+        from graphscope_spark.bsp import truncate_plan
+
+        return truncate_plan(out)
+    finally:
+        kept.unpersist()

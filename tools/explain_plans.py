@@ -53,6 +53,12 @@ PICKS = {
     "dup_spans": "ExactSubstr duplicated spans — codegen transform+posexplode positional n-gram index, partial-agg hash count, semi-join back, ONE doc-keyed gaps-and-islands window",
     "structural_holes": "Burt structural holes — triangle kernel for effective size; constraint's wedge join keyed on the middle vertex with partial-agg pair sums",
     "rich_club": "rich club — histogram-only: two max-degree-sized aggregates + descending cumulative-sum windows, never a per-k pass",
+    "chunk_documents": "context-window chunking — ONE scan + generate (sequence->slice->explode), ZERO shuffles; fan-out = ceil(tokens/stride) rows per doc, exactly the training-sample count",
+    "winnow_fingerprints": "winnowing — gram explode, then ONE per-doc window min over the packed (hash, rightmost-pos) key; never a global window",
+    "readability_scores": "Flesch readability — regexp counts over the scan, zero shuffles, full codegen",
+    "token_zipf": "Zipf fit — explode -> vocab-bounded partial-agg count; top-k is TakeOrderedAndProject; the rank window + OLS run over <=k rows",
+    "bipartite_projection": "bipartite projection — distinct + right-key self-join over the ONCE-persisted capped edge set (max_degree anti-skew cap), partial-agg pair counts, Jaccard from two broadcast degree joins; the operator eagerly materializes (truncate_plan) so the dump shows the checkpointed result, the join shape is in the description",
+    "feature_propagation": "SGC propagation — per round ONE weighted-edge join + 64 independent SUM aggregates (map-side combinable); shuffle = n rows of dim doubles, no collect_list",
     "repetition_scores": "Gopher repetition filters — two explode→partial-agg chains (lines, n-grams) keyed by doc_id, window co-partitioned with the 2-gram aggregate, zero UDFs. Deliberately scan-heavy/shuffle-light: the text column is re-scanned per chain (projection-pruned, sequential IO) so every aggregate keeps map-side partial aggregation — the shuffled bytes are distinct (doc, gram) counts, not the raw token stream a single-scan window formulation would have to sort-shuffle.",
 }
 
@@ -131,6 +137,21 @@ directly (tools/check_gate timings + controlled warm-process A/Bs):
   the distributed loop runs with incremental candidate maintenance
   (monotone candidacy — removals and their neighbours leave, nobody
   re-enters), never a full O(m) recompute per round.
+* **Session-2 loop/fit operators** (measured at sf0.1,
+  BENCH/BENCH_IDLE_r4e.json): `local_community` 10.1 s — 6 sparse-PPR
+  rounds (full-outer mass merge + frontier spread join each, 12 plan
+  cuts) + a two-window sweep over the K-ball support; barrier count is
+  CONSTANT in graph size. `node_embeddings` 7.9 s — 6 walk supersteps +
+  the Word2Vec fit (driver holds the O(vocab·dim) model, the budget any
+  embedding consumer needs). `simrank` 4.5 s — walk-corpus generation
+  dominates; the meeting join is int-only on (walk, step, position).
+  `edge_betweenness` 3.9 s — shares the Brandes pair tables with
+  betweenness_sampled; the edge-flow join chain is noise-band on top.
+  `kmeans`/`label_spreading`/`incremental_triangles` (gate-only):
+  3× (broadcast centroid join + two aggregates) over the n·dim long
+  form / cdlp's plan with a clamp branch / 3-batch replay of
+  wedge-join + pair-semi-join + batch-triangle counts, all bounded by
+  the batch wedge count.
 * **coreness (h-index fixpoint)** — frontier-incremental: only neighbours
   of last round's changed vertices recompute their H (work per round ∝
   frontier-incident edges, not O(m)); the H-index itself is a histogram +
