@@ -3423,6 +3423,50 @@ FROM sums
 """
 
 
+def _q_nx_multigraph(spark, sf_dir):
+    """MultiGraph layer (nx.MultiGraph — reference nx/classes/
+    multigraph.py): the order↔part relation keeps one PARALLEL edge per
+    line item (same pair, distinct linenumber), the semantics simple
+    Graph would collapse. Report counts with multiplicity, the max
+    parallel-edge count, max multi-degree, and the collapsed simple edge
+    count; part ids are offset into their own id space."""
+    from graphscope_spark.nx import MultiGraph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + 1_000_000_000).alias("dst"),
+    )
+    mg = MultiGraph(li, num_partitions=NUM_PARTITIONS)
+    simple = mg.edge_multiplicity().persist()
+    row = (
+        mg.number_of_nodes(),
+        mg.number_of_edges(),
+        int(simple.agg(F.max("m")).collect()[0][0]),
+        int(mg.degree().agg(F.max("degree")).collect()[0][0]),
+        simple.count(),
+    )
+    simple.unpersist()
+    return spark.createDataFrame(
+        [row],
+        "n_nodes long, n_edges long, max_mult long, max_degree long, n_simple long",
+    )
+
+
+_NX_MULTIGRAPH_SQL = """
+WITH e AS (SELECT CAST(l_orderkey AS BIGINT) AS a,
+                  CAST(l_partkey AS BIGINT) + 1000000000 AS b
+           FROM lineitem),
+m AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS m FROM e GROUP BY a, b),
+deg AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS d FROM (
+          SELECT a AS vid FROM e UNION ALL SELECT b AS vid FROM e) GROUP BY vid)
+SELECT (SELECT COUNT(DISTINCT vid) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT MAX(m) FROM m) AS max_mult,
+       (SELECT MAX(d) FROM deg) AS max_degree,
+       (SELECT COUNT(*) FROM m) AS n_simple
+"""
+
+
 _SIMRANK_QUERIES = [0, 1, 2, 250]
 
 
@@ -5777,6 +5821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": _q_readability,
         "token_zipf": _q_token_zipf,
         "clustering_agreement": _q_clustering_agreement,
+        "nx_multigraph_report": _q_nx_multigraph,
     }
     # Final round-4 window: the driver gates the FIRST 50 entries, and
     # exactly 50 rows have never had a driver CORRECTNESS row (everything
@@ -5992,6 +6037,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "readability_scores": _READABILITY_SQL,
         "token_zipf": _TOKEN_ZIPF_SQL,
         "clustering_agreement": _CLUST_AGREE_SQL,
+        "nx_multigraph_report": _NX_MULTIGRAPH_SQL,
         "flow_hierarchy": _FLOW_HIERARCHY_SQL,
         "distance_measures": _multi_bfs_sql(8, "TRUE", _DIST_MEASURES_FINAL, sym=True),
         "voronoi": _multi_bfs_sql(8, "vid IN (0, 1, 2, 3, 250)", _VORONOI_FINAL, sym=True),

@@ -42,6 +42,7 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphscope_spark.bsp import truncate_plan
 from graphscope_spark.graph import LinkGraph
@@ -479,4 +480,135 @@ class DiGraph(Graph):
             self._e.where(F.col("dst") == int(n))
             .select(F.col("src").alias("vid"))
             .distinct()
+        )
+
+
+class MultiGraph:
+    """Undirected multigraph — parallel edges distinguished by an integer
+    ``key`` per canonical (a ≤ b) pair (reference
+    `nx/classes/multigraph.py`; the layer's Graph/DiGraph cover the simple
+    classes, this adds the multi-edge semantics NetworkX users expect for
+    repeated relations — e.g. one edge per (order, part) line item).
+
+    Storage: ONE DataFrame (a, b, key), a ≤ b, keys dense 0..m_ab−1 per
+    pair (assigned by a pair-partitioned window, never a global sort).
+    Mutations here are direct DataFrame algebra (union / anti-join),
+    re-checkpointed per call — the batched mutation queue that
+    de-duplicates chatty single-edge updates lives in ``Graph``; at scale
+    this class expects bulk ``add_edges_df``-style calls."""
+
+    def __init__(self, edges: DataFrame, num_partitions: int = 32):
+        self.num_partitions = num_partitions
+        canon = edges.select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("b"),
+        ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        w = Window.partitionBy("a", "b").orderBy(F.monotonically_increasing_id())
+        self._e = truncate_plan(
+            canon.withColumn("key", (F.row_number().over(w) - 1).cast("long"))
+            .repartition(num_partitions, F.col("a"))
+        )
+
+    # -- reporting ----------------------------------------------------------
+    def number_of_nodes(self) -> int:
+        return (
+            self._e.select(F.col("a").alias("vid"))
+            .union(self._e.select(F.col("b").alias("vid")))
+            .distinct()
+            .count()
+        )
+
+    def number_of_edges(self, u: int | None = None, v: int | None = None) -> int:
+        e = self._e
+        if u is not None and v is not None:
+            a, b = min(u, v), max(u, v)
+            e = e.where((F.col("a") == a) & (F.col("b") == b))
+        return e.count()
+
+    def is_multigraph(self) -> bool:
+        return True
+
+    def is_directed(self) -> bool:
+        return False
+
+    def degree(self) -> DataFrame:
+        """(vid, degree) with multiplicity; self-loops count twice (the
+        NetworkX convention)."""
+        ends = self._e.select(F.col("a").alias("vid")).union(
+            self._e.select(F.col("b").alias("vid"))
+        )
+        return ends.groupBy("vid").agg(F.count("*").cast("long").alias("degree"))
+
+    def edge_multiplicity(self) -> DataFrame:
+        """(a, b, m) — parallel-edge count per canonical pair."""
+        return self._e.groupBy("a", "b").agg(
+            F.count("*").cast("long").alias("m")
+        )
+
+    # -- mutation -----------------------------------------------------------
+    def add_edges_df(self, edges: DataFrame) -> "MultiGraph":
+        """Bulk-add: new parallel copies get keys after the existing ones."""
+        canon = edges.select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("b"),
+        )
+        base = self._e.groupBy("a", "b").agg(F.max("key").alias("mx"))
+        w = Window.partitionBy("a", "b").orderBy(F.monotonically_increasing_id())
+        keyed = (
+            canon.join(base, ["a", "b"], "left")
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .select(
+                "a",
+                "b",
+                (F.coalesce("mx", F.lit(-1)) + F.col("rn")).alias("key"),
+            )
+        )
+        self._e = truncate_plan(
+            self._e.unionByName(keyed).repartition(
+                self.num_partitions, F.col("a")
+            )
+        )
+        return self
+
+    def remove_edge(self, u: int, v: int, key: int | None = None) -> "MultiGraph":
+        """Remove ONE parallel copy — the given key, else the smallest
+        (NetworkX removes an arbitrary one; smallest is the pinned
+        deterministic choice)."""
+        a, b = min(u, v), max(u, v)
+        if key is None:
+            victim = (
+                self._e.where((F.col("a") == a) & (F.col("b") == b))
+                .agg(F.min("key").alias("key"))
+                .collect()[0]["key"]
+            )
+            if victim is None:
+                raise KeyError(f"no edge between {u} and {v}")
+            key = int(victim)
+        self._e = truncate_plan(
+            self._e.where(
+                ~((F.col("a") == a) & (F.col("b") == b) & (F.col("key") == key))
+            )
+        )
+        return self
+
+    def remove_edges_between(self, u: int, v: int) -> "MultiGraph":
+        """Remove EVERY parallel copy between u and v."""
+        a, b = min(u, v), max(u, v)
+        self._e = truncate_plan(
+            self._e.where(~((F.col("a") == a) & (F.col("b") == b)))
+        )
+        return self
+
+    def to_graph(self) -> "Graph":
+        """Collapse parallel edges → the simple undirected Graph."""
+        simple = self._e.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).distinct()
+        verts = (
+            simple.select(F.col("src").alias("vid"))
+            .union(simple.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+        return Graph.from_dataframes(
+            vertices=verts, edges=simple, num_partitions=self.num_partitions
         )

@@ -128,3 +128,44 @@ def test_long_mutation_history_stays_flat(spark):
         for t in (g, m):
             t.remove_edge(i, i + 1)
     _assert_same(g, m)
+
+
+def test_multigraph_parallel_edges_vs_networkx(spark):
+    """MultiGraph semantics vs networkx.MultiGraph on the same edge bag:
+    counts with multiplicity, per-pair multiplicities, single-copy and
+    all-copies removal, simple-graph collapse."""
+    import networkx as nx
+
+    from graphscope_spark.nx import MultiGraph
+
+    bag = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 4), (4, 3), (5, 5)]
+    mg = MultiGraph(spark.createDataFrame(bag, "src long, dst long"), num_partitions=4)
+    ref = nx.MultiGraph()
+    ref.add_edges_from(bag)
+    assert mg.is_multigraph() and not mg.is_directed()
+    assert mg.number_of_nodes() == ref.number_of_nodes()
+    assert mg.number_of_edges() == ref.number_of_edges()
+    assert mg.number_of_edges(1, 2) == ref.number_of_edges(1, 2) == 3
+    assert {(r.a, r.b): r.m for r in mg.edge_multiplicity().collect()} == {
+        (1, 2): 3, (2, 3): 1, (3, 4): 2, (5, 5): 1
+    }
+    got_deg = {r.vid: r.degree for r in mg.degree().collect()}
+    assert got_deg == dict(ref.degree())  # self-loop counts twice
+    # remove one parallel copy, then all copies
+    mg.remove_edge(1, 2)
+    ref.remove_edge(1, 2)
+    assert mg.number_of_edges(1, 2) == ref.number_of_edges(1, 2) == 2
+    mg.remove_edges_between(3, 4)
+    assert mg.number_of_edges(3, 4) == 0
+    # bulk add extends keys past existing ones (no key collisions)
+    mg.add_edges_df(spark.createDataFrame([(1, 2), (9, 8)], "src long, dst long"))
+    assert mg.number_of_edges(1, 2) == 3
+    keys = [r.key for r in mg._e.where("a = 1 AND b = 2").collect()]
+    assert len(set(keys)) == 3
+    # collapse
+    simple = mg.to_graph()
+    assert simple.number_of_edges() == mg.edge_multiplicity().count()
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        mg.remove_edge(1, 99)
