@@ -3039,9 +3039,12 @@ def _local_community_sql(seed: int, alpha: float, rounds: int) -> str:
     parts.append(
         f"""pm AS (SELECT vid, {a} * SUM(r) AS p FROM ({runion}) GROUP BY vid),
 sup AS (
+  -- sweep key quantized to 2^-40 (mirrors localcluster.py): ulp-level
+  -- float-sum differences must not decide the order over true ties
   SELECT p.vid, p.p, CAST(COALESCE(u.deg, 0) AS DOUBLE) AS d,
          CAST(ROW_NUMBER() OVER (
-           ORDER BY p.p / GREATEST(CAST(COALESCE(u.deg, 0) AS DOUBLE), 1.0) DESC,
+           ORDER BY FLOOR(p.p / GREATEST(CAST(COALESCE(u.deg, 0) AS DOUBLE), 1.0)
+                          * 1099511627776.0) DESC,
                     p.vid ASC) AS BIGINT) AS rank
   FROM pm p LEFT JOIN udeg u USING (vid) WHERE p.p > 0),
 inc AS (SELECT ra.rank AS ra, rb.rank AS rb
@@ -3062,7 +3065,7 @@ cond AS (
               THEN cut / LEAST(vol, (SELECT v FROM m2) - vol)
               ELSE 1.0 END AS cond
   FROM acc),
-best AS (SELECT rank AS k FROM cond ORDER BY cond ASC, rank ASC LIMIT 1)
+best AS (SELECT rank AS k FROM cond ORDER BY ROUND(cond, 9) ASC, rank ASC LIMIT 1)
 SELECT vid, rank, ROUND(p, 9) AS p, ROUND(cond, 6) AS cond,
        rank <= (SELECT k FROM best) AS in_best
 FROM cond"""

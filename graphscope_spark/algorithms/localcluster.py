@@ -115,11 +115,20 @@ def local_community(
         p.join(deg, "vid", "left")
         .select("vid", "p", F.coalesce("d", F.lit(0.0)).alias("d"))
         .withColumn(
+            # quantize the sweep key to 2^-40 before ranking (the node2vec
+            # bias-key contract): vertices in symmetric positions have
+            # EXACTLY equal true p/d but accumulate their float sums in
+            # different orders per engine — an ulp-level difference must
+            # not decide the order, the vid tie-break must
             "rank",
             F.row_number()
             .over(
                 Window.orderBy(
-                    (F.col("p") / F.greatest("d", F.lit(1.0))).desc(),
+                    F.floor(
+                        F.col("p")
+                        / F.greatest("d", F.lit(1.0))
+                        * F.lit(float(1 << 40))
+                    ).desc(),
                     F.col("vid").asc(),
                 )
             )
@@ -162,8 +171,12 @@ def local_community(
             ).otherwise(F.lit(1.0)),
         )
     )
+    # best-cut selection on the 1e-9-rounded conductance (same rationale:
+    # near-tie prefixes must resolve by rank, not by the last ulp)
     best = swept.agg(
-        F.min_by(F.col("rank"), F.struct(F.col("cond"), F.col("rank"))).alias("k")
+        F.min_by(
+            F.col("rank"), F.struct(F.round(F.col("cond"), 9), F.col("rank"))
+        ).alias("k")
     ).collect()[0]["k"]
     out = truncate_plan(
         swept.select(
