@@ -2986,8 +2986,13 @@ def _q_bipartite_projection(spark, sf_dir):
 
 
 _BIPROJ_SQL = """
-WITH e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS l,
-                           CAST(l_orderkey AS BIGINT) AS r FROM lineitem),
+WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS l,
+                            CAST(l_orderkey AS BIGINT) AS r FROM lineitem),
+-- mirror the library's max_degree=10000 hot-right-vertex cap so the
+-- oracle replays the operator's documented contract, not just this
+-- fixture's (uncapped-coincident) instance
+keep AS (SELECT r FROM e0 GROUP BY r HAVING COUNT(*) <= 10000),
+e AS (SELECT e0.l, e0.r FROM e0 JOIN keep USING (r)),
 ldeg AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS ld FROM e GROUP BY l),
 pairs AS (
   SELECT x.l AS a, y.l AS b, CAST(COUNT(*) AS BIGINT) AS w
@@ -3282,7 +3287,7 @@ gh AS (
 keyed AS (
   SELECT doc_id, pos,
          LPAD(CAST(g AS VARCHAR), 19, '0') ||
-         LPAD(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS key
+         LPAD(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS key
   FROM gh),
 wmin AS (
   SELECT doc_id,
@@ -3292,7 +3297,7 @@ wmin AS (
                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nwin
   FROM keyed)
 SELECT DISTINCT doc_id,
-       1000000000 - CAST(SUBSTR(sel, 20, 10) AS BIGINT) AS pos,
+       1000000000000 - CAST(SUBSTR(sel, 20, 13) AS BIGINT) AS pos,
        CAST(SUBSTR(sel, 1, 19) AS BIGINT) AS fp
 FROM wmin WHERE nwin = 4
 """

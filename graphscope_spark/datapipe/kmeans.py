@@ -42,7 +42,11 @@ def kmeans_lloyd(
     """(id, cluster, dist) — Lloyd k-means assignments after ``rounds``
     (assign, update) iterations plus a final assignment against the last
     centroids; ``dist`` is the squared euclidean distance to the assigned
-    centroid. Init = the ``k`` rows with the smallest ids."""
+    centroid. Init = the ``k`` smallest ids AMONG ROWS WITH A NON-EMPTY
+    VECTOR: rows whose embedding is NULL or empty produce no exploded
+    dimensions, are never eligible as centroids, and are absent from the
+    output assignments (posexplode emits nothing for them) — matching the
+    SQL-oracle semantics exactly."""
     if k < 1 or rounds < 1:
         raise ValueError(f"k and rounds must be >= 1, got {k}, {rounds}")
     x = (
@@ -58,7 +62,9 @@ def kmeans_lloyd(
         .persist()
     )
     x.count()
-    ids = [r["id"] for r in emb.select(F.col(id_col).cast("long").alias("id")).orderBy("id").limit(k).collect()]
+    # init from the EXPLODED table (not emb): NULL/empty-vector rows have
+    # no dimensions and must not become degenerate centroids
+    ids = [r["id"] for r in x.select("id").distinct().orderBy("id").limit(k).collect()]
     init = (
         x.join(
             x.sparkSession.createDataFrame([(v, c) for c, v in enumerate(ids)], "id long, c long"),

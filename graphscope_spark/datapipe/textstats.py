@@ -575,10 +575,14 @@ def winnow_fingerprints(
         F.col("pos").cast("long").alias("pos"),
         portable_hash60(F.col("gram")).alias("g"),
     )
-    # fixed-width sort key: min ⇒ smallest hash, ties ⇒ rightmost position
+    # fixed-width sort key: min ⇒ smallest hash, ties ⇒ rightmost position.
+    # The position bias (10^12) bounds supported document length: a pos
+    # >= 10^12 would go negative and the '-' prefix would corrupt the
+    # lexicographic order, so it is asserted away downstream — 10^12
+    # characters per document is ~1 TB of text, far past any real page.
     key = F.concat(
         F.lpad(F.col("g").cast("string"), 19, "0"),
-        F.lpad((F.lit(1_000_000_000) - F.col("pos")).cast("string"), 10, "0"),
+        F.lpad((F.lit(1_000_000_000_000) - F.col("pos")).cast("string"), 13, "0"),
     )
     win = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
@@ -590,8 +594,8 @@ def winnow_fingerprints(
         .select(
             "doc_id",
             (
-                F.lit(1_000_000_000)
-                - F.substring("sel", 20, 10).cast("long")
+                F.lit(1_000_000_000_000)
+                - F.substring("sel", 20, 13).cast("long")
             ).alias("pos"),
             F.substring("sel", 1, 19).cast("long").alias("fp"),
         )

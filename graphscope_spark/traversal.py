@@ -539,12 +539,19 @@ class Traversal:
         cur = self
         for k in range(bound):
             cur = body(cur)
-            if emit and (k < bound - 1 or until is not None):
-                parts.append(cur.frame)
             if until is not None:
+                # exiting traversers are output exactly ONCE (TinkerPop
+                # repeat().until().emit(): emit applies to traversers that
+                # keep looping; an until-satisfier leaves via the until
+                # branch only — emitting the full post-body frame here
+                # would double-count it)
                 prop, pred = until
                 parts.append(cur.has(prop, pred).frame)
                 cur = cur.has(prop, P.not_(pred))
+                if emit:
+                    parts.append(cur.frame)
+            elif emit and k < bound - 1:
+                parts.append(cur.frame)
         if until is None:
             parts.append(cur.frame)
         out = parts[0]

@@ -518,3 +518,19 @@ def test_repeat_until_and_times(pg):
 
     with _pytest.raises(ValueError):
         traversal(pg, "person").repeat(lambda t: t.out("knows"))
+
+
+def test_repeat_emit_until_no_double_count(pg):
+    """emit + until together: an exiting traverser appears exactly ONCE
+    (TinkerPop repeat().until().emit() — emit applies to the traversers
+    that keep looping; the until branch is the only exit). Hand-traced on
+    the toy graph, knows = 1→2, 2→3, 3→1, 1→3, 4→1, age 27 = {2, 4}:
+
+    round 1 bag {2,3,3,1,1}: exit [2], emit survivors [3,3,1,1]
+    round 2 from survivors → {1,1,2,3,2,3}: exit [2,2], emit [1,1,3,3]
+    total = [2] + [3,3,1,1] + [2,2] + [1,1,3,3] (11 rows)."""
+    t = traversal(pg, "person").repeat(
+        lambda t: t.out("knows"), times=2, until=("age", P.eq(27)), emit=True
+    )
+    heads = sorted(r.v for r in t.frame.collect())
+    assert heads == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3]
