@@ -503,6 +503,60 @@ def _random_walks_sql(
     return "\n".join(parts)
 
 
+def _node2vec_sql(
+    length: int, num_walks: int, roots_pred: str, seed: int, p: float, q: float
+) -> str:
+    """Exact mirror of learning.node2vec_walks' portable inverse-CDF draw:
+    integer-quantized weights (round(2^20/p), 2^20, round(2^20/q)), one
+    60-bit hash per (walk, step) mapped to a threshold over the walk's
+    total candidate weight, winner = the unique candidate whose integer
+    cumulative-weight interval (ordered by dst) contains the threshold.
+    Integer window sums are association-free, and the only FP ops (int64
+    -> double cast, one divide, one multiply) are IEEE-correctly-rounded
+    in both engines — so the replay is bit-exact by construction."""
+    scale = 1 << 20
+    wr, wb, wd = round(scale / p), scale, round(scale / q)
+    parts = [
+        f"WITH {_SQL_BASE},",
+        "de AS (SELECT src, dst FROM edges WHERE src <> dst),",
+        f"""n0 AS (SELECT vid AS root, CAST(g.w AS BIGINT) AS w,
+             CAST(0 AS BIGINT) AS step, vid, CAST(NULL AS BIGINT) AS prev
+      FROM verts, (SELECT UNNEST(range({num_walks})) AS w) g
+      WHERE {roots_pred}),""",
+    ]
+    for k in range(1, length + 1):
+        h = _H60.format(
+            x=f"CONCAT('{seed}:', CAST(root AS VARCHAR), ':', "
+            f"CAST(w AS VARCHAR), ':{k}')"
+        )
+        parts.append(
+            f"""c{k} AS (
+  SELECT q.root, q.w, q.vid AS cur, e.dst,
+         CASE WHEN e.dst = q.prev THEN {wr}
+              WHEN pe.src IS NOT NULL THEN {wb}
+              ELSE {wd} END AS wgt
+  FROM n{k - 1} q JOIN de e ON e.src = q.vid
+  LEFT JOIN de pe ON pe.src = q.prev AND pe.dst = e.dst),
+s{k} AS (
+  SELECT root, w, cur, dst, wgt,
+         SUM(wgt) OVER (PARTITION BY root, w ORDER BY dst
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wgt) OVER (PARTITION BY root, w) AS tw
+  FROM c{k}),
+n{k} AS (
+  SELECT root, w, CAST({k} AS BIGINT) AS step, dst AS vid, cur AS prev
+  FROM (SELECT s{k}.*,
+               LEAST(CAST(FLOOR(CAST({h} AS DOUBLE) / 1152921504606846976.0
+                     * CAST(tw AS DOUBLE)) AS BIGINT), tw - 1) AS t
+        FROM s{k})
+  WHERE cum > t AND cum - wgt <= t),"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT root, w, step, vid FROM n{k}" for k in range(length + 1)
+    )
+    return "\n".join(parts).rstrip().rstrip(",") + "\n" + union
+
+
 def _random_walks_final(length: int, num_walks: int, roots_pred: str, seed: int) -> str:
     return (
         _random_walks_sql(length, num_walks, roots_pred, seed).rstrip().rstrip(",")
@@ -5663,10 +5717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": _q_neighbor_sample,
         "random_walks": _q_random_walks,
         "negative_sample": _q_negative_sample,
-        # rows-only by design: the p/q bias key is floor(-ln(u)/w · 2^40);
-        # ln is not bit-pinned across JVM/DuckDB libm, so a value-hash
-        # oracle would be flaky-by-construction. pytest validates walk
-        # validity, determinism, and bias direction (tests/test_learning.py).
+        # full-value oracle since round 5: the biased draw is a portable
+        # integer inverse-CDF selection (no transcendental in the
+        # comparison), so DuckDB replays every transition bit-exactly.
         "node2vec_walks": _q_node2vec_walks,
         "pii_redaction": _q_pii_redaction,
         "c4_filters": _q_c4_filters,
@@ -5948,6 +6001,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gen_edge_labels": _GEN_EDGE_LABELS_SQL,
         "neighbor_sample": _neighbor_sample_sql([3, 2], "vid % 97 = 0", 42),
         "random_walks": _random_walks_final(4, 2, "vid % 97 = 0", 0),
+        "node2vec_walks": _node2vec_sql(4, 2, "vid % 97 = 0", 0, 0.5, 2.0),
         "negative_sample": _negative_sample_sql(3, 4, 0),
         "pii_redaction": _PII_SQL,
         "c4_filters": _C4_SQL,

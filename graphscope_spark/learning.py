@@ -251,11 +251,23 @@ def node2vec_walks(
 
     Transition weight from cur → dst given prev: 1/p if dst == prev
     (return), 1 if dst is a neighbor of prev (BFS-ish), else 1/q
-    (DFS-ish). The weighted draw uses the exponential race
-    (Efraimidis–Spirakis): key = −ln(u)/w with u = hash-uniform ∈ (0,1],
-    argmin key wins — deterministic given the seed, no RNG state. Keys are
-    quantized to 2^-40 before the argmin (ties then break by dst) so the
-    comparison never hinges on the last ulp of ``ln``.
+    (DFS-ish). The weighted draw is an EXACTLY PORTABLE inverse-CDF
+    selection — no transcendental ever enters the comparison, so a DuckDB
+    oracle replays every draw bit-for-bit (unlike the earlier
+    −ln(u)/w exponential race, whose last-ulp ``ln`` differences between
+    libm implementations made a value-hash oracle flaky by construction):
+
+    * weights are quantized to integers ``round(2^20·(1/p))`` /
+      ``2^20`` / ``round(2^20·(1/q))`` (p, q finer than 2^-20 collapse —
+      documented contract, far past any practical bias setting);
+    * ONE 60-bit hash per (walk, step) — not per candidate — maps to a
+      threshold ``t = min(floor(h/2^60 · W), W−1)`` over the walk's total
+      candidate weight W (the two FP ops involved, int64→double cast and
+      one multiply, are IEEE-correctly-rounded in both engines);
+    * candidates carry an integer cumulative weight ordered by dst; the
+      unique row with ``cum − wgt ≤ t < cum`` wins. Integer window sums
+      are exact under ANY aggregation-tree association, so Spark's running
+      sum and DuckDB's segment tree agree unconditionally.
 
     The "is dst a neighbor of prev" probe is a left semi-style join of the
     candidate set against the edge table on (prev, dst) — int-only, and the
@@ -312,30 +324,50 @@ def node2vec_walks(
                     F.col("p_src").isNotNull().alias("adj_prev"),
                 )
             )
-            u = (
-                _hkey(
-                    seed,
-                    F.col("root").cast("string"),
-                    F.col("w").cast("string"),
-                    k,
-                    F.col("dst").cast("string"),
-                )
-                + F.lit(1)
-            ).cast("double") / F.lit(float(1 << 60))
+            scale = 1 << 20
+            wr, wb, wd = round(scale / p), scale, round(scale / q)
             wgt = (
-                F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
-                .when(F.col("adj_prev"), F.lit(1.0))
-                .otherwise(F.lit(1.0 / q))
+                F.when(F.col("dst") == F.col("prev"), F.lit(wr))
+                .when(F.col("adj_prev"), F.lit(wb))
+                .otherwise(F.lit(wd))
+            ).cast("long")
+            # one hash per (walk, step) — the threshold draw
+            h = _hkey(
+                seed, F.col("root").cast("string"), F.col("w").cast("string"), k
             )
-            key = F.floor(-F.log(u) / wgt * F.lit(float(1 << 40))).cast("long")
-            nxt = (
-                probe.select("root", "w", "cur", "dst", key.alias("key"))
-                .groupBy("root", "w")
-                .agg(
-                    F.min_by(F.col("dst"), F.struct("key", "dst")).alias("vid"),
-                    F.min_by(F.col("cur"), F.struct("key", "dst")).alias("prev"),
+            wcum = (
+                Window.partitionBy("root", "w")
+                .orderBy("dst")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            wall = Window.partitionBy("root", "w")
+            scored = (
+                probe.select(
+                    "root", "w", "cur", "dst", wgt.alias("wgt"), h.alias("h")
                 )
-                .select("root", "w", "vid", "prev")
+                .withColumn("cum", F.sum("wgt").over(wcum))
+                .withColumn("tw", F.sum("wgt").over(wall))
+                .withColumn(
+                    "t",
+                    F.least(
+                        F.floor(
+                            F.col("h").cast("double")
+                            / F.lit(float(1 << 60))
+                            * F.col("tw").cast("double")
+                        ).cast("long"),
+                        F.col("tw") - F.lit(1),
+                    ),
+                )
+            )
+            nxt = (
+                scored.where(
+                    (F.col("cum") > F.col("t"))
+                    & (F.col("cum") - F.col("wgt") <= F.col("t"))
+                )
+                .select(
+                    "root", "w", F.col("dst").alias("vid"),
+                    F.col("cur").alias("prev"),
+                )
                 .transform(truncate_plan)
             )
             if nxt.count() == 0:
