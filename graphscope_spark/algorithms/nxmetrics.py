@@ -438,22 +438,46 @@ def powerlaw_alpha(graph: LinkGraph, k_min: int = 2) -> float:
 
 
 def topological_generations(
-    graph: LinkGraph, max_rounds: int | None = None, fused_rounds: int = 8
+    graph: LinkGraph,
+    max_rounds: int | None = None,
+    block_rounds: int = 8,
+    local_cutoff: int = 100_000,
+    local_edge_cutoff: int = 2_000_000,
 ) -> DataFrame:
     """(vid, gen) — NetworkX ``topological_generations`` index per vertex
     on a DAG: gen(v) = length of the longest path from any source to v
-    (generation 0 = in-degree-0 vertices). Raises on cyclic input (some
-    level keeps growing past |V| rounds — Kahn's invariant).
+    (generation 0 = in-degree-0 vertices). Raises on cyclic input.
 
-    BSP max-relax with a changed-frontier (the wcc shape): levels only
-    increase and quiet rounds stay quiet, so superstep fusion applies;
-    rounds = longest-path length, the inherent depth of the computation.
-    Reference surface: nx forward test_dag (topological_sort /
-    dag_longest_path family — any topological order sorted by (gen, vid)
-    is deterministic)."""
-    from graphscope_spark.bsp import run_bsp
+    Kahn peeling with max-accumulate, in two regimes:
 
-    P = graph.num_partitions
+    * **Distributed blocks** — each superstep settles the current
+      in-degree-0 layer: freshly settled vertices send ``gen+1`` to their
+      out-neighbors in ONE shuffle (max + count aggregate); receivers
+      accumulate the max and decrement a pending-in-degree counter, and
+      settle when it hits zero. ``block_rounds`` supersteps fuse into one
+      Spark job. Unlike plain max-relax, the pending counter makes the
+      NOT-YET-FINAL set explicit and monotonically shrinking — which
+      both detects cycles immediately (no fresh settlers while vertices
+      remain pending) and enables the second regime.
+    * **Guarded local finish** — real web DAGs are deep through sparse
+      chain tails: after the wide layers settle, thousands of residual
+      rounds would each move a handful of vertices at full
+      driver-barrier + shuffle-job cost. When the residual drops under
+      ``local_cutoff`` vertices AND ``local_edge_cutoff`` induced edges
+      (both counted, never assumed), the residual subgraph — with each
+      vertex's already-accumulated max over settled predecessors — is
+      finished in one bounded driver-side Kahn pass (the
+      ``dfs_preorder`` precedent: an explicit, size-guarded escape from
+      P-depth barrier cost). Above the guards it keeps iterating
+      distributed, so the escape can never OOM the driver.
+
+    The NC-textbook alternative (max-plus relation squaring, O(log depth)
+    rounds) was rejected: its state is the reachability closure — O(n²)
+    pairs on a chain — which cannot exist at 100 TB. Reference surface:
+    nx forward test_dag (topological_sort / dag_longest_path family — any
+    topological order sorted by (gen, vid) is deterministic)."""
+    from graphscope_spark.bsp import release_state, truncate_plan, truncate_plan_lazy
+
     if graph.edges.where(F.col("src") == F.col("dst")).limit(1).count() > 0:
         raise ValueError(
             "topological_generations: the input graph has a self-loop — "
@@ -470,51 +494,147 @@ def topological_generations(
     n = graph.vertices.count()
     limit = max_rounds if max_rounds is not None else n + 1
 
-    state0 = graph.vertices.select(
-        "vid",
-        F.lit(0).cast("long").alias("gen"),
-        F.lit(True).alias("changed"),
+    indeg = edges.groupBy(F.col("dst").alias("vid")).agg(
+        F.count("*").cast("long").alias("pend")
+    )
+    state = truncate_plan(
+        graph.vertices.join(indeg, "vid", "left").select(
+            "vid",
+            F.lit(0).cast("long").alias("gen"),
+            F.coalesce(F.col("pend"), F.lit(0)).cast("long").alias("pend"),
+            (F.coalesce(F.col("pend"), F.lit(0)) == 0).alias("fresh"),
+        )
     )
 
-    def superstep(state: DataFrame, rnd: int) -> DataFrame:
-        frontier = state.where("changed").select(
-            F.col("vid").alias("src"), "gen"
-        )
+    def superstep(st: DataFrame) -> DataFrame:
+        frontier = st.where("fresh").select(F.col("vid").alias("src"), "gen")
         msgs = (
             frontier.join(edges, "src")
             .groupBy("dst")
-            .agg((F.max("gen") + 1).alias("msg"))
+            .agg(
+                (F.max("gen") + 1).alias("mgen"),
+                F.count("*").cast("long").alias("dec"),
+            )
         )
-        return state.join(msgs, state["vid"] == msgs["dst"], "left").select(
-            state["vid"],
-            F.greatest(
-                state["gen"], F.coalesce(F.col("msg"), state["gen"])
-            ).alias("gen"),
-            (F.coalesce(F.col("msg"), state["gen"]) > state["gen"]).alias(
-                "changed"
-            ),
+        j = st.join(msgs, st["vid"] == msgs["dst"], "left")
+        pend2 = st["pend"] - F.coalesce(F.col("dec"), F.lit(0))
+        return j.select(
+            st["vid"],
+            F.when(
+                st["pend"] > 0,
+                F.greatest(st["gen"], F.coalesce(F.col("mgen"), st["gen"])),
+            )
+            .otherwise(st["gen"])
+            .alias("gen"),
+            pend2.alias("pend"),
+            ((st["pend"] > 0) & (pend2 == 0)).alias("fresh"),
         )
 
-    def scalar_fn(state: DataFrame) -> float:
-        return float(state.where("changed").count())
+    rounds = 0
+    prev = state
+    try:
+        while True:
+            for j in range(1, block_rounds + 1):
+                state = superstep(state)
+                if j % 4 == 0 and j < block_rounds:
+                    state = truncate_plan_lazy(state)
+            state = truncate_plan(state, eager=False)
+            row = state.agg(
+                F.sum(F.col("fresh").cast("long")).alias("fr"),
+                F.sum((F.col("pend") > 0).cast("long")).alias("un"),
+            ).collect()[0]
+            release_state(prev)
+            prev = state
+            rounds += block_rounds
+            fresh, unsettled = int(row["fr"] or 0), int(row["un"] or 0)
+            if unsettled == 0:
+                return state.select("vid", "gen")
+            if fresh == 0:
+                raise ValueError(
+                    "topological_generations: no vertex can settle while "
+                    f"{unsettled} remain pending — the input graph has a cycle"
+                )
+            if unsettled <= local_cutoff:
+                # the block's final settlers are fresh but have NOT sent
+                # yet — deliver their boundary messages into the residual
+                # gens before handing off, or the local pass would start
+                # from underestimates
+                bmsgs = (
+                    state.where("fresh")
+                    .select(F.col("vid").alias("src"), "gen")
+                    .join(edges, "src")
+                    .groupBy("dst")
+                    .agg((F.max("gen") + 1).alias("mgen"))
+                )
+                pending = state.where(F.col("pend") > 0)
+                resid = pending.join(
+                    bmsgs, pending["vid"] == bmsgs["dst"], "left"
+                ).select(
+                    pending["vid"],
+                    F.greatest(
+                        pending["gen"],
+                        F.coalesce(F.col("mgen"), pending["gen"]),
+                    ).alias("gen"),
+                )
+                rsrc = resid.select(F.col("vid").alias("src"))
+                rdst = resid.select(F.col("vid").alias("dst"))
+                re = (
+                    edges.join(rsrc, "src", "semi")
+                    .join(rdst, "dst", "semi")
+                    .select("src", "dst")
+                    .persist()
+                )
+                if re.count() <= local_edge_cutoff:
+                    vrows = resid.collect()
+                    erows = re.collect()
+                    re.unpersist()
+                    done = state.where(F.col("pend") == 0).select("vid", "gen")
+                    local = _kahn_local(
+                        state.sparkSession, vrows, erows
+                    )
+                    return done.unionByName(local)
+                re.unpersist()  # residual too dense — keep iterating
+            if rounds >= limit:
+                raise ValueError(
+                    "topological_generations: levels still growing after "
+                    f"{limit} rounds — the input graph has a cycle"
+                )
+    finally:
+        edges.unpersist()
 
-    res = run_bsp(
-        state0,
-        superstep,
-        max_rounds=limit,
-        scalar_fn=scalar_fn,
-        converged_fn=lambda c, rnd: c == 0.0,
-        fused_rounds=fused_rounds,
-        meta={"algorithm": "topological_generations"},
-    )
-    edges.unpersist()
-    if not res.converged:
-        res.release()
+
+def _kahn_local(spark, vrows, erows) -> DataFrame:
+    """Bounded driver-side Kahn finish for the residual DAG tail: ``vrows``
+    carry each residual vertex's max over already-settled predecessors;
+    ``erows`` are the residual-internal edges. O(V+E), size-guarded by the
+    caller."""
+    from collections import defaultdict
+
+    gen = {r["vid"]: r["gen"] for r in vrows}
+    adj: dict = defaultdict(list)
+    pend: dict = defaultdict(int)
+    for r in erows:
+        adj[r["src"]].append(r["dst"])
+        pend[r["dst"]] += 1
+    stack = [v for v in gen if pend[v] == 0]
+    seen = 0
+    while stack:
+        v = stack.pop()
+        seen += 1
+        gv1 = gen[v] + 1
+        for w in adj[v]:
+            if gen[w] < gv1:
+                gen[w] = gv1
+            pend[w] -= 1
+            if pend[w] == 0:
+                stack.append(w)
+    if seen != len(gen):
         raise ValueError(
-            "topological_generations: levels still growing after "
-            f"{limit} rounds — the input graph has a cycle"
+            "topological_generations: residual subgraph contains a cycle"
         )
-    return res.state.select("vid", "gen")
+    return spark.createDataFrame(
+        [(int(v), int(g)) for v, g in gen.items()], "vid long, gen long"
+    )
 
 
 def dag_longest_path_length(graph: LinkGraph) -> int:

@@ -288,10 +288,16 @@ def run_bsp(
     meta: dict | None = None,
     truncate_every: int = 1,
     stats_reset_every: int = 8,
-    fused_rounds: int = 1,
+    fused_rounds: int | Callable[[int], int] = 1,
     fuse_cut_every: int = 4,
 ) -> BSPResult:
     """Run supersteps until convergence.
+
+    ``fused_rounds`` may be a callable ``next_round -> k`` (a fusion
+    SCHEDULE): deep-but-cheap monotone relaxations (topological levels,
+    late peel rounds) grow k geometrically so the number of driver
+    barriers is O(log depth) instead of O(depth) — the barrier, not the
+    work, dominates them.
 
     ``fused_rounds=k`` stacks k supersteps into ONE Spark job: the inner
     applications only compose lazy plans; the block's convergence aggregate
@@ -339,13 +345,14 @@ def run_bsp(
     # the current state; they may only be unpersisted once a truncation
     # point (localCheckpoint / durable checkpoint) severs that lineage.
     pending_unpersist: list[DataFrame] = []
-    k = max(1, int(fused_rounds))
+    fuse_of = fused_rounds if callable(fused_rounds) else (lambda _r: fused_rounds)
     # Fire-schedule anchors (true round numbers); with k=1 these reproduce
     # the classic every-N modular cadence, with k>1 they keep firing every
     # ~N rounds even though rnd advances in strides that never hit N exactly.
     last_durable = last_trunc = last_reset = start_round
     while rnd < max_rounds:
         t0 = time.time()
+        k = max(1, int(fuse_of(rnd)))
         block = min(k, max_rounds - rnd)
         new_state = state
         # Inner rounds compose LAZY plans; every `fuse_cut_every` steps the

@@ -287,7 +287,34 @@ def test_topological_generations_raises_on_cycle(spark):
     )
     g = from_edge_df(df, num_partitions=2)
     with pytest.raises(ValueError, match="cycle"):
-        topological_generations(g, fused_rounds=2)
+        topological_generations(g, block_rounds=2)
+
+
+def test_topological_generations_local_finish_matches_distributed(spark):
+    """The guarded local finish (residual ≤ cutoff after a block) must
+    agree exactly with the pure-distributed path (local_cutoff=0) — in
+    particular the block-final FRESH settlers' un-sent boundary messages
+    must reach the residual before handoff. Deep chain + a side branch
+    makes every block boundary a handoff boundary."""
+    from graphscope_spark.algorithms.nxmetrics import topological_generations
+    from graphscope_spark.graph import from_edge_df
+
+    chain = [(i, i + 1) for i in range(30)]
+    extra = [(0, 25), (5, 31), (31, 26)]  # shortcuts + branch rejoining
+    df = spark.createDataFrame(chain + extra, "src long, dst long")
+    g = from_edge_df(df, num_partitions=2)
+    with_local = {
+        r["vid"]: r["gen"]
+        for r in topological_generations(g, block_rounds=4).collect()
+    }
+    distributed = {
+        r["vid"]: r["gen"]
+        for r in topological_generations(
+            g, block_rounds=4, local_cutoff=0
+        ).collect()
+    }
+    assert with_local == distributed
+    assert with_local[30] == 30 and with_local[26] == 26
 
 
 def test_bipartite_projection_vs_networkx(spark):
