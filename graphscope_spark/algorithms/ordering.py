@@ -82,9 +82,25 @@ def degeneracy_order(
     max_rounds: int = 2000,
     fused_rounds: int = 8,
     max_driver_edges: int = 2_000_000,
+    local_cutoff: int = 100_000,
+    local_edge_cutoff: int = 2_000_000,
 ) -> DataFrame:
     """(vid, rank) — 1-based parallel-peel round at which v leaves when
     peeling at the global degeneracy.
+
+    **Adaptive tail finish** (round-5, closing round-3's bar): the peel's
+    late cascades move a handful of vertices per round at full
+    shuffle-job cost — the same deep-sparse-tail profile as
+    ``topological_generations``. After each block, the residual (rank
+    IS NULL) vertex count is known from the stopping aggregate; once it
+    drops under ``local_cutoff`` AND the residual-internal edge count
+    (checked, never assumed) is under ``local_edge_cutoff``, the
+    remaining cascade — a bounded subproblem with all prior decrements
+    already applied — finishes in one driver-side ``_simulate_peel``
+    pass with ranks offset by the completed distributed rounds. The
+    early wide rounds still run distributed (``max_driver_edges=0``
+    forces that path, as the gate does); only the barrier-bound tail is
+    escaped, and above the guards the loop just keeps iterating.
 
     ``fused_rounds=k`` stacks k peel rounds into ONE Spark job: inner
     rounds only *construct* the next lazily-checkpointed state (plan cut,
@@ -162,13 +178,58 @@ def degeneracy_order(
         # the ONE action per BLOCK: materializes the k chained lazy
         # checkpoints AND yields the stopping condition
         if rnd % max(1, fused_rounds) == 0 or rnd == max_rounds:
-            done = state.where(F.col("rank").isNull()).count() == 0
+            remaining = state.where(F.col("rank").isNull()).count()
             for st in spent:
                 release_truncated(st)
             spent.clear()
             gc.collect()  # flush py4j detaches (see kcore.coreness)
-            if done:
+            if remaining == 0:
                 break
+            if remaining <= local_cutoff:
+                # guarded tail finish: residual degrees already reflect
+                # every applied decrement (rounds complete at block end —
+                # no in-flight messages), so the local peel continues the
+                # exact cascade with ranks offset by the finished rounds
+                resid = state.where(F.col("rank").isNull()).select(
+                    "vid", "deg"
+                )
+                rv = resid.select(F.col("vid").alias("src"))
+                re = (
+                    und.join(rv, "src", "semi")
+                    .join(
+                        resid.select(F.col("vid").alias("dst")), "dst", "semi"
+                    )
+                    .select("src", "dst")
+                    .persist()
+                )
+                if re.count() <= local_edge_cutoff:
+                    adj = defaultdict(list)
+                    for r in re.collect():
+                        adj[r["src"]].append(r["dst"])
+                    re.unpersist()
+                    deg = {r["vid"]: r["deg"] for r in resid.collect()}
+
+                    def on_remove(v):
+                        for w in adj.get(v, ()):
+                            deg[w] -= 1
+                        return set(adj.get(v, ()))
+
+                    ranks = _simulate_peel(
+                        deg, lambda v: deg[v] <= dg, on_remove
+                    )
+                    local = state.sparkSession.createDataFrame(
+                        sorted(
+                            (int(v), int(r) + rnd) for v, r in ranks.items()
+                        ),
+                        "vid long, rank long",
+                    )
+                    und.unpersist()
+                    return (
+                        state.where(F.col("rank").isNotNull())
+                        .select("vid", "rank")
+                        .unionByName(local)
+                    )
+                re.unpersist()  # residual too dense — keep peeling
     und.unpersist()
     return state.where(F.col("rank").isNotNull()).select("vid", "rank")
 
@@ -178,6 +239,8 @@ def onion_layers(
     max_rounds: int = 2000,
     fused_rounds: int = 8,
     max_driver_edges: int = 2_000_000,
+    local_cutoff: int = 100_000,
+    local_edge_cutoff: int = 2_000_000,
 ) -> DataFrame:
     """(vid, layer) — 1-based onion layer: round at which v is removed when
     each round removes v iff #{remaining nbrs w : core(w) ≥ core(v)} ≤
@@ -263,13 +326,63 @@ def onion_layers(
             .transform(truncate_plan_lazy)
         )
         if rnd % max(1, fused_rounds) == 0 or rnd == max_rounds:
-            done = state.where(F.col("layer").isNull()).count() == 0
+            remaining = state.where(F.col("layer").isNull()).count()
             for st in spent:
                 release_truncated(st)
             spent.clear()
             gc.collect()  # flush py4j detaches (see kcore.coreness)
-            if done:
+            if remaining == 0:
                 break
+            if remaining <= local_cutoff:
+                # guarded tail finish (degeneracy_order's contract): the
+                # residual qualifying degrees already include every
+                # applied decrement; continue the cascade locally with
+                # layers offset by the finished rounds
+                resid = state.where(F.col("layer").isNull()).select(
+                    "vid", "core", "qdeg"
+                )
+                rv = resid.select(F.col("vid").alias("src"))
+                re = (
+                    ecore.join(rv, "src", "semi")
+                    .join(
+                        resid.select(F.col("vid").alias("dst")), "dst", "semi"
+                    )
+                    .select("src", "dst")
+                    .persist()
+                )
+                if re.count() <= local_edge_cutoff:
+                    adj = defaultdict(list)
+                    for r in re.collect():
+                        adj[r["src"]].append(r["dst"])
+                    re.unpersist()
+                    rows = resid.collect()
+                    cd = {r["vid"]: r["core"] for r in rows}
+                    qdeg = {r["vid"]: r["qdeg"] for r in rows}
+
+                    def on_remove(w):
+                        touched = set()
+                        for v in adj.get(w, ()):
+                            qdeg[v] -= 1
+                            touched.add(v)
+                        return touched
+
+                    layers = _simulate_peel(
+                        qdeg, lambda v: qdeg[v] <= cd[v], on_remove
+                    )
+                    local = state.sparkSession.createDataFrame(
+                        sorted(
+                            (int(v), int(r) + rnd) for v, r in layers.items()
+                        ),
+                        "vid long, layer long",
+                    )
+                    ecore.unpersist()
+                    und.unpersist()
+                    return (
+                        state.where(F.col("layer").isNotNull())
+                        .select("vid", "layer")
+                        .unionByName(local)
+                    )
+                re.unpersist()  # residual too dense — keep peeling
     ecore.unpersist()
     und.unpersist()
     return state.where(F.col("layer").isNotNull()).select("vid", "layer")

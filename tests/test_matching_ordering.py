@@ -184,3 +184,12 @@ def test_bounded_driver_paths_match_distributed(tiny_graph):
         dist = {r["vid"]: r[col] for r in
                 fn(tiny_graph, max_driver_edges=0).collect()}
         assert fast == dist, fn.__name__
+    # the guarded tail finish (local_cutoff default) and the
+    # fully-distributed peel (local_cutoff=0) must agree too
+    for fn, col in ((degeneracy_order, "rank"), (onion_layers, "layer")):
+        tail = {r["vid"]: r[col] for r in
+                fn(tiny_graph, max_driver_edges=0, fused_rounds=2).collect()}
+        full = {r["vid"]: r[col] for r in
+                fn(tiny_graph, max_driver_edges=0, fused_rounds=2,
+                   local_cutoff=0).collect()}
+        assert tail == full, fn.__name__
