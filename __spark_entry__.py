@@ -3816,6 +3816,35 @@ def _q_lcc(spark, sf_dir):
     return lcc(_graph(spark, sf_dir)).select("vid", F.round("lcc", 6).alias("lcc"))
 
 
+def _q_lcc_directed(spark, sf_dir):
+    """Directed local clustering coefficient (motifs.lcc_directed —
+    reference grape::LCCDirected, .gs_conf.yaml:95-102; LDBC Graphalytics
+    LCC over in∪out neighbourhoods): directed edges among neighbours over
+    d·(d−1), via the shared canonical-triangle kernel."""
+    from graphscope_spark.algorithms.motifs import lcc_directed
+
+    return lcc_directed(_graph(spark, sf_dir)).select(
+        "vid", F.round("lcc_directed", 6).alias("lcc_directed")
+    )
+
+
+_LCC_DIRECTED_SQL = f"""
+WITH {_SQL_BASE},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+num AS (
+  SELECT n1.s AS vid, CAST(COUNT(*) AS BIGINT) AS num
+  FROM sym n1
+  JOIN sym n2 ON n2.s = n1.s AND n2.t <> n1.t
+  JOIN de ON de.src = n1.t AND de.dst = n2.t
+  GROUP BY n1.s)
+SELECT v.vid,
+       ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
+                  THEN COALESCE(n.num, 0) * 1.0 / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS lcc_directed
+FROM verts v LEFT JOIN num n ON n.vid = v.vid LEFT JOIN udeg d ON d.vid = v.vid
+"""
+
+
 def _q_bfs(spark, sf_dir):
     from graphscope_spark.algorithms import bfs
 
@@ -5772,6 +5801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "hits": _q_hits,
         "lcc": _q_lcc,
+        "lcc_directed": _q_lcc_directed,
         "mis": _q_mis,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_minhash,
@@ -6023,6 +6053,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "event_quantiles": _EVENT_QUANTILES_SQL,
         "incremental_pagerank": _INCR_PAGERANK_SQL,
         "lcc": _LCC_SQL,
+        "lcc_directed": _LCC_DIRECTED_SQL,
         "bfs": _bellman_sql(
             80, "1", 0, "CAST(dist AS BIGINT) AS dist"
         ),

@@ -172,3 +172,44 @@ def test_kclique_general(spark, tiny_graph):
         if all(b in adj[a] for a, b in combinations(c, 2))
     )
     assert kclique_count(g, 5).collect()[0]["cliques5"] == want5
+
+
+def test_lcc_directed_brute_force(spark):
+    """lcc_directed vs direct enumeration of directed edges among in∪out
+    neighbourhoods (the LDBC directed-LCC definition) on a random
+    directed graph."""
+    from graphscope_spark.algorithms.motifs import lcc_directed
+
+    rng = random.Random(11)
+    n = 20
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(n)
+        if u != v and rng.random() < 0.2
+    ]
+    g = from_edge_df(
+        spark.createDataFrame(edges, "src long, dst long"), num_partitions=4
+    )
+    D = set(edges)
+    nbrs = defaultdict(set)
+    for u, v in D:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    want = {}
+    for v in range(n):
+        d = len(nbrs[v])
+        if d < 2:
+            want[v] = 0.0
+        else:
+            num = sum(
+                1
+                for u in nbrs[v]
+                for w in nbrs[v]
+                if u != w and (u, w) in D
+            )
+            want[v] = num / (d * (d - 1))
+    got = {r["vid"]: r["lcc_directed"] for r in lcc_directed(g).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
