@@ -2368,6 +2368,65 @@ def _q_gie_predicates(spark, sf_dir):
     )
 
 
+def _q_gremlin_traversal(spark, sf_dir):
+    """TEXTUAL Gremlin through the string front end
+    (graphscope_spark/gremlin.py — the parser over the completed step
+    kernel): the same query as gie_traversal submitted as the string a
+    GIE user would type; shares _GIE_TRAVERSAL_SQL verbatim, so any
+    parser/evaluator divergence from the programmatic chain fails the
+    gate."""
+    from graphscope_spark.gremlin import gremlin
+
+    out = gremlin(
+        _gie_pg(spark, sf_dir),
+        "g.V().hasLabel('page').has('lang', 'en').out('links')"
+        ".groupCount().by('lang')",
+    )
+    return out.select(F.col("key").alias("lang"), F.col("count").alias("n"))
+
+
+def _q_gremlin_predicates(spark, sf_dir):
+    """Textual P/TextP vocabulary through the parser (same contract as
+    gie_predicates, oracle shared verbatim): inside/within/TextP parsed
+    from source text into pushed Catalyst filters."""
+    from graphscope_spark.gremlin import gremlin
+
+    out = gremlin(
+        _gie_pg(spark, sf_dir),
+        "g.V().hasLabel('page').has('n_chars', P.inside(100, 400))"
+        ".has('lang', P.within('en', 'de'))"
+        ".has('source', TextP.endingWith('3')).out('links')"
+        ".groupCount().by('lang')",
+    )
+    return out.select(
+        F.col("key").alias("lang"), F.col("count").cast("long").alias("n")
+    )
+
+
+def _q_gremlin_repeat(spark, sf_dir):
+    """Textual repeat().times() + dedup through the parser — the loop
+    step parsed from source text (same kernel and oracle family as
+    gie_repeat): 2-hop distinct reachability from en pages."""
+    from graphscope_spark.gremlin import gremlin
+
+    out = gremlin(
+        _gie_pg(spark, sf_dir),
+        "g.V().hasLabel('page').has('lang', 'en')"
+        ".repeat(__.out('links')).times(2).dedup().id()",
+    )
+    return out.select(F.col("id").alias("vid"))
+
+
+_GREMLIN_REPEAT_SQL = f"""
+WITH edges AS ({EDGES_FROM_DOCUMENTS_SQL}),
+docs AS (SELECT CAST(doc_id AS BIGINT) AS vid, lang FROM documents)
+SELECT DISTINCT e2.dst AS vid
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN docs d ON d.vid = e1.src AND d.lang = 'en'
+"""
+
+
 def _q_gie_element_map(spark, sf_dir):
     """Gremlin projection steps (supported_gremlin_steps.md:281):
     g.V().has('lang', P.eq('fr')).has('n_chars', P.gt(300))
@@ -5758,6 +5817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_wcc": _q_incremental_wcc,
         "gie_match": _q_gie_match,
         "gie_predicates": _q_gie_predicates,
+        "gremlin_traversal": _q_gremlin_traversal,
+        "gremlin_predicates": _q_gremlin_predicates,
+        "gremlin_repeat": _q_gremlin_repeat,
         "gie_element_map": _q_gie_element_map,
         "gie_edge_expand": _q_gie_edge_expand,
         "host_graph": _q_host_graph,
@@ -6040,6 +6102,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         "contamination_check": _CONTAMINATION_SQL,
         "gie_match": _GIE_MATCH_SQL,
         "gie_predicates": _GIE_PREDICATES_SQL,
+        "gremlin_traversal": _GIE_TRAVERSAL_SQL,
+        "gremlin_predicates": _GIE_PREDICATES_SQL,
+        "gremlin_repeat": _GREMLIN_REPEAT_SQL,
         "gie_element_map": _GIE_ELEMENT_MAP_SQL,
         "gie_edge_expand": _GIE_EDGE_EXPAND_SQL,
         "host_graph": _HOST_GRAPH_SQL,
