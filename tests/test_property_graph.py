@@ -69,3 +69,81 @@ def test_archive_roundtrip(spark, pg, tmp_path):
     assert got == [(1, 100, 2), (2, 100, 1), (3, 101, 4)]
     names = {r["vid"]: r["name"] for r in back.vertices["user"].collect()}
     assert names == {1: "ann", 2: "bo", 3: "cy"}
+
+
+def test_graphar_layout_conformance(spark, pg, tmp_path):
+    """The archive must be the documented gar/v1 layout: graph/vertex/edge
+    yaml descriptors with the spec's required keys, exactly-one-file
+    chunked vertex data (chunk_size rows per chunk, last one ragged),
+    vertex_count / edge_count files, and per-vertex-chunk CSR offset
+    arrays that are monotone and account for every edge."""
+    import glob
+    import os
+
+    import yaml
+
+    from graphscope_spark.property_graph import archive_graph
+
+    path = str(tmp_path / "gar")
+    archive_graph(pg, path, name="toy", vertex_chunk_size=2, edge_chunk_size=2)
+
+    with open(os.path.join(path, "toy.graph.yml")) as f:
+        gd = yaml.safe_load(f)
+    assert gd["version"] == "gar/v1"
+    assert set(gd) >= {"name", "prefix", "vertices", "edges", "version"}
+
+    for vf in gd["vertices"]:
+        with open(os.path.join(path, vf)) as f:
+            vd = yaml.safe_load(f)
+        assert set(vd) >= {
+            "label", "chunk_size", "prefix", "property_groups", "version"
+        }
+        pgroup = vd["property_groups"][0]
+        assert pgroup["file_type"] == "parquet"
+        names = {p["name"] for p in pgroup["properties"]}
+        assert "vid" in names and "_index" in names
+        vdir = os.path.join(path, vd["prefix"], pgroup["prefix"].rstrip("/"))
+        chunks = sorted(glob.glob(os.path.join(vdir, "chunk*")))
+        assert chunks, vdir
+        with open(os.path.join(path, vd["prefix"], "vertex_count")) as f:
+            n = int(f.read())
+        # chunk files: every chunk exactly chunk_size rows except the last
+        import pyarrow.parquet as pq
+
+        sizes = {
+            int(os.path.basename(c)[5:]): pq.read_table(c).num_rows
+            for c in chunks
+        }
+        assert sum(sizes.values()) == n
+        for i, sz in sizes.items():
+            if i < max(sizes):
+                assert sz == vd["chunk_size"], (i, sz)
+        # rows are ordered by the internal index within each chunk
+        t0 = pq.read_table(chunks[0]).to_pydict()["_index"]
+        assert t0 == sorted(t0) and t0[0] == 0
+
+    for ef in gd["edges"]:
+        with open(os.path.join(path, ef)) as f:
+            ed = yaml.safe_load(f)
+        assert set(ed) >= {
+            "src_label", "edge_label", "dst_label", "chunk_size",
+            "src_chunk_size", "dst_chunk_size", "directed", "prefix",
+            "adj_lists", "version",
+        }
+        adj = ed["adj_lists"][0]
+        assert adj["aligned_by"] == "src" and adj["ordered"] is True
+        edir = os.path.join(path, ed["prefix"], "ordered_by_source")
+        with open(os.path.join(edir, "edge_count")) as f:
+            m = int(f.read())
+        import pyarrow.parquet as pq
+
+        achunks = glob.glob(os.path.join(edir, "adj_list", "part*", "chunk*"))
+        rows = sum(pq.read_table(c).num_rows for c in achunks)
+        assert rows == m
+        # offsets: monotone per chunk, final value = that chunk's edges
+        total_from_offsets = 0
+        for oc in glob.glob(os.path.join(edir, "offset", "chunk*")):
+            offs = pq.read_table(oc).to_pydict()["offset"]
+            assert offs == sorted(offs) and offs[0] == 0
+            total_from_offsets += offs[-1]
+        assert total_from_offsets == m
