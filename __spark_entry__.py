@@ -5767,17 +5767,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     docs_by_lang/bfs/sssp/hits past slot 50 — all five displaced rows are
     r1-r3 driver-green and stay in the full local matrix.
 
-    Final round-4 window (see the reorder at the end of this function):
-    the first 50 slots are EXACTLY the 50 rows that had no driver
-    CORRECTNESS row when the window froze — after the round-4 gate, every
-    query that existed at the freeze has at least one driver row across
-    r01-r04. Rows registered after the freeze (dup_spans, the nx-metrics
-    family, degree_stats, topo_generations) sit past slot 50, are verified
-    by the committed full matrix at round-4 HEAD (BENCH/GATE_FULL_r4.json),
-    and head the round-5 window queue. The displaced already-gated rows
-    (flagship four, ann_lsh_topk with its strengthened oracle,
-    pagerank_dangling with its resume-validation change, and the rest) are
-    likewise re-verified by the full matrix."""
+    Round-5 window (see the reorder at the end of this function): the 29
+    rows registered after the round-4 freeze (never driver-gated), then
+    the rows whose oracle/kernel changed this round (node2vec_walks'
+    new exact oracle, lcc_directed, the gremlin_* string-front-end rows,
+    the tail-finish peels), then 14 of the stalest r01/r02 rows with
+    bench headliners first. After the round-5 gate every query has a
+    driver row from r03 or later, except rows whose last driver check is
+    r02 — all re-verified by the committed full matrix at round-5 HEAD
+    (BENCH/GATE_FULL_r5.json)."""
     qs = {
         # ---- literal order is historical; the ACTUAL first-50 driver
         # ---- window is set by the never_gated reorder after this dict
@@ -5976,35 +5974,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_agreement": _q_clustering_agreement,
         "nx_multigraph_report": _q_nx_multigraph,
     }
-    # Final round-4 window: the driver gates the FIRST 50 entries, and
-    # exactly 50 rows have never had a driver CORRECTNESS row (everything
-    # added this round). Promote precisely those, preserving relative
-    # order, so after the round-4 gate EVERY query in the engine has at
-    # least one driver row across r01-r04. The displaced rows (flagship
-    # four included) are r1-r3 driver-green and re-verified by the
-    # committed full local matrix at HEAD (BENCH/GATE_FULL_r4.json).
-    never_gated = [
-        "pagerank_weighted", "bm25_rank", "hll_distinct_shingles",
-        "hll_merge_invariance", "event_quantiles", "incremental_pagerank",
-        "gie_select_path", "gie_subgraph_wcc", "apsp_exact", "hyperanf_nf",
-        "nx_mutate_report", "gen_labels", "gen_edge_labels",
-        "neighbor_sample", "random_walks", "negative_sample",
-        "node2vec_walks", "pii_redaction", "c4_filters",
-        "deterministic_split", "stratified_sample", "contamination_check",
-        "incremental_wcc", "gie_match", "gie_predicates",
-        "gie_element_map", "gie_edge_expand", "host_graph", "url_dedup",
-        "paragraph_dedup", "repetition_scores", "bfs_tree",
-        "numeric_assortativity", "in_degree_centrality",
-        "out_degree_centrality", "all_simple_edge_paths",
-        "link_prediction", "modularity", "conductance", "asof_join",
-        "range_join", "events_sliding", "lm_scores", "frequent_tokens",
-        "semdedup", "dedup_clusters", "events_sessions", "kclique5",
-        "tfidf_top_terms", "truss_decomposition",
+    # Round-5 window (the driver gates the FIRST 50 entries), per the
+    # round-4 plan: (a) the 29 rows that have NEVER had a driver
+    # CORRECTNESS row (registered after the round-4 freeze, full-matrix
+    # verified only); (b) the rows whose oracle or kernel CHANGED this
+    # round — node2vec_walks (new exact inverse-CDF oracle, previously
+    # rows-only), the new lcc_directed and the three string-Gremlin rows,
+    # degeneracy_order / onion_layers (guarded tail finish); (c) 14 of the
+    # stalest rows, last driver-gated in r01/r02, bench headliners first.
+    # Every displaced row is r2-r4 driver-green and re-verified by the
+    # committed full local matrix at HEAD (BENCH/GATE_FULL_r5.json).
+    window = [
+        # (a) never driver-gated
+        "bipartite_projection", "chunk_documents", "clustering_agreement",
+        "degree_stats", "distance_measures", "dsir_select", "dup_spans",
+        "edge_betweenness", "efficiency_wiener", "feature_propagation",
+        "flow_hierarchy", "gie_repeat", "graph_metrics",
+        "incremental_triangles", "kmeans", "label_spreading",
+        "local_community", "node_embeddings", "nx_multigraph_report",
+        "readability_scores", "reciprocity", "rich_club", "simrank",
+        "structural_holes", "token_zipf", "topo_generations", "trustrank",
+        "voronoi", "winnow_fingerprints",
+        # (b) new or changed this round
+        "node2vec_walks", "lcc_directed", "gremlin_traversal",
+        "gremlin_predicates", "gremlin_repeat", "degeneracy_order",
+        "onion_layers",
+        # (c) stalest r01/r02 rows, headliners first
+        "docs_by_lang", "bfs", "sssp", "hits", "pagerank_csv",
+        "graph_edges", "graph_degrees", "graph_report", "kcore",
+        "coreness", "lcc", "eigenvector", "katz", "articlerank",
     ]
-    assert len(never_gated) == 50 and all(k in qs for k in never_gated)
+    assert len(window) == 50 and all(k in qs for k in window)
     return {
-        **{k: qs[k] for k in never_gated},
-        **{k: v for k, v in qs.items() if k not in set(never_gated)},
+        **{k: qs[k] for k in window},
+        **{k: v for k, v in qs.items() if k not in set(window)},
     }
 
 
