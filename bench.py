@@ -168,8 +168,15 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # shared-box hygiene: external load corrupts timings (round 3's
     # pagerank-throughput "regression" re-measured flat on an idle box) —
-    # record the 1/5/15-min load alongside every benchmark artifact
+    # record the 1/5/15-min load alongside every benchmark artifact, and
+    # TAG the artifact as contaminated when the box was already busy at
+    # start (round 4's artifact began at loadavg 4.13 and overstated
+    # several rows by 20-100% vs the committed idle re-runs). The
+    # contamination threshold is on the 1-min average; override with
+    # SPARK_GRAFT_LOADAVG_MAX, or set it to 0 to skip the check.
     load_before = os.getloadavg()
+    load_max = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "1.0"))
+    contaminated = bool(load_max) and load_before[0] > load_max
     scale_edges = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "5000000"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
 
@@ -327,6 +334,12 @@ def main():
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
+    if contaminated:
+        out["contaminated"] = True
+        out["contamination_reason"] = (
+            f"loadavg {load_before[0]:.2f} > {load_max:.2f} at start — "
+            "timings include external load; re-run idle"
+        )
     print(json.dumps(out))
     spark.stop()
 
