@@ -4169,6 +4169,59 @@ def _q_neighbor_sample(spark, sf_dir):
     return neighbor_sample(g, _roots(g), fanouts=[3, 2], seed=42)
 
 
+def _q_pyg_blocks(spark, sf_dir):
+    """PyG mini-batch hand-off (learning.export_pyg_blocks — the data
+    hand-off to GLE/graphlearn-for-pytorch training, SURVEY §2.9): the
+    neighbor_sample blocks re-expressed per root as PyG NeighborLoader
+    payloads (n_id with local 0 = root, local-index edge_index sorted by
+    (hop, src, dst)). The oracle recomputes the identical structure over
+    the shared neighbor_sample CTE chain."""
+    from graphscope_spark.learning import export_pyg_blocks, neighbor_sample
+
+    g = _graph(spark, sf_dir)
+    blocks = neighbor_sample(g, _roots(g), fanouts=[3, 2], seed=42)
+    return export_pyg_blocks(blocks)
+
+
+def _pyg_blocks_sql(fanouts: list[int], roots_pred: str, seed: int) -> str:
+    base = _neighbor_sample_sql(fanouts, roots_pred, seed)
+    # base ends with "s1 UNION ALL s2" select — wrap it as a blocks CTE
+    head, _, final = base.rpartition("\n")
+    # head's last CTE lost its trailing comma to the builder's rstrip(",")
+    return (
+        head
+        + f""",
+blocks AS ({final}),
+nodes AS (
+  SELECT DISTINCT root, src AS vid FROM blocks
+  UNION SELECT DISTINCT root, dst FROM blocks
+  UNION SELECT DISTINCT root, root FROM blocks),
+loc AS (
+  SELECT root, vid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY root
+                                 ORDER BY (vid <> root), vid) - 1 AS BIGINT) AS i
+  FROM nodes),
+es AS (
+  SELECT b.root, b.hop, sl.i AS si, dl.i AS di
+  FROM blocks b
+  JOIN loc sl ON sl.root = b.root AND sl.vid = b.src
+  JOIN loc dl ON dl.root = b.root AND dl.vid = b.dst),
+eagg AS (
+  SELECT root,
+         LIST(si ORDER BY hop, si, di) AS edge_index_src,
+         LIST(di ORDER BY hop, si, di) AS edge_index_dst,
+         LIST(hop ORDER BY hop, si, di) AS hop
+  FROM es GROUP BY root),
+nagg AS (SELECT root, LIST(vid ORDER BY i) AS n_id FROM loc GROUP BY root)
+SELECT n.root, n.n_id,
+       COALESCE(e.edge_index_src, CAST([] AS BIGINT[])) AS edge_index_src,
+       COALESCE(e.edge_index_dst, CAST([] AS BIGINT[])) AS edge_index_dst,
+       COALESCE(e.hop, CAST([] AS BIGINT[])) AS hop
+FROM nagg n LEFT JOIN eagg e ON e.root = n.root
+"""
+    )
+
+
 def _q_random_walks(spark, sf_dir):
     from graphscope_spark.learning import random_walks
 
@@ -5801,6 +5854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_labels": _q_gen_labels,
         "gen_edge_labels": _q_gen_edge_labels,
         "neighbor_sample": _q_neighbor_sample,
+        "pyg_blocks": _q_pyg_blocks,
         "random_walks": _q_random_walks,
         "negative_sample": _q_negative_sample,
         # full-value oracle since round 5: the biased draw is a portable
@@ -5997,12 +6051,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi", "winnow_fingerprints",
         # (b) new or changed this round
         "node2vec_walks", "lcc_directed", "gremlin_traversal",
-        "gremlin_predicates", "gremlin_repeat", "degeneracy_order",
-        "onion_layers",
+        "gremlin_predicates", "gremlin_repeat", "pyg_blocks",
+        "degeneracy_order", "onion_layers",
         # (c) stalest r01/r02 rows, headliners first
         "docs_by_lang", "bfs", "sssp", "hits", "pagerank_csv",
         "graph_edges", "graph_degrees", "graph_report", "kcore",
-        "coreness", "lcc", "eigenvector", "katz", "articlerank",
+        "coreness", "lcc", "eigenvector", "katz",
     ]
     assert len(window) == 50 and all(k in qs for k in window)
     return {
@@ -6095,6 +6149,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gen_labels": _GEN_LABELS_SQL,
         "gen_edge_labels": _GEN_EDGE_LABELS_SQL,
         "neighbor_sample": _neighbor_sample_sql([3, 2], "vid % 97 = 0", 42),
+        "pyg_blocks": _pyg_blocks_sql([3, 2], "vid % 97 = 0", 42),
         "random_walks": _random_walks_final(4, 2, "vid % 97 = 0", 0),
         "node2vec_walks": _node2vec_sql(4, 2, "vid % 97 = 0", 0, 0.5, 2.0),
         "negative_sample": _negative_sample_sql(3, 4, 0),

@@ -251,3 +251,39 @@ def test_feature_propagation_matches_hand_sgc(spark):
         assert np.allclose(out[v], want[vids.index(v)], atol=1e-12), v
     # missing-feature vertices start at the zero vector (4 got zeros)
     assert out[4] == list(want[3])
+
+
+def test_export_pyg_blocks(spark, corpus_graph):
+    """PyG hand-off adapter: local index 0 is the root, n_id/edge_index
+    round-trip exactly to the sampled global block set, and features align
+    by local index."""
+    from graphscope_spark.learning import export_pyg_blocks, neighbor_sample
+
+    g = corpus_graph
+    seeds = g.vertices.limit(5)
+    blocks = neighbor_sample(g, seeds, fanouts=[3, 2], seed=7).persist()
+    feats = g.vertices.select(
+        "vid", F.array(F.col("vid") * 2.0, F.col("vid") + 0.5).alias("x")
+    )
+    out = export_pyg_blocks(blocks, features=feats).collect()
+    want_edges = {}
+    for r in blocks.collect():
+        want_edges.setdefault(r["root"], set()).add((r["src"], r["dst"], r["hop"]))
+    blocks.unpersist()
+    assert {r["root"] for r in out} == set(want_edges)
+    for r in out:
+        n_id = r["n_id"]
+        assert n_id[0] == r["root"]                       # PyG convention
+        assert sorted(n_id[1:]) == n_id[1:]               # deterministic order
+        assert len(set(n_id)) == len(n_id)
+        # edge_index maps back to exactly the sampled block set
+        got = {
+            (n_id[s], n_id[d], h)
+            for s, d, h in zip(
+                r["edge_index_src"], r["edge_index_dst"], r["hop"]
+            )
+        }
+        assert got == want_edges[r["root"]]
+        # features align with n_id by local position
+        for i, vid in enumerate(n_id):
+            assert r["x"][i] == [vid * 2.0, vid + 0.5]
