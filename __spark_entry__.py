@@ -2427,6 +2427,33 @@ JOIN docs d ON d.vid = e1.src AND d.lang = 'en'
 """
 
 
+def _q_cypher_traversal(spark, sf_dir):
+    """TEXTUAL Cypher through the string front end (cypher.py — the
+    reference's Neo4j-eco read surface, neo4j_eco.md:6,17-18): the same
+    relation as gie_traversal written as MATCH/WHERE/RETURN with Cypher's
+    implicit grouping; oracle shared verbatim."""
+    from graphscope_spark.cypher import cypher
+
+    return cypher(
+        _gie_pg(spark, sf_dir),
+        "MATCH (a:page)-[:links]->(b:page) WHERE a.lang = 'en' "
+        "RETURN b.lang AS lang, count(*) AS n",
+    )
+
+
+def _q_cypher_select_path(spark, sf_dir):
+    """Two-hop path projection in textual Cypher (var-to-var <> filter +
+    implicit group), sharing _GIE_SELECT_PATH_SQL verbatim."""
+    from graphscope_spark.cypher import cypher
+
+    return cypher(
+        _gie_pg(spark, sf_dir),
+        "MATCH (a:page)-[:links]->()-[:links]->(c:page) "
+        "WHERE a.lang = 'en' AND a <> c "
+        "RETURN a AS a, c AS c, count(*) AS n",
+    )
+
+
 def _q_gie_element_map(spark, sf_dir):
     """Gremlin projection steps (supported_gremlin_steps.md:281):
     g.V().has('lang', P.eq('fr')).has('n_chars', P.gt(300))
@@ -5870,6 +5897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gie_match": _q_gie_match,
         "gie_predicates": _q_gie_predicates,
         "gremlin_traversal": _q_gremlin_traversal,
+        "cypher_traversal": _q_cypher_traversal,
+        "cypher_select_path": _q_cypher_select_path,
         "gremlin_predicates": _q_gremlin_predicates,
         "gremlin_repeat": _q_gremlin_repeat,
         "gie_element_map": _q_gie_element_map,
@@ -6051,12 +6080,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi", "winnow_fingerprints",
         # (b) new or changed this round
         "node2vec_walks", "lcc_directed", "gremlin_traversal",
-        "gremlin_predicates", "gremlin_repeat", "pyg_blocks",
+        "gremlin_predicates", "gremlin_repeat", "cypher_traversal",
+        "cypher_select_path", "pyg_blocks",
         "degeneracy_order", "onion_layers",
         # (c) stalest r01/r02 rows, headliners first
         "docs_by_lang", "bfs", "sssp", "hits", "pagerank_csv",
         "graph_edges", "graph_degrees", "graph_report", "kcore",
-        "coreness", "lcc", "eigenvector", "katz",
+        "coreness", "lcc",
     ]
     assert len(window) == 50 and all(k in qs for k in window)
     return {
@@ -6161,6 +6191,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "gie_match": _GIE_MATCH_SQL,
         "gie_predicates": _GIE_PREDICATES_SQL,
         "gremlin_traversal": _GIE_TRAVERSAL_SQL,
+        "cypher_traversal": _GIE_TRAVERSAL_SQL,
+        "cypher_select_path": _GIE_SELECT_PATH_SQL,
         "gremlin_predicates": _GIE_PREDICATES_SQL,
         "gremlin_repeat": _GREMLIN_REPEAT_SQL,
         "gie_element_map": _GIE_ELEMENT_MAP_SQL,
