@@ -147,3 +147,43 @@ def test_graphar_layout_conformance(spark, pg, tmp_path):
             assert offs == sorted(offs) and offs[0] == 0
             total_from_offsets += offs[-1]
         assert total_from_offsets == m
+
+
+def test_graph_store_versioned_mutations(spark, pg, tmp_path):
+    """groot-lite store: commit → mutate (nx layer) → commit; both
+    versions independently loadable, snapshot isolation holds, manifest
+    records the history."""
+    from graphscope_spark.store import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"))
+    v1 = store.commit(pg, message="initial")
+    assert v1 == 1
+
+    # mutate: drop one edge triple's rows for user 1, add a vertex
+    pg2 = pg
+    new_user = spark.createDataFrame(
+        [(99, "zed")], pg.vertices["user"].schema
+    )
+    pg2 = PropertyGraph(
+        {**pg.vertices, "user": pg.vertices["user"].unionByName(new_user)},
+        dict(pg.edges),
+        pg.num_partitions,
+    )
+    v2 = store.commit(pg2, message="add user 99")
+    assert v2 == 2
+
+    back1 = store.load(spark, version=1)
+    back2 = store.load(spark, version=2)
+    n1 = back1.vertices["user"].count()
+    n2 = back2.vertices["user"].count()
+    assert n2 == n1 + 1
+    assert 99 in {r["vid"] for r in back2.vertices["user"].collect()}
+    assert 99 not in {r["vid"] for r in back1.vertices["user"].collect()}
+    # latest = v2; manifest history intact
+    assert store.latest_version() == 2
+    msgs = [e["message"] for e in store.versions()]
+    assert msgs == ["initial", "add user 99"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.load(spark, version=7)
