@@ -41,11 +41,30 @@ def synthetic_docs(spark, n_docs: int, partitions: int):
     base = F.when(
         F.col("id") % 10 == 9, F.col("id") - 1
     ).otherwise(F.col("id"))
+    # md5-derived 8-hex-char tokens: the char-shingle space is effectively
+    # unbounded, so two RANDOM docs share no shingles and only the planted
+    # edits collide — the web-text regime LSH is designed for. Two earlier
+    # corpus attempts ("w" + number tokens, 5·10^4 then 10^9 vocabulary)
+    # made unrelated docs share prefix shingles by construction, so the
+    # per-perm min-hash concentrated on popular shingles and band buckets
+    # grew quadratically — corpus artifacts, not operator properties
+    # (documented here so the artifact's history is auditable).
     toks = F.transform(
         F.sequence(F.lit(1), F.lit(60)),
-        lambda i: F.concat(
-            F.lit("w"),
-            F.pmod(base * 2654435761 + i * 40503 + (F.col("id") % 10) * (i == 60).cast("long"), F.lit(50021)).cast("string"),
+        lambda i: F.substring(
+            F.md5(
+                F.concat(
+                    base.cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                    F.lit(":"),
+                    F.when(
+                        (i == 60) & (F.col("id") % 10 == 9), F.lit("edit")
+                    ).otherwise(F.lit("")),
+                )
+            ),
+            1,
+            8,
         ),
     )
     return spark.range(0, n_docs, 1, partitions).select(
@@ -72,14 +91,32 @@ def synthetic_embeddings(spark, n: int, dim: int, partitions: int):
     )
 
 
+def _drain(mon) -> dict:
+    """Accumulate snapshots until the UI REST endpoint reports no new
+    completed stages twice in a row — stage completion lands in the REST
+    view asynchronously, and a single post-action snapshot mis-attributes
+    the tail stages to the NEXT op's window."""
+    tot = {"shuffle_read_bytes": 0, "shuffle_write_bytes": 0}
+    quiet = 0
+    while quiet < 2:
+        time.sleep(1.0)
+        m = mon.snapshot()
+        if m["shuffle_read_bytes"] or m["shuffle_write_bytes"]:
+            tot["shuffle_read_bytes"] += m["shuffle_read_bytes"]
+            tot["shuffle_write_bytes"] += m["shuffle_write_bytes"]
+            quiet = 0
+        else:
+            quiet += 1
+    return tot
+
+
 def run_op(spark, name, fn):
     mon = SparkStageMetrics(spark)
-    mon.snapshot()
+    _drain(mon)  # flush anything left over from the previous op
     t0 = time.time()
     result_rows = fn()
     wall = time.time() - t0
-    time.sleep(1.0)  # let the UI REST endpoint catch up with final stages
-    m = mon.snapshot()
+    m = _drain(mon)
     return {
         "rows": result_rows,
         "wall_s": round(wall, 2),
@@ -149,7 +186,11 @@ def main():
 
         return go
 
-    scales("dedup_minhash_scan", mk_dedup(5_000 // div), mk_dedup(50_000 // div))
+    # 20k→200k, not 5k→50k: below ~10k docs AQE broadcast-joins the whole
+    # candidate path (zero shuffle — the measured 0.14 MB), so a ratio
+    # against it compares regimes, not scaling; both these sizes are in
+    # the shuffle regime
+    scales("dedup_minhash_scan", mk_dedup(20_000 // div), mk_dedup(200_000 // div))
 
     # -- semdedup ----------------------------------------------------------
     def mk_sem(n):
