@@ -59,6 +59,10 @@ PICKS = {
     "token_zipf": "Zipf fit — explode -> vocab-bounded partial-agg count; top-k is TakeOrderedAndProject; the rank window + OLS run over <=k rows",
     "bipartite_projection": "bipartite projection — distinct + right-key self-join over the ONCE-persisted capped edge set (max_degree anti-skew cap), partial-agg pair counts, Jaccard from two broadcast degree joins; the operator eagerly materializes (truncate_plan) so the dump shows the checkpointed result, the join shape is in the description",
     "feature_propagation": "SGC propagation — per round ONE weighted-edge join + 64 independent SUM aggregates (map-side combinable); shuffle = n rows of dim doubles, no collect_list",
+    "lcc_directed": "directed LCC (r5) — numerator rides the shared degree-ordered triangle kernel (corner gains popcount of the opposite pair's direction mask), one explode+groupBy, two broadcast joins for degree/count attach; no wedge-squared hub blowup",
+    "gremlin_traversal": "string-Gremlin front end (r5) — the TEXTUAL query parses onto the same Traversal chain, so the physical plan is identical to gie_traversal's: lang filter pushed into the vertex scan, hops as plain equi-joins (the parser adds zero plan nodes)",
+    "cypher_select_path": "Cypher front end (r5) — MATCH two-hop with var<>var filter and implicit grouping compiles to the alias-projection join chain + one pair-keyed partial aggregate; same plan family as gie_select_path",
+    "pyg_blocks": "PyG mini-batch export (r5) — neighbor_sample blocks re-keyed to per-root local indices via two (root,vid)-keyed joins against the window-ranked local-index table, ONE per-root collect (fanout-bounded payloads), sort_array for deterministic tensor order",
     "repetition_scores": "Gopher repetition filters — two explode→partial-agg chains (lines, n-grams) keyed by doc_id, window co-partitioned with the 2-gram aggregate, zero UDFs. Deliberately scan-heavy/shuffle-light: the text column is re-scanned per chain (projection-pruned, sequential IO) so every aggregate keeps map-side partial aggregation — the shuffled bytes are distinct (doc, gram) counts, not the raw token stream a single-scan window formulation would have to sort-shuffle.",
 }
 
@@ -123,11 +127,20 @@ directly (tools/check_gate timings + controlled warm-process A/Bs):
   k=8 (100+ s): each round's plan references the state twice, so an
   uncut chain re-expands the shared DAG into a tree that doubles per
   round (2^k nodes); (3) truncate-every-round + stopping-count fused to
-  one action per fused_rounds block — the committed shape (peel 125.7 →
-  ~91 s, onion 123.4 → ~63 s cold; ~19 s warm). At real scale each round
-  carries O(frontier-edges) distributed work, so the driver floor
-  amortizes; rounds = peel-cascade depth is inherent to the reference
-  semantics (flash core/*-ordering.h run the same round count).
+  one action per fused_rounds block — the round-4 shape (peel 125.7 →
+  ~91 s, onion 123.4 → ~63 s cold; ~19 s warm). ROUND 5 closed the rest
+  of the gap with a guarded LOCAL TAIL FINISH: after each block the
+  stopping aggregate already counts the residual, and once it (and the
+  counted residual-internal edge set) fits under explicit cutoffs the
+  remaining cascade finishes in one bounded driver pass with ranks
+  offset by the completed rounds — distributed while wide, never
+  barrier-bound in the deep sparse tail (gate SF: degeneracy 53 → 22 s,
+  onion 31 → 11 s; `topological_generations` got the same two-regime
+  rewrite plus Kahn settledness tracking, 75 → 17 s). At real scale the
+  wide rounds carry O(frontier-edges) distributed work and the tail
+  cutoffs bound driver memory; rounds = peel-cascade depth is inherent
+  to the reference semantics (flash core/*-ordering.h run the same
+  round count).
 * **min_vertex_cover** — phase 2's round-parallel id-max prune serializes
   into Theta(longest monotone-id candidate chain) rounds (380 rounds /
   330 s at sf0.1, where phase 1 covers every vertex). Its unique fixpoint
