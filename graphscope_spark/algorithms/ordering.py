@@ -77,6 +77,46 @@ def _simulate_peel(population, removable, on_remove):
     return out
 
 
+def _peel_tail_finish(
+    state, out_col, collect_cols, edges_tbl, rnd, make_sim, local_edge_cutoff
+):
+    """Shared guarded tail finish for the peel loops: when the residual
+    (``out_col`` IS NULL) subgraph's internal edge count (checked, never
+    assumed) fits under ``local_edge_cutoff``, finish the cascade in one
+    driver-side ``_simulate_peel`` pass with rounds offset by the ``rnd``
+    distributed rounds already completed. ``make_sim(rows, adj)`` returns
+    the (population, removable, on_remove) triple for the simulation.
+    Returns the completed (vid, out_col) frame, or None when the residual
+    is still too dense (caller keeps peeling distributed)."""
+    resid = state.where(F.col(out_col).isNull()).select("vid", *collect_cols)
+    rv = resid.select(F.col("vid").alias("src"))
+    re_ = (
+        edges_tbl.join(rv, "src", "semi")
+        .join(resid.select(F.col("vid").alias("dst")), "dst", "semi")
+        .select("src", "dst")
+        .persist()
+    )
+    if re_.count() > local_edge_cutoff:
+        re_.unpersist()  # residual too dense — keep peeling
+        return None
+    adj = defaultdict(list)
+    for r in re_.collect():
+        adj[r["src"]].append(r["dst"])
+    re_.unpersist()
+    rows = resid.collect()
+    population, removable, on_remove = make_sim(rows, adj)
+    out = _simulate_peel(population, removable, on_remove)
+    local = state.sparkSession.createDataFrame(
+        sorted((int(v), int(r) + rnd) for v, r in out.items()),
+        f"vid long, {out_col} long",
+    )
+    return (
+        state.where(F.col(out_col).isNotNull())
+        .select("vid", out_col)
+        .unionByName(local)
+    )
+
+
 def degeneracy_order(
     graph: LinkGraph,
     max_rounds: int = 2000,
@@ -190,46 +230,23 @@ def degeneracy_order(
                 # every applied decrement (rounds complete at block end —
                 # no in-flight messages), so the local peel continues the
                 # exact cascade with ranks offset by the finished rounds
-                resid = state.where(F.col("rank").isNull()).select(
-                    "vid", "deg"
-                )
-                rv = resid.select(F.col("vid").alias("src"))
-                re = (
-                    und.join(rv, "src", "semi")
-                    .join(
-                        resid.select(F.col("vid").alias("dst")), "dst", "semi"
-                    )
-                    .select("src", "dst")
-                    .persist()
-                )
-                if re.count() <= local_edge_cutoff:
-                    adj = defaultdict(list)
-                    for r in re.collect():
-                        adj[r["src"]].append(r["dst"])
-                    re.unpersist()
-                    deg = {r["vid"]: r["deg"] for r in resid.collect()}
+                def make_sim(rows, adj):
+                    deg = {r["vid"]: r["deg"] for r in rows}
 
                     def on_remove(v):
                         for w in adj.get(v, ()):
                             deg[w] -= 1
                         return set(adj.get(v, ()))
 
-                    ranks = _simulate_peel(
-                        deg, lambda v: deg[v] <= dg, on_remove
-                    )
-                    local = state.sparkSession.createDataFrame(
-                        sorted(
-                            (int(v), int(r) + rnd) for v, r in ranks.items()
-                        ),
-                        "vid long, rank long",
-                    )
+                    return deg, (lambda v: deg[v] <= dg), on_remove
+
+                done = _peel_tail_finish(
+                    state, "rank", ["deg"], und, rnd, make_sim,
+                    local_edge_cutoff,
+                )
+                if done is not None:
                     und.unpersist()
-                    return (
-                        state.where(F.col("rank").isNotNull())
-                        .select("vid", "rank")
-                        .unionByName(local)
-                    )
-                re.unpersist()  # residual too dense — keep peeling
+                    return done
     und.unpersist()
     return state.where(F.col("rank").isNotNull()).select("vid", "rank")
 
@@ -338,24 +355,7 @@ def onion_layers(
                 # residual qualifying degrees already include every
                 # applied decrement; continue the cascade locally with
                 # layers offset by the finished rounds
-                resid = state.where(F.col("layer").isNull()).select(
-                    "vid", "core", "qdeg"
-                )
-                rv = resid.select(F.col("vid").alias("src"))
-                re = (
-                    ecore.join(rv, "src", "semi")
-                    .join(
-                        resid.select(F.col("vid").alias("dst")), "dst", "semi"
-                    )
-                    .select("src", "dst")
-                    .persist()
-                )
-                if re.count() <= local_edge_cutoff:
-                    adj = defaultdict(list)
-                    for r in re.collect():
-                        adj[r["src"]].append(r["dst"])
-                    re.unpersist()
-                    rows = resid.collect()
+                def make_sim(rows, adj):
                     cd = {r["vid"]: r["core"] for r in rows}
                     qdeg = {r["vid"]: r["qdeg"] for r in rows}
 
@@ -366,23 +366,16 @@ def onion_layers(
                             touched.add(v)
                         return touched
 
-                    layers = _simulate_peel(
-                        qdeg, lambda v: qdeg[v] <= cd[v], on_remove
-                    )
-                    local = state.sparkSession.createDataFrame(
-                        sorted(
-                            (int(v), int(r) + rnd) for v, r in layers.items()
-                        ),
-                        "vid long, layer long",
-                    )
+                    return qdeg, (lambda v: qdeg[v] <= cd[v]), on_remove
+
+                done = _peel_tail_finish(
+                    state, "layer", ["core", "qdeg"], ecore, rnd, make_sim,
+                    local_edge_cutoff,
+                )
+                if done is not None:
                     ecore.unpersist()
                     und.unpersist()
-                    return (
-                        state.where(F.col("layer").isNotNull())
-                        .select("vid", "layer")
-                        .unionByName(local)
-                    )
-                re.unpersist()  # residual too dense — keep peeling
+                    return done
     ecore.unpersist()
     und.unpersist()
     return state.where(F.col("layer").isNotNull()).select("vid", "layer")

@@ -95,17 +95,24 @@ class _Hop:
     type: str | None
 
 
+def _skip_ws(text: str, pos: int) -> int:
+    while pos < len(text) and text[pos].isspace():
+        pos += 1
+    return pos
+
+
 def _parse_pattern(text: str) -> tuple[list[_Node], list[_Hop]]:
     nodes: list[_Node] = []
     hops: list[_Hop] = []
-    pos = 0
+    pos = _skip_ws(text, 0)
     m = _NODE.match(text, pos)
     if not m:
         raise CypherParseError(f"expected node pattern at {text[pos:pos+20]!r}")
     nodes.append(_Node(m.group("var"), m.group("label"), _parse_props(m.group("props"))))
     pos = m.end()
     while pos < len(text):
-        if text[pos:].strip() == "":
+        pos = _skip_ws(text, pos)
+        if pos >= len(text):
             break
         mr = _REL.match(text, pos)
         if not mr:
@@ -115,7 +122,7 @@ def _parse_pattern(text: str) -> tuple[list[_Node], list[_Hop]]:
             raise CypherParseError("relationship cannot point both ways")
         direction = "out" if right else ("in" if left else "both")
         hops.append(_Hop(direction, mr.group("type")))
-        pos = mr.end()
+        pos = _skip_ws(text, mr.end())
         mn = _NODE.match(text, pos)
         if not mn:
             raise CypherParseError(
@@ -226,12 +233,12 @@ def cypher(pg, query: str) -> DataFrame:
                         f"unsupported var comparison {clause!r}"
                     )
                 la, lb = var, rhs
-                pa = F.col("v") if la not in binds else F.col(f"p_{la}")
-                pb = F.col("v") if lb not in binds else F.col(f"p_{lb}")
-                if la in binds:
-                    pa = F.col(f"p_{la}")
-                if lb in binds:
-                    pb = F.col(f"p_{lb}")
+                for name in (la, lb):
+                    if name not in binds:
+                        raise CypherParseError(
+                            f"unknown variable {name!r} in {clause!r}"
+                        )
+                pa, pb = F.col(f"p_{la}"), F.col(f"p_{lb}")
                 t = t.where(pa == pb if op == "=" else pa != pb)
                 continue
             if var not in binds:

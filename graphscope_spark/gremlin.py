@@ -385,7 +385,28 @@ def _apply_calls(t, calls: tuple):
                 branches.append(a)
             if name == "union":
                 outs = [_apply_calls(t, b.calls) for b in branches]
-                t = outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]
+                kinds = {isinstance(o, DataFrame) for o in outs}
+                if len(kinds) > 1:
+                    raise GremlinParseError(
+                        "union() branches must all be traversals or all "
+                        "projections, not a mix"
+                    )
+                if kinds == {True}:
+                    # projected branches: require identical columns and
+                    # union by NAME (DataFrame.union is positional and
+                    # takes exactly one other frame)
+                    cols = set(outs[0].columns)
+                    if any(set(o.columns) != cols for o in outs[1:]):
+                        raise GremlinParseError(
+                            "union() projection branches carry different "
+                            "columns"
+                        )
+                    u = outs[0]
+                    for o in outs[1:]:
+                        u = u.unionByName(o)
+                    t = u
+                else:
+                    t = outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]
             elif name == "optional":
                 t = t.optional(lambda x, b=branches[0]: _apply_calls(x, b.calls))
             else:

@@ -278,9 +278,15 @@ def node2vec_walks(
         raise ValueError(
             f"need num_walks,length >= 1 and p,q > 0; got {num_walks}, {length}, {p}, {q}"
         )
+    # DISTINCT matters here (unlike random_walks' hash-argmin, which is
+    # duplicate-insensitive): the inverse-CDF draw sums weight per
+    # candidate ROW, so a duplicated (src, dst) edge would double that
+    # neighbour's selection probability — and the DuckDB oracle's edge CTE
+    # is distinct by construction.
     edges = (
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
+        .distinct()
         .repartition(F.col("src"))
         .persist()
     )

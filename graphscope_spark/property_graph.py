@@ -202,6 +202,9 @@ def archive_graph(
         "vertices": [],
         "edges": [],
         "version": _GAR_VERSION,
+        # engine extension (ignored by GraphAr tooling): round-trip the
+        # partitioning so a reloaded graph plans like the original
+        "num_partitions": pg.num_partitions,
     }
     indices: dict[str, DataFrame] = {}
     counts: dict[str, int] = {}
@@ -277,7 +280,7 @@ def archive_graph(
         adj = adj.withColumn(
             "_echunk",
             ((F.row_number().over(w) - 1) / F.lit(edge_chunk_size)).cast("long"),
-        )
+        ).persist()  # feeds the chunked write AND the degree/offset pass
         edir = os.path.join(path, "edge", ename, "ordered_by_source")
         adir = os.path.join(edir, "adj_list")
         (
@@ -332,7 +335,10 @@ def archive_graph(
             .parquet(odir)
         )
         _one_file_per_chunk(odir, ["_chunk"])
-        m = adj.count()
+        m = int(
+            alldeg.agg(F.sum("d").alias("m")).collect()[0]["m"] or 0
+        )  # = adj.count(), from the aggregate already computed
+        adj.unpersist()
         with open(os.path.join(edir, "edge_count"), "w") as f:
             f.write(str(m))
         ey = {
@@ -378,6 +384,21 @@ def archive_graph(
     os.replace(tmp, os.path.join(path, f"{name}.graph.yml"))
 
 
+def _gar_to_spark_type(dt: str) -> str:
+    return {
+        "int64": "long", "int32": "int", "double": "double",
+        "float": "float", "string": "string", "bool": "boolean",
+        "bytes": "binary",
+    }.get(dt, dt)
+
+
+def _empty_frame_from_props(spark: SparkSession, props: list[dict]):
+    schema = ", ".join(
+        f"{p['name']} {_gar_to_spark_type(p['data_type'])}" for p in props
+    )
+    return spark.createDataFrame([], schema)
+
+
 def load_archived_graph(spark: SparkSession, path: str) -> PropertyGraph:
     """Round-trip reader for ``archive_graph``'s GraphAr directory: yaml
     descriptors → chunked parquet datasets → the original label frames
@@ -392,7 +413,7 @@ def load_archived_graph(spark: SparkSession, path: str) -> PropertyGraph:
         raise FileNotFoundError(f"no *.graph.yml under {path}")
     with open(gfiles[0]) as f:
         gd = yaml.safe_load(f)
-    pg = PropertyGraph()
+    pg = PropertyGraph(num_partitions=gd.get("num_partitions", 32))
     vindex: dict[str, DataFrame] = {}
     for vf in gd["vertices"]:
         with open(os.path.join(path, vf)) as f:
@@ -402,7 +423,14 @@ def load_archived_graph(spark: SparkSession, path: str) -> PropertyGraph:
         chunks = _glob.glob(
             os.path.join(path, vd["prefix"].rstrip("/"), group, "chunk*")
         )
-        df = spark.read.parquet(*chunks)
+        if chunks:
+            df = spark.read.parquet(*chunks)
+        else:
+            # zero-row label: partitionBy wrote no chunk dirs — rebuild
+            # the empty frame from the descriptor's schema
+            df = _empty_frame_from_props(
+                spark, vd["property_groups"][0]["properties"]
+            )
         vindex[lbl] = df.select(F.col("_index"), F.col("vid"))
         pg.vertices[lbl] = df.drop("_index")
     for ef in gd["edges"]:
@@ -419,18 +447,28 @@ def load_archived_graph(spark: SparkSession, path: str) -> PropertyGraph:
                 "chunk*",
             )
         )
-        adj = spark.read.parquet(*chunks)
+        eprops_decl = [
+            p["name"]
+            for p in ed.get("property_groups", [{}])[0].get("properties", [])
+        ]
+        if chunks:
+            adj = spark.read.parquet(*chunks)
+        else:
+            adj = _empty_frame_from_props(
+                spark,
+                [
+                    {"name": "src_index", "data_type": "int64"},
+                    {"name": "dst_index", "data_type": "int64"},
+                ]
+                + ed.get("property_groups", [{}])[0].get("properties", []),
+            )
         si = vindex[key[0]].select(
             F.col("_index").alias("src_index"), F.col("vid").alias("src")
         )
         di = vindex[key[2]].select(
             F.col("_index").alias("dst_index"), F.col("vid").alias("dst")
         )
-        eprops = [
-            p["name"] for p in ed.get("property_groups", [{}])[0].get(
-                "properties", []
-            )
-        ]
+        eprops = eprops_decl
         pg.edges[key] = (
             adj.join(si, "src_index")
             .join(di, "dst_index")

@@ -67,26 +67,65 @@ class GraphStore:
 
     # -- commit / load -----------------------------------------------------
 
-    def commit(self, pg: PropertyGraph, message: str = "") -> int:
+    def commit(
+        self, pg: PropertyGraph, message: str = "", lock_timeout_s: float = 600.0
+    ) -> int:
         """Write ``pg`` as the next immutable version; returns its number.
         The version directory is fully written BEFORE the manifest is
         swapped (tmp + rename), so a crash mid-commit leaves the store at
-        the previous version with only an orphaned directory."""
-        vs = self.versions()
-        v = (vs[-1]["version"] + 1) if vs else 1
-        vdir = os.path.join(self.path, f"v{v}")
-        archive_graph(pg, vdir, name=f"v{v}")
-        entry = {
-            "version": v,
-            "message": message,
-            "labels": sorted(pg.vertices),
-            "triples": sorted("__".join(k) for k in pg.edges),
-        }
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"format": "graphstore/1", "versions": vs + [entry]}, f, indent=2)
-        os.replace(tmp, self._manifest_path)
-        return v
+        the previous version with only an orphaned directory.
+
+        Commits are serialized through an ``O_EXCL`` lock file: without
+        it, two concurrent committers would both read version N, both
+        write v(N+1), and the second manifest swap would silently drop
+        the first committer's entry. The lock covers the whole
+        read-manifest → write-archive → swap-manifest sequence — groot's
+        single-writer ingestion path, made explicit. A crashed committer
+        leaves the lock behind; it is reclaimed after ``lock_timeout_s``
+        based on its mtime."""
+        import time
+
+        lock = os.path.join(self.path, ".commit.lock")
+        deadline = time.time() + lock_timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > lock_timeout_s:
+                        os.remove(lock)  # stale lock from a crashed committer
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire {lock} within {lock_timeout_s}s"
+                    )
+                time.sleep(0.2)
+        try:
+            vs = self.versions()
+            v = (vs[-1]["version"] + 1) if vs else 1
+            vdir = os.path.join(self.path, f"v{v}")
+            archive_graph(pg, vdir, name=f"v{v}")
+            entry = {
+                "version": v,
+                "message": message,
+                "labels": sorted(pg.vertices),
+                "triples": sorted("__".join(k) for k in pg.edges),
+            }
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"format": "graphstore/1", "versions": vs + [entry]},
+                    f,
+                    indent=2,
+                )
+            os.replace(tmp, self._manifest_path)
+            return v
+        finally:
+            os.remove(lock)
 
     def load(self, spark: SparkSession, version: int | None = None) -> PropertyGraph:
         """Open a snapshot (latest when ``version`` is None)."""

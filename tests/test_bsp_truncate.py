@@ -46,3 +46,51 @@ def test_sssp_fused_overshoot_equivalence(corpus_graph):
         for r in sssp(corpus_graph, source=src, fused_rounds=100).state.collect()
     }
     assert len(base) > 1 and base == fused
+
+
+def test_run_bsp_callable_fusion_schedule(spark):
+    """fused_rounds may be a SCHEDULE (next_round -> k): a geometric
+    schedule must reach the identical fixpoint as static fusion, with the
+    block sizes actually growing (observed via the schedule's call log)."""
+    import pyspark.sql.functions as F
+
+    from graphscope_spark.bsp import run_bsp
+
+    state0 = spark.createDataFrame(
+        [(i, 0) for i in range(8)], "vid long, val long"
+    )
+
+    def superstep(st, rnd):
+        return st.select(
+            "vid",
+            F.when(F.col("val") < 21, F.col("val") + 1)
+            .otherwise(F.col("val"))
+            .alias("val"),
+        )
+
+    def scalar(st):
+        return float(st.where(F.col("val") < 21).count())
+
+    static = run_bsp(
+        state0, superstep, max_rounds=64, scalar_fn=scalar,
+        converged_fn=lambda c, r: c == 0.0, fused_rounds=4,
+    )
+    calls = []
+
+    def schedule(rnd):
+        k = min(16, 2 << (rnd // 4))
+        calls.append((rnd, k))
+        return k
+
+    dyn = run_bsp(
+        state0, superstep, max_rounds=64, scalar_fn=scalar,
+        converged_fn=lambda c, r: c == 0.0, fused_rounds=schedule,
+    )
+    assert static.converged and dyn.converged
+    sa = {r["vid"]: r["val"] for r in static.state.collect()}
+    sb = {r["vid"]: r["val"] for r in dyn.state.collect()}
+    assert sa == sb == {i: 21 for i in range(8)}
+    ks = [k for _, k in calls]
+    assert ks[0] == 2 and max(ks) > ks[0]  # the schedule actually grew
+    static.release()
+    dyn.release()

@@ -131,3 +131,24 @@ def test_parse_errors(pg):
     ):
         with pytest.raises(CypherParseError):
             cypher(pg, bad)
+
+
+def test_whitespace_between_pattern_elements(pg):
+    """Standard openCypher spacing: (a) -[:knows]-> (b)."""
+    got = cypher(
+        pg,
+        "MATCH (a:person) -[:knows]-> (b:person) WHERE a.age > 27 "
+        "RETURN a.name AS an, b.name AS bn",
+    )
+    assert _rows(got) == sorted(
+        [("ann", "bob"), ("ann", "cat"), ("cat", "ann")]
+    )
+
+
+def test_unbound_var_comparison_raises(pg):
+    with pytest.raises(CypherParseError, match="unknown variable"):
+        cypher(
+            pg,
+            "MATCH (a:person)-[:knows]->(b:person) WHERE a <> x "
+            "RETURN a AS a, count(*) AS n",
+        )

@@ -197,3 +197,23 @@ def test_parse_errors(pg):
 def test_string_escapes_and_doubles(pg):
     got = gremlin(pg, 'g.V().hasLabel("person").has("name", "ann").id()')
     assert _rows(got) == [(1,)]
+
+
+def test_union_of_projection_branches(pg):
+    """union() whose branches end in projections: same-named columns union
+    by name (3+ branches supported); mismatched columns raise."""
+    got = gremlin(
+        pg,
+        "g.V().hasLabel('person').union(values('age'), values('age'), values('age')).count()",
+    )
+    assert got.collect()[0]["count"] == 12
+    with pytest.raises(GremlinParseError):
+        gremlin(
+            pg,
+            "g.V().hasLabel('person').union(values('age'), values('name'))",
+        )
+    with pytest.raises(GremlinParseError):
+        gremlin(
+            pg,
+            "g.V().hasLabel('person').union(values('age'), out('knows'))",
+        )

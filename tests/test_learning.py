@@ -287,3 +287,26 @@ def test_export_pyg_blocks(spark, corpus_graph):
         # features align with n_id by local position
         for i, vid in enumerate(n_id):
             assert r["x"][i] == [vid * 2.0, vid + 0.5]
+
+
+def test_node2vec_duplicate_edges_ignored(spark):
+    """The inverse-CDF draw must be duplicate-insensitive: a multigraph
+    edge list with a repeated (src, dst) row yields the same walks as the
+    simple edge list (the row-weighted cumulative sum would otherwise
+    double that neighbour's draw probability)."""
+    from graphscope_spark.graph import from_edge_df
+    from graphscope_spark.learning import node2vec_walks
+
+    simple = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 0)]
+    dup = simple + [(0, 1), (0, 1), (2, 0)]
+    roots = None
+    outs = []
+    for edges in (simple, dup):
+        g = from_edge_df(
+            spark.createDataFrame(edges, "src long, dst long"),
+            num_partitions=2,
+        )
+        roots = g.vertices.select("vid")
+        w = node2vec_walks(g, roots, length=4, num_walks=3, p=0.5, q=2.0)
+        outs.append(sorted(tuple(r) for r in w.collect()))
+    assert outs[0] == outs[1]

@@ -187,3 +187,48 @@ def test_graph_store_versioned_mutations(spark, pg, tmp_path):
 
     with _pytest.raises(ValueError):
         store.load(spark, version=7)
+
+
+def test_graph_store_stale_lock_reclaim(spark, pg, tmp_path):
+    """A crashed committer's stale lock (old mtime) is reclaimed; a
+    completed commit leaves no lock behind."""
+    import os
+
+    from graphscope_spark.store import GraphStore
+
+    store = GraphStore(str(tmp_path / "locked"))
+    lock = os.path.join(store.path, ".commit.lock")
+    open(lock, "w").close()
+    os.utime(lock, (1, 1))  # ancient mtime — stale
+    v = store.commit(pg, message="after crash")
+    assert v == 1
+    assert not os.path.exists(lock)
+
+
+def test_archive_empty_label_roundtrip(spark, tmp_path):
+    """A zero-row vertex label and a zero-row edge triple must round-trip
+    (partitionBy writes no chunk files; the loader rebuilds empty frames
+    from the yaml schema)."""
+    from graphscope_spark.property_graph import (
+        archive_graph,
+        load_archived_graph,
+    )
+
+    users = spark.createDataFrame([(1, "a")], "vid long, name string")
+    ghosts = spark.createDataFrame([], "vid long, tag string")
+    e_empty = spark.createDataFrame([], "src long, dst long, w double")
+    pg = (
+        PropertyGraph(num_partitions=2)
+        .add_vertices("user", users)
+        .add_vertices("ghost", ghosts)
+        .add_edges("user", "haunts", "ghost", e_empty)
+    )
+    path = str(tmp_path / "empty_ar")
+    archive_graph(pg, path)
+    back = load_archived_graph(spark, path)
+    assert back.num_partitions == 2
+    assert back.vertices["ghost"].count() == 0
+    assert [f.name for f in back.vertices["ghost"].schema.fields] == ["vid", "tag"]
+    assert back.edges[("user", "haunts", "ghost")].count() == 0
+    assert set(back.edges[("user", "haunts", "ghost")].columns) == {"src", "dst", "w"}
+    assert back.vertices["user"].count() == 1
