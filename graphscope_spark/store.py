@@ -127,6 +127,39 @@ class GraphStore:
         finally:
             os.remove(lock)
 
+    # -- nx mutation round-trip --------------------------------------------
+
+    NX_VLABEL = "node"
+    NX_TRIPLE = ("node", "edge", "node")
+
+    def commit_nx(self, g, message: str = "") -> int:
+        """Commit an ``nx.Graph``/``nx.DiGraph`` (the mutation layer) as
+        the next version: flushes its buffered mutations and archives its
+        (vid, attrs) / (src, dst, attrs) frames under the fixed
+        ``node``/``edge`` labels. Together with :meth:`load_nx` this is
+        the groot mutate→persist→reload loop: ``load_nx`` a snapshot,
+        apply ``add_*``/``remove_*`` mutations, ``commit_nx`` the
+        result."""
+        pg = (
+            PropertyGraph(num_partitions=g.num_partitions)
+            .add_vertices(self.NX_VLABEL, g.vertices)
+            .add_edges(*self.NX_TRIPLE, g.edge_frame)
+        )
+        return self.commit(pg, message=message)
+
+    def load_nx(self, spark: SparkSession, version: int | None = None, directed: bool = False):
+        """Open a snapshot committed by :meth:`commit_nx` as a mutable
+        nx graph (buffered-mutation layer) ready for further mutations."""
+        from graphscope_spark.nx import DiGraph, Graph
+
+        pg = self.load(spark, version)
+        cls = DiGraph if directed else Graph
+        return cls.from_dataframes(
+            vertices=pg.vertices[self.NX_VLABEL],
+            edges=pg.edges[self.NX_TRIPLE],
+            num_partitions=pg.num_partitions,
+        )
+
     def load(self, spark: SparkSession, version: int | None = None) -> PropertyGraph:
         """Open a snapshot (latest when ``version`` is None)."""
         vs = self.versions()

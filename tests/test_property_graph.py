@@ -232,3 +232,33 @@ def test_archive_empty_label_roundtrip(spark, tmp_path):
     assert back.edges[("user", "haunts", "ghost")].count() == 0
     assert set(back.edges[("user", "haunts", "ghost")].columns) == {"src", "dst", "w"}
     assert back.vertices["user"].count() == 1
+
+
+def test_graph_store_nx_mutation_loop(spark, tmp_path):
+    """The groot loop: load_nx a snapshot → mutate via the nx layer →
+    commit_nx; history preserved, attrs survive the GraphAr round-trip."""
+    from graphscope_spark.nx import Graph
+    from graphscope_spark.store import GraphStore
+
+    g = Graph(spark, num_partitions=2)
+    g.add_edges_from([(1, 2), (2, 3)])
+    g.add_node(9, kind="isolated")
+    store = GraphStore(str(tmp_path / "nxstore"))
+    v1 = store.commit_nx(g, message="init")
+
+    g2 = store.load_nx(spark, v1)
+    g2.add_edge(3, 9)
+    g2.remove_node(1)
+    v2 = store.commit_nx(g2, message="mutate")
+
+    back1 = store.load_nx(spark, v1)
+    back2 = store.load_nx(spark, v2)
+    assert back1.number_of_nodes() == 4 and back1.number_of_edges() == 2
+    assert back2.number_of_nodes() == 3 and back2.number_of_edges() == 2
+    vids2 = {r["vid"] for r in back2.vertices.collect()}
+    assert vids2 == {2, 3, 9}
+    attrs = {
+        r["vid"]: dict(r["attrs"] or {}) for r in back2.vertices.collect()
+    }
+    assert attrs[9].get("kind") == "isolated"
+    assert [e["message"] for e in store.versions()] == ["init", "mutate"]
