@@ -262,6 +262,10 @@ def archive_graph(
             F.col("vid").alias("dst"), F.col("i").alias("dst_index")
         )
         eprops = [c for c in df.columns if c not in ("src", "dst")]
+        # dangling endpoints have no internal index — the inner joins
+        # below would silently DROP those rows (data loss found by the
+        # round-trip fuzz test); fail loudly instead
+        n_edges = df.count()
         adj = (
             df.join(si, "src")
             .join(di, "dst")
@@ -339,6 +343,13 @@ def archive_graph(
             alldeg.agg(F.sum("d").alias("m")).collect()[0]["m"] or 0
         )  # = adj.count(), from the aggregate already computed
         adj.unpersist()
+        if m != n_edges:
+            raise ValueError(
+                f"archive_graph: edge triple {(sl, el, dl)} has "
+                f"{n_edges - m} edge(s) whose src/dst is not in the "
+                f"'{sl}'/'{dl}' vertex table — archiving would lose them; "
+                "add the missing vertices (or filter the edges) first"
+            )
         with open(os.path.join(edir, "edge_count"), "w") as f:
             f.write(str(m))
         ey = {

@@ -217,3 +217,38 @@ def test_union_of_projection_branches(pg):
             pg,
             "g.V().hasLabel('person').union(values('age'), out('knows'))",
         )
+
+
+def test_fuzz_parser_matches_programmatic(pg):
+    """Property-style fuzz: random valid step chains built from a small
+    grammar must parse and produce exactly what the equivalent
+    programmatic Traversal produces. Deterministic seed; each case is a
+    real Spark run, so the sample count is kept modest."""
+    import random
+
+    rng = random.Random(20260821)
+    hops = [
+        (".out('knows')", lambda t: t.out("knows")),
+        (".in('knows')", lambda t: t.in_("knows")),
+        (".both('knows')", lambda t: t.both("knows")),
+    ]
+    filters = [
+        (".has('age', gt(26))", lambda t: t.has("age", P.gt(26))),
+        (".has('age', P.within(27, 31))", lambda t: t.has("age", P.within([27, 31]))),
+        (".has('name', TextP.containing('a'))", lambda t: t.has("name", TextP.containing("a"))),
+        (".dedup()", lambda t: t.dedup()),
+        (".is(P.lt(4))", lambda t: t.is_(P.lt(4))),
+    ]
+    for _ in range(12):
+        text = "g.V().hasLabel('person')"
+        t = traversal(pg, "person")
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.5:
+                frag, fn = rng.choice(hops)
+            else:
+                frag, fn = rng.choice(filters)
+            text += frag
+            t = fn(t)
+        got = sorted(r["id"] for r in gremlin(pg, text + ".id()").collect())
+        want = sorted(r["id"] for r in t.id_().collect())
+        assert got == want, text

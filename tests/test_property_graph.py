@@ -262,3 +262,79 @@ def test_graph_store_nx_mutation_loop(spark, tmp_path):
     }
     assert attrs[9].get("kind") == "isolated"
     assert [e["message"] for e in store.versions()] == ["init", "mutate"]
+
+
+def test_graphar_roundtrip_fuzz(spark, tmp_path):
+    """Randomized GraphAr round-trips: random small property graphs
+    (labels × typed columns × chunk sizes) must archive and reload to
+    identical contents. Deterministic seed."""
+    import random
+
+    from graphscope_spark.property_graph import (
+        archive_graph,
+        load_archived_graph,
+    )
+
+    rng = random.Random(5)
+    for case in range(4):
+        n_u = rng.randint(0, 12)
+        users = spark.createDataFrame(
+            [(i, f"u{i}", rng.random()) for i in range(n_u)],
+            "vid long, name string, score double",
+        )
+        items = spark.createDataFrame(
+            [(100 + i, rng.randint(0, 5)) for i in range(rng.randint(1, 6))],
+            "vid long, stock long",
+        )
+        n_i = items.count()
+        edges = spark.createDataFrame(
+            [
+                (rng.randrange(n_u), 100 + rng.randrange(n_i), rng.random())
+                for _ in range(rng.randint(0, 20))
+                if n_u > 0
+            ] or [],
+            "src long, dst long, w double",
+        )
+        pg = (
+            PropertyGraph(num_partitions=rng.choice([2, 3, 5]))
+            .add_vertices("user", users)
+            .add_vertices("item", items)
+            .add_edges("user", "bought", "item", edges)
+        )
+        path = str(tmp_path / f"fz{case}")
+        archive_graph(
+            pg, path,
+            vertex_chunk_size=rng.choice([2, 4, 1000]),
+            edge_chunk_size=rng.choice([3, 1000]),
+        )
+        back = load_archived_graph(spark, path)
+        assert back.num_partitions == pg.num_partitions
+        for lbl in ("user", "item"):
+            a = sorted(tuple(r) for r in pg.vertices[lbl].collect())
+            b = sorted(tuple(r) for r in back.vertices[lbl].collect())
+            assert a == b, (case, lbl)
+        key = ("user", "bought", "item")
+        a = sorted(tuple(r) for r in pg.edges[key].select("src", "dst", "w").collect())
+        b = sorted(tuple(r) for r in back.edges[key].select("src", "dst", "w").collect())
+        assert a == b, case
+
+
+def test_archive_dangling_edge_raises(spark, tmp_path):
+    """Edges referencing vertices absent from their label's table must
+    fail the archive loudly (the index join would silently drop them —
+    the data-loss mode the round-trip fuzz caught)."""
+    from graphscope_spark.property_graph import archive_graph
+
+    users = spark.createDataFrame([(1, "a")], "vid long, name string")
+    items = spark.createDataFrame([(100, 1)], "vid long, stock long")
+    dangling = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 999, 2.0)], "src long, dst long, w double"
+    )
+    pg = (
+        PropertyGraph(num_partitions=2)
+        .add_vertices("user", users)
+        .add_vertices("item", items)
+        .add_edges("user", "bought", "item", dangling)
+    )
+    with pytest.raises(ValueError, match="not in the"):
+        archive_graph(pg, str(tmp_path / "dang"))
